@@ -1,38 +1,163 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``    — flagship: the full split-window physics (C2..C10 algebra:
+               piecewise CWV-subrange coefficient selection + Du et al.
+               quadratic LST) as pure Catalyst column algebra over sf0.001
+               lineitem, aggregated per returnflag/subrange.
+``queries``  — one entry per implemented operator (SURVEY.md §2); SQL-
+               expressible ones are twinned in ``oracle_sql`` for the DuckDB
+               gate; raster/spatial ops are rows-only (their correctness is
+               carried by pytest vs the scalar oracle / numpy golden tests).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from i_landsat8_swlst_spark import relational  # noqa: E402
+from i_landsat8_swlst_spark import textops  # noqa: E402,F401  (registers its queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    sf_dir = "/root/testdata/sf0.001"
+    lst = relational.q_lst_sw(spark, sf_dir)
+    li = relational.load(spark, sf_dir, "lineitem").filter("l_orderkey % 5 = 1")
+    joined = lst.join(li, on=["l_orderkey", "l_linenumber"], how="inner")
+    return (
+        joined.groupBy("l_returnflag", "subrange")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg("lst_k"), 4).alias("avg_lst_k"),
+            F.round(F.min("lst_c"), 4).alias("min_lst_c"),
+            F.round(F.max("lst_c"), 4).alias("max_lst_c"),
+        )
+        .orderBy("l_returnflag", "subrange")
+    )
+
+
+def _q_lst_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only flagship raster pipeline: deterministic synthetic scenes
+    (tiny) -> fused Arrow kernel -> per-scene LST stats. Not SQL-expressible
+    (tile decode + moving-window CWV); pytest carries its parity vs the
+    scalar oracle (tests/test_pipeline.py)."""
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import constants as C, pipeline, synth
+
+    scenes = spark.createDataFrame(synth.scenes_pdf("tiny"))
+    meta = spark.createDataFrame(synth.scene_meta_pdf("tiny"))
+    emis = spark.createDataFrame(pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis), window=5)
+    return (
+        tiles.groupBy("scene_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.sum("n_valid").alias("n_valid_px"),
+            F.round(F.avg("lst_mean"), 4).alias("avg_tile_lst"),
+        )
+        .orderBy("scene_id")
+    )
+
+
+def _tiny_fixture(spark):
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import constants as C, synth
+
+    scenes = spark.createDataFrame(synth.scenes_pdf("tiny"))
+    meta = spark.createDataFrame(synth.scene_meta_pdf("tiny"))
+    emis = spark.createDataFrame(pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
+    return scenes, meta, emis
+
+
+def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: broadcast R-tree point-in-polygon join of LST pixel
+    centroids against AOI polygons; numpy-oracle parity in tests/test_spatial.py."""
+    from i_landsat8_swlst_spark import pipeline, spatial, synth
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    pixels = pipeline.lst_pixels(
+        pipeline.build_enriched_with_grid(scenes, meta, emis), window=5
+    ).select("scene_id", "tile_x", "tile_y", "px", "py", "lon", "lat", "lst_k")
+    joined = spatial.pip_join(pixels, synth.aoi_pdf("tiny"), how="inner")
+    return (
+        joined.groupBy("aoi_id", "aoi_category")
+        .agg(F.count(F.lit(1)).alias("n_pixels"), F.round(F.avg("lst_k"), 4).alias("avg_lst"))
+        .orderBy("aoi_id")
+    )
+
+
+def _q_knn_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: kNN join of tile centroids to CWV stations (broadcast +
+    vectorized haversine); brute-force parity in tests/test_spatial.py."""
+    from i_landsat8_swlst_spark import pipeline, spatial, synth
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    parsed = pipeline.parse_scenes(scenes).filter("band = 10")
+    grids = pipeline.scene_grids(pipeline.parse_scenes(scenes))
+    cent = (
+        parsed.join(F.broadcast(meta), "scene_id").join(F.broadcast(grids), "scene_id")
+        .select(
+            "image_id", "scene_id", "tile_x", "tile_y",
+            (F.col("lon0") + (F.col("tile_x") + 0.5) * (F.col("lon1") - F.col("lon0")) / F.col("ntx")).alias("lon"),
+            (F.col("lat1") - (F.col("tile_y") + 0.5) * (F.col("lat1") - F.col("lat0")) / F.col("nty")).alias("lat"),
+        )
+    )
+    knn = spatial.knn_join(cent, synth.stations_pdf("tiny"), k=3)
+    return knn.select("image_id", "station_id", "station_rank",
+                      F.round("station_km", 4).alias("station_km"),
+                      F.round("station_cwv", 4).alias("station_cwv"))
+
+
+def _q_tile_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: batched cell-encode (hex 7/8/9 + S2) of tile centroids —
+    the tile_assignments output table (FIXTURES.md §7)."""
+    from i_landsat8_swlst_spark import pipeline, spatial
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    parsed = pipeline.parse_scenes(scenes).filter("band = 10")
+    grids = pipeline.scene_grids(pipeline.parse_scenes(scenes))
+    cent = (
+        parsed.join(F.broadcast(meta), "scene_id").join(F.broadcast(grids), "scene_id")
+        .select(
+            "image_id",
+            (F.col("lon0") + (F.col("tile_x") + 0.5) * (F.col("lon1") - F.col("lon0")) / F.col("ntx")).alias("lon"),
+            (F.col("lat1") - (F.col("tile_y") + 0.5) * (F.col("lat1") - F.col("lat0")) / F.col("nty")).alias("lat"),
+        )
+    )
+    return spatial.with_cells(cent).select("image_id", "h3_7", "h3_8", "h3_9", "s2_cell")
+
+
+def _q_rasterize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: raster -> pixel rows -> raster round-trip counts."""
+    from i_landsat8_swlst_spark import pipeline
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    pixels = pipeline.lst_pixels(
+        pipeline.build_enriched_with_grid(scenes, meta, emis), window=5
+    )
+    rast = pipeline.rasterize_pixels(pixels, w=32, h=32)
+    return rast.groupBy("scene_id").agg(
+        F.count(F.lit(1)).alias("n_tiles"), F.sum("n_valid").alias("n_valid_px")
+    ).orderBy("scene_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q = dict(relational.queries())
+    q["q_lst_pipeline"] = _q_lst_pipeline
+    q["q_pip_join"] = _q_pip_join
+    q["q_knn_stations"] = _q_knn_stations
+    q["q_tile_assignments"] = _q_tile_assignments
+    q["q_rasterize_roundtrip"] = _q_rasterize_roundtrip
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(relational.oracle_sql())

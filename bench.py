@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus raster-pipeline
+throughput (pixels/sec) on deterministic synthetic scenes.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The full N-vs-4N scaling A/B lives in jobs/bench_scaling.py (writes
+BENCH/BASELINE.md); this script stays fast enough for per-round runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RASTER_SCENES = int(os.environ.get("SPARK_GRAFT_BENCH_SCENES", "8"))
+
+HEADLINE = [
+    "q_lst_sw",            # full split-window physics as column algebra
+    "q_cwv_ratio_window",  # windowed covariance-ratio CWV analog
+    "q_range_join",        # non-equi broadcast range join
+    "q_broadcast_join",    # dim-chain broadcast join + agg
+    "q_agg_stats",         # TPC-H Q1 shape
+    "q_window_topk",       # per-key top-k window
+]
+
+
+def _materialize(df) -> int:
+    # noop sink: full execution, no driver collect
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    from __spark_entry__ import queries
+    from i_landsat8_swlst_spark.session import get_spark
+
+    spark = get_spark(app="bench", cores=CPUS, shuffle_partitions=max(CPUS, 32))
+    q = queries()
+    times: dict[str, float] = {}
+
+    # warm the JVM + parquet footers once
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _materialize(q[name](spark, SF_DIR))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    # --- raster pipeline throughput on synthetic bench scenes ---
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from i_landsat8_swlst_spark import constants as C, pipeline, synth
+
+    scenes = synth.synth_scenes_spark(spark, "bench", scenes=range(RASTER_SCENES)).persist()
+    n_tiles = scenes.count() // 2  # paired
+    px = scenes.select(F.sum(F.col("w").cast("long") * F.col("h")).alias("p")).collect()[0].p // 2
+
+    meta = spark.createDataFrame(synth.scene_meta_pdf("bench"))
+    emis = spark.createDataFrame(pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
+    enriched = pipeline.build_enriched(scenes, meta, emis)
+
+    t0 = time.perf_counter()
+    _materialize(pipeline.lst_tiles(enriched, window=C.DEFAULT_CWV_WINDOW))
+    raster_sec = time.perf_counter() - t0
+    times["q_lst_pipeline_bench"] = round(raster_sec, 3)
+    scenes.unpersist()
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "raster_tiles": n_tiles,
+        "raster_pixels": int(px),
+        "raster_pixels_per_sec": round(px / raster_sec, 1),
+        "raster_tiles_per_sec": round(n_tiles / raster_sec, 2),
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Checkpoint/resume: per-partition manifests with lineage + metrics.
+
+North rule (BASELINE.json:14): jobs are "resumable from checkpoint with
+per-partition lineage + metrics". Spark gives task-level retry for free; this
+layer adds *job-level* idempotent resume:
+
+- the tile keyspace is split into deterministic slices
+  (pmod(xxhash64(scene_id, tile_y), n_slices) — tile-row granularity so one
+  giant scene doesn't pin a whole slice);
+- each slice is one Spark write job into ``out/data/slice=K/`` (overwrite =
+  idempotent), followed by a manifest record ``out/_manifest/slice-K.json``
+  carrying lineage (input fingerprint = XOR-sum of xxhash64(image_id), code
+  version) and metrics (rows, valid pixels, wall ms, attempt);
+- resume = anti-join of pending slices against completed manifest keys: a
+  re-run recomputes only missing/failed slices, and a fingerprint mismatch
+  (input changed under the checkpoint) forces that slice to re-run.
+
+The same structure scales to a real cluster: slices are just partition
+batches; manifests live next to the data (object store in production).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import __version__, constants as C, pipeline
+
+
+class InjectedFailure(RuntimeError):
+    """Test hook: simulated crash between slices."""
+
+
+def _manifest_dir(out_dir: str) -> Path:
+    return Path(out_dir) / "_manifest"
+
+
+def read_manifest(out_dir: str) -> dict[int, dict]:
+    md = _manifest_dir(out_dir)
+    out: dict[int, dict] = {}
+    if md.is_dir():
+        for f in sorted(md.glob("slice-*.json")):
+            rec = json.loads(f.read_text())
+            if rec.get("status") == "done":
+                out[rec["slice"]] = rec
+    return out
+
+
+def slice_fingerprints(enriched: DataFrame, n_slices: int) -> dict[int, int]:
+    """Lineage fingerprint per slice: bit-XOR of xxhash64(image_id) — order-
+    independent, metadata-only (bytes never read thanks to column pruning)."""
+    rows = (
+        enriched.groupBy(_slice_col(n_slices).alias("slice"))
+        .agg(F.expr("bit_xor(xxhash64(image_id_b10))").alias("fp"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return {r["slice"]: (int(r["fp"]), int(r["n"])) for r in rows}
+
+
+def _slice_col(n_slices: int):
+    return F.pmod(F.xxhash64("scene_id", "tile_y"), F.lit(n_slices)).cast("int")
+
+
+def run_lst_job(
+    spark: SparkSession,
+    scenes: DataFrame,
+    scene_meta: DataFrame,
+    emissivities: DataFrame,
+    out_dir: str,
+    n_slices: int = 8,
+    window: int = C.DEFAULT_CWV_WINDOW,
+    resume: bool = True,
+    fail_after: int | None = None,
+) -> dict:
+    """Run (or resume) the tile LST job; returns summary dict."""
+    if n_slices < 1:
+        raise ValueError(f"n_slices must be >= 1, got {n_slices}")
+    out = Path(out_dir)
+    (out / "data").mkdir(parents=True, exist_ok=True)
+    _manifest_dir(out_dir).mkdir(parents=True, exist_ok=True)
+
+    enriched = pipeline.build_enriched(scenes, scene_meta, emissivities).withColumn(
+        "slice", _slice_col(n_slices)
+    )
+    fps = slice_fingerprints(enriched, n_slices)
+    done = read_manifest(out_dir) if resume else {}
+
+    # resume set as a real anti-join against completed manifest keys whose
+    # fingerprint still matches (lineage check)
+    valid_done = {
+        s: rec for s, rec in done.items()
+        if s in fps and rec.get("input_fingerprint") == fps[s][0]
+        and rec.get("code_version") == __version__
+    }
+    all_slices = sorted(fps)
+    if valid_done:
+        done_df = spark.createDataFrame([(s,) for s in valid_done], "slice int")
+        pending_rows = (
+            spark.createDataFrame([(s,) for s in all_slices], "slice int")
+            .join(done_df, "slice", "left_anti")
+            .collect()
+        )
+        pending = sorted(r["slice"] for r in pending_rows)
+    else:
+        pending = all_slices
+
+    executed = []
+    for i, s in enumerate(pending):
+        if fail_after is not None and i >= fail_after:
+            raise InjectedFailure(f"injected failure before slice {s}")
+        t0 = time.perf_counter()
+        slice_df = pipeline.lst_tiles(enriched.filter(F.col("slice") == s), window=window)
+        target = out / "data" / f"slice={s}"
+        slice_df.write.mode("overwrite").parquet(str(target))
+        stats = spark.read.parquet(str(target)).agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("n_valid").alias("valid_px"),
+            F.sum(F.col("w").cast("long") * F.col("h")).alias("pixels"),
+        ).collect()[0]
+        rec = {
+            "slice": int(s),
+            "status": "done",
+            "input_fingerprint": fps[s][0],
+            "input_rows": fps[s][1],
+            "rows_out": int(stats["rows"]),
+            "pixels": int(stats["pixels"] or 0),
+            "valid_px": int(stats["valid_px"] or 0),
+            "wall_ms": int((time.perf_counter() - t0) * 1000),
+            "attempt": done.get(s, {}).get("attempt", 0) + 1,
+            "code_version": __version__,
+        }
+        (_manifest_dir(out_dir) / f"slice-{s}.json").write_text(json.dumps(rec))
+        executed.append(int(s))
+
+    return {
+        "slices": len(all_slices),
+        "skipped": sorted(valid_done),
+        "executed": executed,
+        "out": str(out / "data"),
+    }
+
+
+def read_result(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(str(Path(out_dir) / "data"))

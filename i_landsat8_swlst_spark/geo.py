@@ -1,0 +1,244 @@
+"""Cell indexing: S2 (exact, from the public algorithm) + hex grid (H3-role).
+
+North rule (BASELINE.json:6): scenes are "assigned to H3 (res 7-9) and S2
+cells via batched cell-encode". No h3/s2 library exists in this container and
+there is no network (SURVEY.md §0), so:
+
+- ``s2_cell``: a faithful pure-numpy implementation of the S2 cell id scheme
+  (lat/lng -> unit sphere -> cube face -> quadratic ST -> 30-bit IJ ->
+  Hilbert curve position -> 64-bit cell id), following the published
+  s2geometry algorithm (quadratic projection, 4-bit lookup-table Hilbert).
+  Vectorized: 8 table-lookup rounds regardless of input size.
+- ``hexcell``: an axial hexagonal grid over lon/lat sized to H3's res-7/8/9
+  mean edge lengths. It fills H3's *role* in this engine (hex cell-join
+  prefilter, bucketing, rollups) but is NOT bit-compatible with H3 ids —
+  implementing true H3 (122 icosahedral base cells + aperture-7 digits)
+  from memory without the library to verify against would risk silently
+  wrong ids; documented honestly instead (SURVEY.md §7.3 risk 2).
+
+Both are exposed to Spark as vectorized pandas UDFs in spatial.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# S2 cell ids
+# --------------------------------------------------------------------------
+
+_LOOKUP_BITS = 4
+_SWAP = 1
+_INVERT = 2
+_POS_TO_IJ = ((0, 1, 3, 2), (0, 2, 3, 1), (3, 2, 0, 1), (3, 1, 0, 2))
+_POS_TO_ORIENT = (_SWAP, 0, 0, _SWAP | _INVERT)
+
+_LOOKUP_POS = np.zeros(1 << (2 * _LOOKUP_BITS + 2), dtype=np.int64)
+_LOOKUP_IJ = np.zeros(1 << (2 * _LOOKUP_BITS + 2), dtype=np.int64)
+
+
+def _init_lookup(level: int, i: int, j: int, orig: int, pos: int, orient: int) -> None:
+    if level == _LOOKUP_BITS:
+        ij = (i << _LOOKUP_BITS) + j
+        _LOOKUP_POS[(ij << 2) + orig] = (pos << 2) + orient
+        _LOOKUP_IJ[(pos << 2) + orig] = (ij << 2) + orient
+        return
+    level += 1
+    i <<= 1
+    j <<= 1
+    pos <<= 2
+    r = _POS_TO_IJ[orient]
+    for idx in range(4):
+        ij = r[idx]
+        _init_lookup(level, i + (ij >> 1), j + (ij & 1), orig, pos + idx,
+                     orient ^ _POS_TO_ORIENT[idx])
+
+
+for _o in range(4):
+    _init_lookup(0, 0, 0, _o, 0, _o)
+
+MAX_LEVEL = 30
+
+
+def lonlat_to_xyz(lon_deg: np.ndarray, lat_deg: np.ndarray):
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    cl = np.cos(lat)
+    return cl * np.cos(lon), cl * np.sin(lon), np.sin(lat)
+
+
+def xyz_to_face_uv(x, y, z):
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    axis = np.where(ax >= ay, np.where(ax >= az, 0, 2), np.where(ay >= az, 1, 2))
+    major = np.choose(axis, [x, y, z])
+    face = np.where(major >= 0, axis, axis + 3)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
+            [y / x, -x / y, -x / z, z / x, z / y, -y / z],
+        )
+        v = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
+            [z / x, z / y, -y / z, y / x, -x / y, -x / z],
+        )
+    return face.astype(np.int64), u, v
+
+
+def face_uv_to_xyz(face: np.ndarray, u: np.ndarray, v: np.ndarray):
+    one = np.ones_like(u)
+    x = np.select([face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
+                  [one, -u, -u, -one, v, v])
+    y = np.select([face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
+                  [u, one, -v, -v, -one, u])
+    z = np.select([face == 0, face == 1, face == 2, face == 3, face == 4, face == 5],
+                  [v, v, one, -u, -u, -one])
+    n = np.sqrt(x * x + y * y + z * z)
+    return x / n, y / n, z / n
+
+
+def uv_to_st(u: np.ndarray) -> np.ndarray:
+    """S2_QUADRATIC_PROJECTION."""
+    with np.errstate(invalid="ignore"):
+        return np.where(u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
+
+
+def st_to_uv(s: np.ndarray) -> np.ndarray:
+    return np.where(
+        s >= 0.5, (1.0 / 3.0) * (4.0 * s * s - 1.0), (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s))
+    )
+
+
+def st_to_ij(s: np.ndarray) -> np.ndarray:
+    return np.clip(np.floor((1 << MAX_LEVEL) * s), 0, (1 << MAX_LEVEL) - 1).astype(np.int64)
+
+
+def s2_cell_from_face_ij(face: np.ndarray, i: np.ndarray, j: np.ndarray) -> np.ndarray:
+    """Hilbert-encode (face, i, j) at level 30 -> uint64 cell id (as int64).
+
+    Vectorized port of the published lookup-table loop: 8 rounds of 4 i-bits
+    + 4 j-bits -> 8 position bits each.
+    """
+    n = face.astype(np.uint64) << np.uint64(60)
+    bits = (face & _SWAP).astype(np.int64)
+    for k in range(7, -1, -1):
+        idx = bits + (((i >> (k * 4)) & 15) << 6) + (((j >> (k * 4)) & 15) << 2)
+        val = _LOOKUP_POS[idx]
+        n |= (val >> 2).astype(np.uint64) << np.uint64(k * 8)
+        bits = val & 3
+    return (n * np.uint64(2) + np.uint64(1)).view(np.int64)
+
+
+def s2_cell_to_face_ij(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse Hilbert decode of a level-30 cell id (round-trip testing)."""
+    u = np.asarray(cell, dtype=np.int64).view(np.uint64)
+    face = (u >> np.uint64(61)).astype(np.int64)
+    bits = (face & _SWAP).astype(np.int64)
+    i = np.zeros(u.shape, dtype=np.int64)
+    j = np.zeros(u.shape, dtype=np.int64)
+    for k in range(7, -1, -1):
+        nbits = MAX_LEVEL - 7 * _LOOKUP_BITS if k == 7 else _LOOKUP_BITS
+        mask = (1 << (2 * nbits)) - 1
+        chunk = ((u >> np.uint64(k * 8 + 1)).astype(np.int64) & mask)
+        bits += chunk << 2
+        bits = _LOOKUP_IJ[bits]
+        i += (bits >> (_LOOKUP_BITS + 2)) << (k * 4)
+        j += ((bits >> 2) & 15) << (k * 4)
+        bits &= 3
+    return face, i, j
+
+
+def s2_cell(lon_deg, lat_deg, level: int = MAX_LEVEL) -> np.ndarray:
+    """lon/lat (degrees) -> S2 cell id at the given level, as int64."""
+    x, y, z = lonlat_to_xyz(lon_deg, lat_deg)
+    face, uu, vv = xyz_to_face_uv(x, y, z)
+    i = st_to_ij(uv_to_st(uu))
+    j = st_to_ij(uv_to_st(vv))
+    leaf = s2_cell_from_face_ij(face, i, j).view(np.uint64)
+    if level >= MAX_LEVEL:
+        return leaf.view(np.int64)
+    lsb = np.uint64(1) << np.uint64(2 * (MAX_LEVEL - level))
+    return ((leaf & ~(lsb - np.uint64(1))) | lsb).view(np.int64)
+
+
+def s2_level(cell) -> np.ndarray:
+    """Level of a cell id = 30 - (trailing zeros / 2)."""
+    u = np.asarray(cell, dtype=np.int64).view(np.uint64)
+    tz = np.zeros(u.shape, dtype=np.int64)
+    rem = u.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = (np.uint64(1) << np.uint64(shift)) - np.uint64(1)
+        zero = (rem & mask) == 0
+        tz += np.where(zero, shift, 0)
+        rem = np.where(zero, rem >> np.uint64(shift), rem)
+    return MAX_LEVEL - tz // 2
+
+
+def s2_cell_center(cell) -> tuple[np.ndarray, np.ndarray]:
+    """Cell id (any level) -> (lon_deg, lat_deg) of the cell center."""
+    u = np.asarray(cell, dtype=np.int64).view(np.uint64)
+    lvl = s2_level(cell)
+    lsb = np.uint64(1) << (np.uint64(2) * (np.uint64(MAX_LEVEL) - lvl.astype(np.uint64)))
+    leaf_center = (u & ~(lsb - np.uint64(1))) | lsb  # id already centered at its level
+    face, i, j = s2_cell_to_face_ij(leaf_center.view(np.int64))
+    # center of the cell in ST space: leaf (i,j) of the center id + half leaf
+    s = (i + 0.5) / (1 << MAX_LEVEL)
+    t = (j + 0.5) / (1 << MAX_LEVEL)
+    x, y, z = face_uv_to_xyz(face, st_to_uv(s), st_to_uv(t))
+    return np.degrees(np.arctan2(y, x)), np.degrees(np.arcsin(np.clip(z, -1, 1)))
+
+
+# --------------------------------------------------------------------------
+# Hex grid (H3-role), axial coordinates over lon/lat degrees
+# --------------------------------------------------------------------------
+
+# Edge lengths chosen to match H3's published mean hex edge per resolution,
+# converted at ~111 km/deg: res7 1.22 km, res8 0.461 km, res9 0.174 km.
+HEX_EDGE_DEG = {7: 1.22 / 111.0, 8: 0.461 / 111.0, 9: 0.174 / 111.0}
+_SQRT3 = np.sqrt(3.0)
+
+
+def hexcell(lon_deg, lat_deg, res: int) -> np.ndarray:
+    """Pointy-top axial hex binning of lon/lat -> packed int64 cell id.
+
+    id layout: [res:6, bits 56-61][q+2^27 : 28][r+2^27 : 28] — keeps the
+    sign bit clear for any res <= 63.
+    """
+    if res not in HEX_EDGE_DEG:
+        raise ValueError(f"res must be one of {sorted(HEX_EDGE_DEG)}")
+    size = HEX_EDGE_DEG[res]
+    x = np.asarray(lon_deg, dtype=np.float64)
+    y = np.asarray(lat_deg, dtype=np.float64)
+    qf = (_SQRT3 / 3.0 * x - y / 3.0) / size
+    rf = (2.0 / 3.0 * y) / size
+    q, r = _hex_round(qf, rf)
+    return (np.int64(res) << 56) | ((q + (1 << 27)) << 28) | (r + (1 << 27))
+
+
+def hexcell_decode(cell) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    c = np.asarray(cell, dtype=np.int64)
+    res = c >> 56
+    q = ((c >> 28) & ((1 << 28) - 1)) - (1 << 27)
+    r = (c & ((1 << 28) - 1)) - (1 << 27)
+    return res, q, r
+
+
+def hexcell_center(cell) -> tuple[np.ndarray, np.ndarray]:
+    res, q, r = hexcell_decode(cell)
+    size = np.vectorize(lambda v: HEX_EDGE_DEG[int(v)])(res)
+    lat = r * 1.5 * size
+    lon = _SQRT3 * size * (q + r / 2.0)
+    return lon, lat
+
+
+def _hex_round(qf: np.ndarray, rf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Cube-coordinate rounding (standard hex-grid algorithm)."""
+    sf = -qf - rf
+    q = np.round(qf)
+    r = np.round(rf)
+    s = np.round(sf)
+    dq, dr, ds = np.abs(q - qf), np.abs(r - rf), np.abs(s - sf)
+    fix_q = (dq > dr) & (dq > ds)
+    fix_r = ~fix_q & (dr > ds)
+    q = np.where(fix_q, -r - s, q)
+    r = np.where(fix_r, -q - s, r)
+    return q.astype(np.int64), r.astype(np.int64)

@@ -1,0 +1,273 @@
+"""Vectorized numpy kernels — the array-path physics.
+
+These are the executor-side bodies of the fused Arrow UDF (SURVEY.md §2.1):
+the reference builds one big ``r.mapcalc`` expression string and shells out
+to GRASS ([U] i.landsat8.swlst.py :: estimate_cwv_big_expression,
+split_window_lst.py :: sw_lst_mapcalc); here the same fusion is a single
+numpy pass per tile inside ``mapInArrow`` (C11). GRASS NULL == NaN inside
+arrays; NaN propagates through every op exactly like mapcalc NULLs (C14).
+
+All kernels take/return float64 ndarrays and are shape-agnostic (whole tile
+or flat pixel vectors).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import constants as C
+
+# ---------------------------------------------------------------------------
+# C2: DN -> TOA spectral radiance     L = ML * Qcal + AL
+# ---------------------------------------------------------------------------
+
+
+def dn_to_radiance(dn: np.ndarray, ml: float, al: float) -> np.ndarray:
+    """[U] i.landsat8.swlst.py :: digital_numbers_to_radiance."""
+    return ml * dn.astype(np.float64) + al
+
+
+# ---------------------------------------------------------------------------
+# C3: radiance -> at-satellite brightness temperature   T = K2 / ln(K1/L + 1)
+# ---------------------------------------------------------------------------
+
+
+def radiance_to_bt(rad: np.ndarray, k1: float, k2: float) -> np.ndarray:
+    """[U] i.landsat8.swlst.py :: radiance_to_brightness_temperature."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = k2 / np.log(k1 / rad + 1.0)
+    return np.where(rad > 0, out, np.nan)
+
+
+def dn_to_bt(dn: np.ndarray, ml: float, al: float, k1: float, k2: float) -> np.ndarray:
+    return radiance_to_bt(dn_to_radiance(dn, ml, al), k1, k2)
+
+
+# ---------------------------------------------------------------------------
+# C4: cloud mask — QA values in the cloud set -> NaN
+# ---------------------------------------------------------------------------
+
+
+def apply_cloud_mask(x: np.ndarray, qa: np.ndarray, cloud_values: np.ndarray) -> np.ndarray:
+    """[U] i.landsat8.swlst.py :: mask_clouds (OQ-4: exact value set)."""
+    return np.where(np.isin(qa, cloud_values), np.nan, x)
+
+
+# ---------------------------------------------------------------------------
+# Windowed box sums with exact NaN propagation (building block for C7)
+# ---------------------------------------------------------------------------
+
+
+def _box_sum(a: np.ndarray, win: int) -> np.ndarray:
+    """Sum of a over each win x win window centered per pixel.
+
+    O(1) per pixel via 2-D cumsum. Input must already be NaN-free
+    (caller handles NaN bookkeeping separately).
+    """
+    r = win // 2
+    p = np.pad(a, ((r + 1, r), (r + 1, r)), mode="constant", constant_values=0.0)
+    cs = p.cumsum(axis=0).cumsum(axis=1)
+    return (
+        cs[win:, win:] - cs[:-win, win:] - cs[win:, :-win] + cs[:-win, :-win]
+    )
+
+
+def _window_nan_count(a: np.ndarray, win: int) -> np.ndarray:
+    """Count of NULL cells per window; off-edge cells count as NULL,
+    matching GRASS neighborhood modifiers reading off-map -> NULL
+    ([U] column_water_vapor.py mapcalc ti[r,c] semantics)."""
+    r = win // 2
+    ind = np.pad(np.isnan(a).astype(np.float64), r, constant_values=1.0)
+    full = _box_sum(ind, win)  # shape = a.shape + 2r
+    return full[r : full.shape[0] - r, r : full.shape[1] - r]
+
+
+# ---------------------------------------------------------------------------
+# C7: column water vapor (MSWCVM) over an N x N moving window
+#   R = sum_k (T10_k - mean10)(T11_k - mean11) / sum_k (T10_k - mean10)^2
+#   CWV = c2 * R^2 + c1 * R + c0
+# ---------------------------------------------------------------------------
+
+
+def cwv_ratio(t10: np.ndarray, t11: np.ndarray, window: int = C.DEFAULT_CWV_WINDOW) -> np.ndarray:
+    """Band-ratio R per pixel ([U] column_water_vapor.py :: Column_Water_Vapor).
+
+    Reference semantics: any window cell that is NULL (cloud) or off-map
+    makes the output pixel NULL. Implemented as cumsum box filters plus an
+    exact per-window NaN count — O(1) per pixel, window-size independent.
+    """
+    if window % 2 != 1 or window < 3:
+        raise ValueError(f"window must be odd and >= 3, got {window}")
+    n = float(window * window)
+    bad = (_window_nan_count(t10, window) + _window_nan_count(t11, window)) > 0
+
+    a10 = np.nan_to_num(t10, nan=0.0)
+    a11 = np.nan_to_num(t11, nan=0.0)
+    s10 = _box_sum(a10, window)
+    s11 = _box_sum(a11, window)
+    s1010 = _box_sum(a10 * a10, window)
+    s1011 = _box_sum(a10 * a11, window)
+
+    num = s1011 - s10 * s11 / n
+    den = s1010 - s10 * s10 / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = num / den
+    ratio = np.where(bad | (den == 0.0), np.nan, ratio)
+    return ratio
+
+
+def ratio_to_cwv(ratio: np.ndarray) -> np.ndarray:
+    return C.CWV_C2 * ratio * ratio + C.CWV_C1 * ratio + C.CWV_C0
+
+
+def cwv(t10: np.ndarray, t11: np.ndarray, window: int = C.DEFAULT_CWV_WINDOW) -> np.ndarray:
+    return ratio_to_cwv(cwv_ratio(t10, t11, window))
+
+
+# ---------------------------------------------------------------------------
+# C8: CWV subrange -> coefficient selection (piecewise; OQ-1 rule isolated)
+# ---------------------------------------------------------------------------
+
+_COEFS = None
+
+
+def _coef_matrix():
+    """(ranges[5+1] lo/hi, coef matrix (6, 8)) from the swappable CSV."""
+    global _COEFS
+    if _COEFS is None:
+        by = C.sw_coefficients_by_subrange()
+        order = C.SUBRANGE_ORDER + [C.FALLBACK_SUBRANGE]
+        lo = np.array([by[s].cwv_min for s in order])
+        hi = np.array([by[s].cwv_max for s in order])
+        b = np.array([[getattr(by[s], f"b{i}") for i in range(8)] for s in order])
+        _COEFS = (order, lo, hi, b)
+    return _COEFS
+
+
+def select_subrange(cwv_arr: np.ndarray) -> np.ndarray:
+    """Subrange index per pixel: 0..4 for Range_1..Range_5, -1 = out of range.
+
+    OQ-1 deterministic rule: FIRST matching range in ascending order wins in
+    the overlap zones; Range_5's upper bound is closed. Isolated here so a
+    different reference rule is a one-function change.
+    """
+    _, lo, hi, _ = _coef_matrix()
+    idx = np.full(cwv_arr.shape, -1, dtype=np.int64)
+    for k in range(4, -1, -1):  # descending so earlier ranges overwrite
+        sel = (cwv_arr >= lo[k]) & ((cwv_arr < hi[k]) | ((k == 4) & (cwv_arr <= hi[k])))
+        idx = np.where(sel, k, idx)
+    idx = np.where(np.isnan(cwv_arr), -1, idx)
+    return idx
+
+
+# ---------------------------------------------------------------------------
+# C6 + C9: split-window LST (Du et al. 2015 quadratic model)
+#   LST = b0
+#       + (b1 + b2*(1-e)/e + b3*de/e^2) * (T10+T11)/2
+#       + (b4 + b5*(1-e)/e + b6*de/e^2) * (T10-T11)/2
+#       + b7 * (T10-T11)^2
+# ---------------------------------------------------------------------------
+
+
+def lst_from_bt(
+    t10: np.ndarray,
+    t11: np.ndarray,
+    cwv_arr: np.ndarray,
+    e10: np.ndarray | float,
+    e11: np.ndarray | float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fused C6+C8+C9: returns (lst_kelvin, subrange_idx).
+
+    [U] split_window_lst.py :: SplitWindowLST.compute_lst / sw_lst_mapcalc.
+    Out-of-range CWV -> NaN LST (C14). e10/e11 may be scalars (fixed
+    emissivity class, reference ``emissivity_class=`` option) or per-pixel
+    arrays (landcover-map path, C5).
+    """
+    e10 = np.asarray(e10, dtype=np.float64)
+    e11 = np.asarray(e11, dtype=np.float64)
+    e = (e10 + e11) / 2.0
+    de = e10 - e11
+
+    idx = select_subrange(cwv_arr)
+    _, _, _, b = _coef_matrix()
+    safe = np.where(idx < 0, 0, idx)
+    coef = b[safe]  # (..., 8)
+    b0, b1, b2, b3 = coef[..., 0], coef[..., 1], coef[..., 2], coef[..., 3]
+    b4, b5, b6, b7 = coef[..., 4], coef[..., 5], coef[..., 6], coef[..., 7]
+
+    avg = (t10 + t11) / 2.0
+    diff = (t10 - t11) / 2.0
+    em_ratio = (1.0 - e) / e
+    de_ratio = de / (e * e)
+
+    lst = (
+        b0
+        + (b1 + b2 * em_ratio + b3 * de_ratio) * avg
+        + (b4 + b5 * em_ratio + b6 * de_ratio) * diff
+        + b7 * (t10 - t11) ** 2
+    )
+    lst = np.where(idx < 0, np.nan, lst)
+    return lst, idx
+
+
+def lst_whole_range(
+    t10: np.ndarray, t11: np.ndarray, e10, e11
+) -> np.ndarray:
+    """Range_6 whole-range fallback (CWV unknown) — [U] same module."""
+    by = C.sw_coefficients_by_subrange()[C.FALLBACK_SUBRANGE]
+    e10 = np.asarray(e10, dtype=np.float64)
+    e11 = np.asarray(e11, dtype=np.float64)
+    e = (e10 + e11) / 2.0
+    de = e10 - e11
+    avg = (t10 + t11) / 2.0
+    diff = (t10 - t11) / 2.0
+    em_ratio = (1.0 - e) / e
+    de_ratio = de / (e * e)
+    return (
+        by.b0
+        + (by.b1 + by.b2 * em_ratio + by.b3 * de_ratio) * avg
+        + (by.b4 + by.b5 * em_ratio + by.b6 * de_ratio) * diff
+        + by.b7 * (t10 - t11) ** 2
+    )
+
+
+def kelvin_to_celsius(lst_k: np.ndarray) -> np.ndarray:
+    """C10 ([U] -c flag)."""
+    return lst_k - C.ABSOLUTE_ZERO_C
+
+
+# ---------------------------------------------------------------------------
+# C11: the fused tile kernel — decode already done by caller; this is
+# BT -> CWV -> subrange -> LST in one pass (the "one big expression")
+# ---------------------------------------------------------------------------
+
+
+def fused_lst_kernel(
+    dn10: np.ndarray,
+    dn11: np.ndarray,
+    meta: dict,
+    e10,
+    e11,
+    window: int = C.DEFAULT_CWV_WINDOW,
+    qa: np.ndarray | None = None,
+    cloud_values: np.ndarray | None = None,
+) -> dict:
+    """Whole physics pipeline for one tile; returns dict of float64 arrays.
+
+    meta keys: ml_b10 al_b10 ml_b11 al_b11 k1_b10 k2_b10 k1_b11 k2_b11.
+    """
+    t10 = dn_to_bt(dn10, meta["ml_b10"], meta["al_b10"], meta["k1_b10"], meta["k2_b10"])
+    t11 = dn_to_bt(dn11, meta["ml_b11"], meta["al_b11"], meta["k1_b11"], meta["k2_b11"])
+    if qa is not None and cloud_values is not None:
+        t10 = apply_cloud_mask(t10, qa, cloud_values)
+        t11 = apply_cloud_mask(t11, qa, cloud_values)
+    cwv_arr = cwv(t10, t11, window)
+    lst_k, idx = lst_from_bt(t10, t11, cwv_arr, e10, e11)
+    return {
+        "bt10": t10,
+        "bt11": t11,
+        "cwv": cwv_arr,
+        "subrange_idx": idx,
+        "lst_k": lst_k,
+        "lst_c": kelvin_to_celsius(lst_k),
+    }

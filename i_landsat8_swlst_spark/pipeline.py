@@ -1,0 +1,309 @@
+"""The LST pipeline — Spark-first restatement of the reference's 5 stages.
+
+Logical plan (SURVEY.md §3.4):
+
+    scan(scenes)                          # parquet/Iceberg; bytes pruned away
+      -> parse image_id                   # Catalyst column algebra
+      -> pair band 10 x band 11           # equi-join on (scene, tile_x, tile_y)
+      -> broadcast-join scene_meta (MTL)  # C1
+      -> broadcast-join emissivities      # C5 (dict lookup == broadcast join)
+      -> ONE fused mapInArrow kernel      # C2+C3+C4+C6+C7+C8+C9+C10+C11
+      -> tile stats / pixel rows
+
+Key physical decisions (SURVEY.md §4): Catalyst cannot fuse across two
+Python-UDF nodes, so the whole array path is a single ``mapInArrow`` — one
+JVM->Python Arrow hop per tile, exactly analogous to the reference's "one
+big mapcalc expression" ([U] i.landsat8.swlst.py :: estimate_lst /
+estimate_cwv_big_expression). Metadata-only aggregations never touch the
+``bytes`` column, so parquet column pruning keeps them cheap at 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType, DoubleType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from . import codecs
+from . import constants as C
+from . import kernels as K
+
+_ID_RE = r"^([^/]+)/B(\d+)/(\d+)_(\d+)$"
+
+META_COLS = ["ml_b10", "al_b10", "ml_b11", "al_b11", "k1_b10", "k2_b10", "k1_b11", "k2_b11"]
+
+
+def parse_scenes(scenes: DataFrame) -> DataFrame:
+    """Derive (scene_id, band, tile_x, tile_y, landcover) from image_id/caption.
+
+    Pure Catalyst projections — whole-stage codegen, no Python.
+    """
+    return (
+        scenes.withColumn("scene_id", F.regexp_extract("image_id", _ID_RE, 1))
+        .withColumn("band", F.regexp_extract("image_id", _ID_RE, 2).cast("int"))
+        .withColumn("tile_x", F.regexp_extract("image_id", _ID_RE, 3).cast("int"))
+        .withColumn("tile_y", F.regexp_extract("image_id", _ID_RE, 4).cast("int"))
+        .withColumn("landcover", F.regexp_extract("caption", r"landcover=(\w+)", 1))
+    )
+
+
+def pair_bands(parsed: DataFrame) -> DataFrame:
+    """Join band-10 rows to band-11 rows on the tile key.
+
+    At 100 TB this is the one unavoidable big shuffle; co-locating both bands
+    by bucketing/sorting the table on (scene_id, tile_x, tile_y) at write
+    time turns it into a zero-shuffle sort-merge join (README scaling notes).
+    AQE handles skewed scenes at runtime; run_lst_job adds explicit salting.
+    """
+    key = ["scene_id", "tile_x", "tile_y"]
+    b10 = parsed.filter(F.col("band") == 10).select(
+        *key,
+        F.col("image_id").alias("image_id_b10"),
+        F.col("bytes").alias("bytes_b10"),
+        F.col("fmt").alias("fmt_b10"),
+        "w", "h",
+        F.col("caption").alias("caption_b10"),
+        "landcover",
+    )
+    b11 = parsed.filter(F.col("band") == 11).select(
+        *key,
+        F.col("image_id").alias("image_id_b11"),
+        F.col("bytes").alias("bytes_b11"),
+        F.col("fmt").alias("fmt_b11"),
+        F.col("caption").alias("caption_b11"),
+    )
+    return b10.join(b11, on=key, how="inner")
+
+
+def with_meta(paired: DataFrame, scene_meta: DataFrame) -> DataFrame:
+    """Broadcast MTL constants (C1): tiny dim table, never shuffled."""
+    return paired.join(F.broadcast(scene_meta), on="scene_id", how="inner")
+
+
+def with_emissivity(df: DataFrame, emissivities: DataFrame) -> DataFrame:
+    """C5 — the reference's namedtuple dict lookup IS a broadcast hash join."""
+    return df.join(
+        F.broadcast(emissivities), df["landcover"] == emissivities["landcover_class"], "left"
+    ).drop("landcover_class")
+
+
+def scene_grids(parsed: DataFrame) -> DataFrame:
+    """Tiles-per-scene grid (ntx, nty) used to geocode pixel centroids.
+
+    Metadata-only aggregation — parquet column pruning means the bytes
+    column is never read for this pass.
+    """
+    return parsed.groupBy("scene_id").agg(
+        (F.max("tile_x") + 1).alias("ntx"), (F.max("tile_y") + 1).alias("nty")
+    )
+
+
+TILE_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("scene_id", StringType()),
+    StructField("tile_x", IntegerType()),
+    StructField("tile_y", IntegerType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("caption", StringType()),
+    StructField("lst_bytes", BinaryType()),   # float32 LE, NaN = NULL cell
+    StructField("cwv_bytes", BinaryType()),   # float32 LE
+    StructField("n_valid", LongType()),
+    StructField("lst_min", DoubleType()),
+    StructField("lst_max", DoubleType()),
+    StructField("lst_mean", DoubleType()),
+    StructField("cwv_mean", DoubleType()),
+    StructField("bt10_mean", DoubleType()),
+    StructField("bt11_mean", DoubleType()),
+])
+
+PIXEL_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("scene_id", StringType()),
+    StructField("tile_x", IntegerType()),
+    StructField("tile_y", IntegerType()),
+    StructField("px", IntegerType()),
+    StructField("py", IntegerType()),
+    StructField("lon", DoubleType()),
+    StructField("lat", DoubleType()),
+    StructField("bt10", DoubleType()),
+    StructField("bt11", DoubleType()),
+    StructField("cwv", DoubleType()),
+    StructField("subrange", StringType()),
+    StructField("emissivity_avg", DoubleType()),
+    StructField("emissivity_delta", DoubleType()),
+    StructField("lst_k", DoubleType()),
+    StructField("lst_c", DoubleType()),
+])
+
+_SUBRANGE_NAMES = np.array(C.SUBRANGE_ORDER + [""], dtype=object)  # idx -1 -> ""
+
+_PA_TYPES = {
+    "string": pa.string(), "binary": pa.binary(), "int": pa.int32(),
+    "bigint": pa.int64(), "double": pa.float64(),
+}
+
+
+def _arrow_schema(spark_schema: StructType) -> pa.Schema:
+    return pa.schema([pa.field(f.name, _PA_TYPES[f.dataType.simpleString()]) for f in spark_schema])
+
+
+def _to_batch(pdf: pd.DataFrame, spark_schema: StructType) -> pa.RecordBatch:
+    """Build an Arrow batch with exactly the declared schema (explicit casts
+    so pandas dtype drift can never change the UDF contract)."""
+    schema = _arrow_schema(spark_schema)
+    arrays = [pa.array(pdf[f.name], type=f.type) for f in schema]
+    return pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+
+def _run_tile_kernel(row, window: int) -> dict:
+    """Decode both bands and run the fused physics for one tile row."""
+    w, h = int(row.w), int(row.h)
+    dn10 = codecs.decode_tile(row.bytes_b10, w, h, row.fmt_b10)
+    dn11 = codecs.decode_tile(row.bytes_b11, w, h, row.fmt_b11)
+    meta = {k: float(getattr(row, k)) for k in META_COLS}
+    return K.fused_lst_kernel(
+        dn10, dn11, meta,
+        e10=float(row.emissivity_b10), e11=float(row.emissivity_b11),
+        window=window,
+    )
+
+
+def lst_tiles(enriched: DataFrame, window: int = C.DEFAULT_CWV_WINDOW) -> DataFrame:
+    """Fused raster kernel -> tile-level LST/CWV arrays + stats (C11)."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            pdf = batch.to_pandas()
+            out = []
+            for row in pdf.itertuples():
+                r = _run_tile_kernel(row, window)
+                lst = r["lst_k"]
+                valid = np.isfinite(lst)
+                out.append({
+                    "image_id": row.image_id_b10,
+                    "scene_id": row.scene_id,
+                    "tile_x": row.tile_x, "tile_y": row.tile_y,
+                    "w": row.w, "h": row.h,
+                    "caption": row.caption_b10,
+                    "lst_bytes": lst.astype("<f4").tobytes(),
+                    "cwv_bytes": r["cwv"].astype("<f4").tobytes(),
+                    "n_valid": int(valid.sum()),
+                    "lst_min": float(np.nanmin(lst)) if valid.any() else None,
+                    "lst_max": float(np.nanmax(lst)) if valid.any() else None,
+                    "lst_mean": float(np.nanmean(lst)) if valid.any() else None,
+                    "cwv_mean": float(np.nanmean(r["cwv"])) if np.isfinite(r["cwv"]).any() else None,
+                    "bt10_mean": float(np.nanmean(r["bt10"])),
+                    "bt11_mean": float(np.nanmean(r["bt11"])),
+                })
+            if out:
+                yield _to_batch(pd.DataFrame(out), TILE_SCHEMA)
+
+    return enriched.mapInArrow(fn, TILE_SCHEMA)
+
+
+def lst_pixels(
+    enriched_with_grid: DataFrame,
+    window: int = C.DEFAULT_CWV_WINDOW,
+    valid_only: bool = True,
+) -> DataFrame:
+    """Raster -> vector: explode each tile into geocoded pixel rows.
+
+    Input must carry scene bbox (lon0/lat0/lon1/lat1 from scene_meta) and the
+    scene grid (ntx, nty from scene_grids). Pixel centroid geocoding is the
+    north-up affine over the scene footprint.
+    """
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            pdf = batch.to_pandas()
+            frames = []
+            for row in pdf.itertuples():
+                r = _run_tile_kernel(row, window)
+                w, h = int(row.w), int(row.h)
+                lst = r["lst_k"].ravel()
+                keep = np.isfinite(lst) if valid_only else np.ones(lst.size, bool)
+                if not keep.any():
+                    continue
+                py, px = np.divmod(np.arange(w * h, dtype=np.int64)[keep], w)
+                dlon = (row.lon1 - row.lon0) / row.ntx
+                dlat = (row.lat1 - row.lat0) / row.nty
+                lon = row.lon0 + (row.tile_x + (px + 0.5) / w) * dlon
+                lat = row.lat1 - (row.tile_y + (py + 0.5) / h) * dlat
+                idx = r["subrange_idx"].ravel()[keep]
+                e10 = float(row.emissivity_b10)
+                e11 = float(row.emissivity_b11)
+                frames.append(pd.DataFrame({
+                    "image_id": row.image_id_b10,
+                    "scene_id": row.scene_id,
+                    "tile_x": np.int32(row.tile_x), "tile_y": np.int32(row.tile_y),
+                    "px": px.astype(np.int32), "py": py.astype(np.int32),
+                    "lon": lon, "lat": lat,
+                    "bt10": r["bt10"].ravel()[keep],
+                    "bt11": r["bt11"].ravel()[keep],
+                    "cwv": r["cwv"].ravel()[keep],
+                    "subrange": _SUBRANGE_NAMES[idx],
+                    "emissivity_avg": (e10 + e11) / 2.0,
+                    "emissivity_delta": e10 - e11,
+                    "lst_k": lst[keep],
+                    "lst_c": r["lst_c"].ravel()[keep],
+                }))
+            if frames:
+                yield _to_batch(pd.concat(frames, ignore_index=True), PIXEL_SCHEMA)
+
+    return enriched_with_grid.mapInArrow(fn, PIXEL_SCHEMA)
+
+
+def build_enriched(
+    scenes: DataFrame, scene_meta: DataFrame, emissivities: DataFrame
+) -> DataFrame:
+    """scan -> parse -> pair -> broadcast meta -> broadcast emissivity."""
+    parsed = parse_scenes(scenes)
+    return with_emissivity(with_meta(pair_bands(parsed), scene_meta), emissivities)
+
+
+def build_enriched_with_grid(
+    scenes: DataFrame, scene_meta: DataFrame, emissivities: DataFrame
+) -> DataFrame:
+    parsed = parse_scenes(scenes)
+    enriched = with_emissivity(with_meta(pair_bands(parsed), scene_meta), emissivities)
+    return enriched.join(F.broadcast(scene_grids(parsed)), on="scene_id", how="inner")
+
+
+def rasterize_pixels(
+    pixels: DataFrame, w: int, h: int, value_col: str = "lst_k"
+) -> DataFrame:
+    """Vector -> raster: scatter pixel rows back into per-tile float32 arrays
+    ("rasterized back tile-by-tile", BASELINE.json:6). Inverse of lst_pixels
+    up to dropped-NULL cells (which come back as NaN). One shuffle on the
+    tile key, then an embarrassingly-parallel grouped scatter."""
+    out_schema = StructType([
+        StructField("image_id", StringType()),
+        StructField("scene_id", StringType()),
+        StructField("tile_x", IntegerType()),
+        StructField("tile_y", IntegerType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("raster_bytes", BinaryType()),
+        StructField("n_valid", LongType()),
+    ])
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        grid = np.full((h, w), np.nan, dtype=np.float32)
+        grid[pdf["py"].to_numpy(), pdf["px"].to_numpy()] = pdf[value_col].to_numpy()
+        return pd.DataFrame([{
+            "image_id": pdf["image_id"].iloc[0],
+            "scene_id": key[0], "tile_x": key[1], "tile_y": key[2],
+            "w": w, "h": h,
+            "raster_bytes": grid.tobytes(),
+            "n_valid": int(np.isfinite(grid).sum()),
+        }])
+
+    return pixels.groupBy("scene_id", "tile_x", "tile_y").applyInPandas(fn, out_schema)

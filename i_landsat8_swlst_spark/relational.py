@@ -1,0 +1,417 @@
+"""Driver-contract queries: Spark builders paired with DuckDB oracle SQL.
+
+Every SQL-expressible operator from SURVEY.md §2 gets a (queries, oracle_sql)
+pair over the driver's TPC-H-ish tables (TESTDATA.md). The physics operators
+(C2/C3/C6/C8/C9/C10) are twinned by running the *same closed-form algebra*
+over testdata numeric columns — this checks the formulas and the piecewise
+subrange rule through an independent engine, while the raster-path parity is
+carried by pytest vs the scalar oracle.
+
+Cross-engine hash-match discipline (the driver hashes values):
+- money aggregates go through exact integer cents: CAST(ROUND(x*100) AS BIGINT)
+  summed as BIGINT -> bit-identical across engines (fp sum order never matters);
+- outputs of transcendental functions (ln) are round(...,6) on both sides;
+- polynomial-only math (+,*,/ with identical parenthesization) is IEEE-
+  deterministic and identical in both engines, still rounded for safety;
+- every ORDER BY ... LIMIT has a full deterministic tie-break;
+- aggregate results that DuckDB widens (SUM(BIGINT) -> HUGEINT) are cast back.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import constants as C
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- shared derivations (identical algebra on both sides) -------------------
+
+_DN = "(l_extendedprice % 65535.0) + 1.0"
+_RAD = f"3.342e-4 * ({_DN}) + 0.1"
+
+
+def _sw_case_sql(cwv_expr: str, coef: str) -> str:
+    """First-match piecewise selection (OQ-1 rule) as a CASE chain."""
+    by = C.sw_coefficients_by_subrange()
+    arms = []
+    for name in C.SUBRANGE_ORDER:
+        c = by[name]
+        last = name == C.SUBRANGE_ORDER[-1]
+        hi = f"{cwv_expr} <= {c.cwv_max!r}" if last else f"{cwv_expr} < {c.cwv_max!r}"
+        arms.append(
+            f"WHEN {cwv_expr} >= {c.cwv_min!r} AND {hi} THEN "
+            + (f"'{name}'" if coef == "subrange" else repr(getattr(c, coef)))
+        )
+    return "CASE " + " ".join(arms) + " ELSE NULL END"
+
+
+# ---------------------------------------------------------------------------
+# registry: name -> (spark_builder, oracle_sql | None)
+# ---------------------------------------------------------------------------
+
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, sql)
+        return fn
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+# --- C2: DN -> radiance ------------------------------------------------------
+
+@register(
+    "q_radiance",
+    f"""SELECT l_orderkey, l_linenumber,
+           round({_RAD}, 6) AS radiance
+        FROM lineitem WHERE l_partkey % 10 = 3""",
+)
+def q_radiance(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter("l_partkey % 10 = 3")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.expr(_RAD), 6).alias("radiance"),
+    )
+
+
+# --- C3: radiance -> brightness temperature ----------------------------------
+
+@register(
+    "q_bt",
+    f"""SELECT l_orderkey, l_linenumber,
+           round(1321.0789 / ln(774.8853 / ({_RAD}) + 1.0), 6) AS bt
+        FROM lineitem WHERE l_suppkey % 7 = 2""",
+)
+def q_bt(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter("l_suppkey % 7 = 2")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.expr(f"1321.0789 / ln(774.8853 / ({_RAD}) + 1.0)"), 6).alias("bt"),
+    )
+
+
+# --- C6+C8+C9+C10: full split-window LST as Catalyst column algebra ----------
+
+_T10 = "250.0 + (l_extendedprice % 60.0)"
+_T11 = f"({_T10}) - 1.0 - l_discount * 5.0"
+_CWV = "l_quantity % 6.3"
+_E10 = "CASE WHEN l_returnflag = 'A' THEN 0.971 WHEN l_returnflag = 'N' THEN 0.995 ELSE 0.992 END"
+_E11 = "CASE WHEN l_returnflag = 'A' THEN 0.968 WHEN l_returnflag = 'N' THEN 0.996 ELSE 0.998 END"
+
+
+def _lst_expr() -> str:
+    e = f"(({_E10}) + ({_E11})) / 2.0"
+    de = f"(({_E10}) - ({_E11}))"
+    avg = f"((({_T10}) + ({_T11})) / 2.0)"
+    diff = f"((({_T10}) - ({_T11})) / 2.0)"
+    sq = f"((({_T10}) - ({_T11})) * (({_T10}) - ({_T11})))"
+    b = {i: _sw_case_sql(f"({_CWV})", f"b{i}") for i in range(8)}
+    return (
+        f"({b[0]}) "
+        f"+ (({b[1]}) + ({b[2]}) * (1.0 - ({e})) / ({e}) + ({b[3]}) * ({de}) / (({e}) * ({e}))) * {avg} "
+        f"+ (({b[4]}) + ({b[5]}) * (1.0 - ({e})) / ({e}) + ({b[6]}) * ({de}) / (({e}) * ({e}))) * {diff} "
+        f"+ ({b[7]}) * {sq}"
+    )
+
+
+@register(
+    "q_lst_sw",
+    f"""SELECT l_orderkey, l_linenumber,
+           {_sw_case_sql(f'({_CWV})', 'subrange')} AS subrange,
+           round({_lst_expr()}, 6) AS lst_k,
+           round(({_lst_expr()}) - 273.15, 6) AS lst_c
+        FROM lineitem WHERE l_orderkey % 5 = 1""",
+)
+def q_lst_sw(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey % 5 = 1")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.expr(_sw_case_sql(f"({_CWV})", "subrange")).alias("subrange"),
+        F.round(F.expr(_lst_expr()), 6).alias("lst_k"),
+        F.round(F.expr(f"({_lst_expr()}) - 273.15"), 6).alias("lst_c"),
+    )
+
+
+# --- C7 columnar analog: windowed covariance-ratio CWV -----------------------
+
+_TJ = "0.85 * value + (event_id % 7) * 0.01"
+
+_CWV_WIN_SQL = f"""
+WITH base AS (
+  SELECT user_id, ts, event_id, value AS ti, {_TJ} AS tj FROM events
+), win AS (
+  SELECT user_id, event_id,
+    avg(ti * tj) OVER w - avg(ti) OVER w * avg(tj) OVER w AS num,
+    avg(ti * ti) OVER w - avg(ti) OVER w * avg(ti) OVER w AS den,
+    count(*) OVER w AS n
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+)
+SELECT user_id, event_id,
+   round(-9.674 * (num/den) * (num/den) + 0.653 * (num/den) + 9.087, 4) AS cwv
+FROM win WHERE n = 5 AND den > 0.01
+"""
+
+
+@register("q_cwv_ratio_window", _CWV_WIN_SQL)
+def q_cwv_ratio_window(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 2)
+    base = ev.select("user_id", "ts", "event_id", F.col("value").alias("ti"),
+                     F.expr(_TJ).alias("tj"))
+    win = base.select(
+        "user_id", "event_id",
+        (F.avg(F.col("ti") * F.col("tj")).over(w)
+         - F.avg("ti").over(w) * F.avg("tj").over(w)).alias("num"),
+        (F.avg(F.col("ti") * F.col("ti")).over(w)
+         - F.avg("ti").over(w) * F.avg("ti").over(w)).alias("den"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    r = F.col("num") / F.col("den")
+    return (
+        win.filter((F.col("n") == 5) & (F.col("den") > 0.01))
+        .select("user_id", "event_id",
+                F.round(-9.674 * r * r + 0.653 * r + 9.087, 4).alias("cwv"))
+    )
+
+
+# --- C8 as a real non-equi range join (all matches, overlap zones double) ----
+
+_RANGES_SQL = " UNION ALL ".join(
+    f"SELECT '{c.subrange}' AS subrange, {c.cwv_min!r} AS cwv_min, {c.cwv_max!r} AS cwv_max"
+    for c in C.load_sw_coefficients() if c.subrange != "Range_6"
+)
+
+@register(
+    "q_range_join",
+    f"""WITH ranges AS ({_RANGES_SQL})
+        SELECT r.subrange, CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(round((value % 6.3) * 1e6)) / 1e6, 6) AS sum_cwv
+        FROM events e JOIN ranges r
+          ON (e.value % 6.3) >= r.cwv_min AND (e.value % 6.3) < r.cwv_max
+        GROUP BY r.subrange ORDER BY r.subrange""",
+)
+def q_range_join(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").withColumn("cwv", F.expr("value % 6.3"))
+    ranges = spark.createDataFrame(
+        [(c.subrange, c.cwv_min, c.cwv_max) for c in C.load_sw_coefficients()
+         if c.subrange != "Range_6"],
+        "subrange string, cwv_min double, cwv_max double",
+    )
+    # build side is 5 rows -> broadcast nested-loop join, no shuffle
+    j = ev.join(F.broadcast(ranges),
+                (ev.cwv >= ranges.cwv_min) & (ev.cwv < ranges.cwv_max))
+    return (
+        j.groupBy("subrange")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum(F.round(F.col("cwv") * 1e6)) / 1e6, 6).alias("sum_cwv"))
+        .orderBy("subrange")
+    )
+
+
+# --- joins: broadcast dim chain + aggregation (C1/C5 shape) -------------------
+
+@register(
+    "q_broadcast_join",
+    """SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_items,
+          CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+       FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       GROUP BY n.n_name""",
+)
+def q_broadcast_join(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("revenue_cents"))
+    )
+
+
+# --- semi / anti joins (checkpoint-resume bookkeeping shape) ------------------
+
+@register(
+    "q_semi_join",
+    """SELECT o_orderkey, o_custkey FROM orders o
+       WHERE EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)""",
+)
+def q_semi_join(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter("l_quantity > 45")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_custkey")
+
+
+@register(
+    "q_anti_join",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def q_anti_join(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# --- aggregation: TPC-H Q1 shape (per-tile stats analog) ----------------------
+
+@register(
+    "q_agg_stats",
+    """SELECT l_returnflag, l_linestatus,
+          CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+          CAST(count(*) AS BIGINT) AS count_order,
+          round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+                / count(*) / 100.0, 6) AS avg_qty
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def q_agg_stats(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter("l_shipdate <= timestamp '1998-09-02'")
+    qc = F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        qc.alias("sum_qty_cents"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_price_cents"),
+        F.count(F.lit(1)).alias("count_order"),
+        F.round(qc.cast("double") / F.count(F.lit(1)) / 100.0, 6).alias("avg_qty"),
+    )
+
+
+# --- rollup (per-scene x per-class metrics report shape) ----------------------
+
+@register(
+    "q_rollup",
+    """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers
+       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY ROLLUP (r_name, n_name)""",
+)
+def q_rollup(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# --- window top-k (kNN-rank shape) --------------------------------------------
+
+@register(
+    "q_window_topk",
+    """SELECT o_custkey, o_orderkey, rnk FROM (
+         SELECT o_custkey, o_orderkey,
+            row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+         FROM orders) WHERE rnk <= 3""",
+)
+def q_window_topk(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rnk"))
+        .filter("rnk <= 3")
+    )
+
+
+# --- sort / limit / top-k ------------------------------------------------------
+
+@register(
+    "q_sort_limit",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 50""",
+)
+def q_sort_limit(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "lineitem")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(50)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+# --- set ops (resume/regression-diff shape) ------------------------------------
+
+@register(
+    "q_set_ops",
+    """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+       UNION
+       SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       EXCEPT
+       SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'""",
+)
+def q_set_ops(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    a = c.filter("c_acctbal > 5000").select("c_custkey")
+    b = c.filter("c_mktsegment = 'BUILDING'").select("c_custkey")
+    f = o.filter("o_orderstatus = 'F'").select(F.col("o_custkey").alias("c_custkey"))
+    return a.union(b).distinct().exceptAll(f.distinct())
+
+
+# --- scalar string fns: caption build + parse (C1 shape) ------------------------
+
+@register(
+    "q_caption_roundtrip",
+    """SELECT p_partkey,
+          concat('part=', p_name, ' brand=', p_brand, ' size=', CAST(p_size AS VARCHAR)) AS caption,
+          CAST(regexp_extract(
+            concat('part=', p_name, ' brand=', p_brand, ' size=', CAST(p_size AS VARCHAR)),
+            'size=([0-9]+)', 1) AS BIGINT) AS size_back
+       FROM part WHERE p_partkey % 3 = 0""",
+)
+def q_caption_roundtrip(spark, sf_dir):
+    p = load(spark, sf_dir, "part").filter("p_partkey % 3 = 0")
+    cap = F.concat(F.lit("part="), F.col("p_name"), F.lit(" brand="), F.col("p_brand"),
+                   F.lit(" size="), F.col("p_size").cast("string"))
+    return p.select(
+        "p_partkey", cap.alias("caption"),
+        F.regexp_extract(cap, r"size=([0-9]+)", 1).cast("long").alias("size_back"),
+    )
+
+
+# --- date math -------------------------------------------------------------------
+
+@register(
+    "q_date_math",
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+          CAST(count(*) AS BIGINT) AS n_orders,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+       FROM orders GROUP BY 1""",
+)
+def q_date_math(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"))
+    )

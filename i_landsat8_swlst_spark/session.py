@@ -1,0 +1,57 @@
+"""SparkSession factory with the scale-minded defaults this engine assumes.
+
+Tested on local[N] (sandbox), designed for multi-executor clusters: every
+config here is cluster-valid, nothing is local-mode-specific. Jobs launch as
+``spark-submit --py-files engine.zip jobs/job_lst.py ...`` (BASELINE.json:14).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# One Arrow batch ~ 64 tiles of 256^2 uint16 (~8 MB decoded) — keeps the
+# JVM<->Python Arrow hop amortized without ballooning Python worker memory.
+ARROW_BATCH_ROWS = 64
+
+
+def get_spark(
+    app: str = "i_landsat8_swlst_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict | None = None,
+) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cores, 32)
+    # make the engine importable in executor-side Python workers regardless of
+    # cwd (the local-mode analog of shipping engine.zip via --py-files)
+    from pathlib import Path
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    if repo not in os.environ.get("PYTHONPATH", ""):
+        os.environ["PYTHONPATH"] = repo + os.pathsep + os.environ.get("PYTHONPATH", "")
+    b = (
+        SparkSession.builder.appName(app)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime re-plan, skew-join mitigation, partition coalescing
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Arrow transfer for all pandas/Arrow UDF paths
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
+        # binary tile columns are large; keep scan splits reasonable
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # broadcast up to 64 MB — scene_meta/coefficients/AOI trees are tiny
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,279 @@
+"""Spatial operators: batched cell-encode, broadcast R-tree PIP join, kNN.
+
+North rule (BASELINE.json:6): pixels/tiles are "assigned to H3 (res 7-9) and
+S2 cells via batched cell-encode, then joined to vector AOI polygons with a
+broadcast R-tree point-in-polygon test, kNN matched to CWV station
+observations". No shapely/rtree/h3 libs exist (SURVEY.md §0) — everything
+here is numpy + Arrow-batched UDFs; per-row Python is banned
+(BASELINE.json:15).
+
+Scale shape: the vector side (AOIs, stations) is small-and-broadcast; the
+raster side streams through mapInPandas. The R-tree is a 2-level STR packing
+(leaf groups of ~sqrt(m) polygons): point batches prune against group bboxes
+first, then member bboxes, then exact vectorized ray-casting — the classic
+broadcast-spatial-join plan (cf. Raptor, PAPERS.md).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StructField, StructType, StringType, DoubleType, IntegerType
+
+from . import geo
+
+# --------------------------------------------------------------------------
+# batched cell-encode (vectorized pandas UDFs)
+# --------------------------------------------------------------------------
+
+
+def s2_cell_udf(level: int = 14):
+    @F.pandas_udf(LongType())
+    def enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(geo.s2_cell(lon.to_numpy(), lat.to_numpy(), level))
+
+    return enc
+
+
+def hexcell_udf(res: int):
+    @F.pandas_udf(LongType())
+    def enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(geo.hexcell(lon.to_numpy(), lat.to_numpy(), res))
+
+    return enc
+
+
+def with_cells(df: DataFrame, lon_col: str = "lon", lat_col: str = "lat",
+               s2_level: int = 14) -> DataFrame:
+    """Adds h3_7/h3_8/h3_9 (hex grid, H3-role) + s2_cell columns."""
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    return (
+        df.withColumn("h3_7", hexcell_udf(7)(lon, lat))
+        .withColumn("h3_8", hexcell_udf(8)(lon, lat))
+        .withColumn("h3_9", hexcell_udf(9)(lon, lat))
+        .withColumn("s2_cell", s2_cell_udf(s2_level)(lon, lat))
+    )
+
+
+# --------------------------------------------------------------------------
+# polygons: packed arrays + 2-level STR tree + vectorized ray casting
+# --------------------------------------------------------------------------
+
+
+class PackedPolygons:
+    """AOI polygons packed into flat numpy arrays (broadcast-friendly)."""
+
+    def __init__(self, aoi_ids: list[str], rings: list[np.ndarray]):
+        self.aoi_ids = np.array(aoi_ids, dtype=object)
+        self.starts = np.zeros(len(rings) + 1, dtype=np.int64)
+        for i, r in enumerate(rings):
+            self.starts[i + 1] = self.starts[i] + len(r)
+        self.xy = np.concatenate(rings, axis=0) if rings else np.zeros((0, 2))
+        self.bbox = np.array(
+            [[r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max()] for r in rings]
+        ) if rings else np.zeros((0, 4))
+        # STR packing: sort by x-center into ~sqrt(m) slices, then by y within
+        m = len(rings)
+        if m:
+            nslice = max(1, int(math.sqrt(m)))
+            cx = (self.bbox[:, 0] + self.bbox[:, 2]) / 2
+            cy = (self.bbox[:, 1] + self.bbox[:, 3]) / 2
+            order = np.lexsort((cy, np.digitize(cx, np.quantile(cx, np.linspace(0, 1, nslice + 1)[1:-1]))))
+            self.order = order
+            per = max(1, math.ceil(m / nslice))
+            self.group_of = np.arange(m)[np.argsort(order)] // per  # unused; groups below
+            groups = [order[i : i + per] for i in range(0, m, per)]
+            self.groups = groups
+            self.group_bbox = np.array(
+                [[self.bbox[g, 0].min(), self.bbox[g, 1].min(),
+                  self.bbox[g, 2].max(), self.bbox[g, 3].max()] for g in groups]
+            )
+        else:
+            self.order = np.zeros(0, dtype=np.int64)
+            self.groups = []
+            self.group_bbox = np.zeros((0, 4))
+
+    @classmethod
+    def from_pdf(cls, aoi: pd.DataFrame) -> "PackedPolygons":
+        """From the aoi_polygons fixture schema (ring = list of {lon,lat})."""
+        ids, rings = [], []
+        for _, row in aoi.iterrows():
+            ring = np.array([[p["lon"], p["lat"]] for p in row["ring"]], dtype=np.float64)
+            if not np.allclose(ring[0], ring[-1]):
+                ring = np.vstack([ring, ring[:1]])
+            ids.append(row["aoi_id"])
+            rings.append(ring)
+        return cls(ids, rings)
+
+    def ring(self, k: int) -> np.ndarray:
+        return self.xy[self.starts[k] : self.starts[k + 1]]
+
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray,
+                   eps: float = 1e-12) -> np.ndarray:
+    """Vectorized even-odd ray casting; boundary (edge/vertex) counts inside.
+
+    (n points) x (e edges) crossing test, done edge-blocked to bound memory.
+    """
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    inside = np.zeros(px.shape, dtype=bool)
+    on_edge = np.zeros(px.shape, dtype=bool)
+    # broadcast (n, e)
+    PX = px[:, None]
+    PY = py[:, None]
+    cond = (y0[None, :] > PY) != (y1[None, :] > PY)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0[None, :] + (PY - y0[None, :]) * (x1 - x0)[None, :] / (y1 - y0)[None, :]
+    crossings = (cond & (PX < xint)).sum(axis=1)
+    inside = (crossings % 2) == 1
+    # boundary: point-to-segment distance ~ 0
+    dx, dy = (x1 - x0)[None, :], (y1 - y0)[None, :]
+    seg2 = dx * dx + dy * dy
+    t = np.clip(((PX - x0[None, :]) * dx + (PY - y0[None, :]) * dy) / np.where(seg2 == 0, 1, seg2), 0, 1)
+    d2 = (PX - (x0[None, :] + t * dx)) ** 2 + (PY - (y0[None, :] + t * dy)) ** 2
+    on_edge = (d2 <= eps).any(axis=1)
+    return inside | on_edge
+
+
+def query_polygons(pp: PackedPolygons, px: np.ndarray, py: np.ndarray):
+    """-> (point_idx array, poly_idx array) of all containment matches."""
+    out_p, out_g = [], []
+    if not len(pp.groups):
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    # level 1: group bboxes
+    gb = pp.group_bbox
+    gmask = (
+        (px[:, None] >= gb[None, :, 0]) & (px[:, None] <= gb[None, :, 2])
+        & (py[:, None] >= gb[None, :, 1]) & (py[:, None] <= gb[None, :, 3])
+    )
+    for gi, members in enumerate(pp.groups):
+        pts = np.nonzero(gmask[:, gi])[0]
+        if not pts.size:
+            continue
+        # level 2: member bboxes
+        bb = pp.bbox[members]
+        mmask = (
+            (px[pts, None] >= bb[None, :, 0]) & (px[pts, None] <= bb[None, :, 2])
+            & (py[pts, None] >= bb[None, :, 1]) & (py[pts, None] <= bb[None, :, 3])
+        )
+        for mi, poly in enumerate(members):
+            cand = pts[mmask[:, mi]]
+            if not cand.size:
+                continue
+            hit = points_in_ring(px[cand], py[cand], pp.ring(int(poly)))
+            sel = cand[hit]
+            out_p.append(sel)
+            out_g.append(np.full(sel.size, poly, dtype=np.int64))
+    if out_p:
+        return np.concatenate(out_p), np.concatenate(out_g)
+    return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+
+
+def pip_join(points: DataFrame, aoi: pd.DataFrame, lon_col: str = "lon",
+             lat_col: str = "lat", how: str = "inner") -> DataFrame:
+    """Broadcast R-tree point-in-polygon join: adds aoi_id (+category).
+
+    Emits one row per (point, containing polygon) — true join semantics
+    (overlapping AOIs duplicate the point, like the reference join rows).
+    ``how='left'`` keeps non-matching points with NULL aoi_id.
+    """
+    spark = points.sparkSession
+    pp = PackedPolygons.from_pdf(aoi)
+    cat = dict(zip(aoi["aoi_id"], aoi.get("category", pd.Series(index=aoi.index, dtype=object))))
+    bc = spark.sparkContext.broadcast((pp, cat))
+    out_schema = StructType(points.schema.fields + [
+        StructField("aoi_id", StringType()),
+        StructField("aoi_category", StringType()),
+    ])
+
+    def fn(batches):
+        pp, cat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            px = pdf[lon_col].to_numpy(np.float64)
+            py = pdf[lat_col].to_numpy(np.float64)
+            pi, gi = query_polygons(pp, px, py)
+            matched = pdf.iloc[pi].copy() if pi.size else pdf.iloc[:0].copy()
+            matched["aoi_id"] = pp.aoi_ids[gi] if pi.size else []
+            matched["aoi_category"] = [cat.get(a) for a in matched["aoi_id"]]
+            if how == "left":
+                unmatched_idx = np.setdiff1d(np.arange(len(pdf)), np.unique(pi))
+                un = pdf.iloc[unmatched_idx].copy()
+                un["aoi_id"] = None
+                un["aoi_category"] = None
+                matched = pd.concat([matched, un], ignore_index=True)
+            yield matched
+
+    return points.mapInPandas(fn, out_schema)
+
+
+# --------------------------------------------------------------------------
+# kNN join to stations (broadcast small side, vectorized haversine)
+# --------------------------------------------------------------------------
+
+EARTH_R_KM = 6371.0088
+
+
+def haversine_km(lon1, lat1, lon2, lat2):
+    p = np.pi / 180.0
+    dlat = (lat2 - lat1) * p
+    dlon = (lon2 - lon1) * p
+    a = np.sin(dlat / 2) ** 2 + np.cos(lat1 * p) * np.cos(lat2 * p) * np.sin(dlon / 2) ** 2
+    return 2 * EARTH_R_KM * np.arcsin(np.sqrt(np.clip(a, 0, 1)))
+
+
+def knn_join(points: DataFrame, stations: pd.DataFrame, k: int = 3,
+             lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Each point row exploded to its k nearest stations (+rank, distance).
+
+    Stations are broadcast (small side); per batch the distance matrix is
+    (n x m) with argpartition top-k — no shuffle at all. Deterministic
+    tie-break: (distance, station_id).
+    """
+    spark = points.sparkSession
+    st = (
+        stations["station_id"].to_numpy(object),
+        stations["lon"].to_numpy(np.float64),
+        stations["lat"].to_numpy(np.float64),
+        stations["cwv_obs"].to_numpy(np.float64) if "cwv_obs" in stations else None,
+    )
+    bc = spark.sparkContext.broadcast(st)
+    out_schema = StructType(points.schema.fields + [
+        StructField("station_id", StringType()),
+        StructField("station_rank", IntegerType()),
+        StructField("station_km", DoubleType()),
+        StructField("station_cwv", DoubleType()),
+    ])
+
+    def fn(batches):
+        ids, slon, slat, scwv = bc.value
+        m = len(ids)
+        kk = min(k, m)
+        # stable secondary sort on station_id for exact determinism
+        id_order = np.argsort(ids, kind="stable")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            plon = pdf[lon_col].to_numpy(np.float64)
+            plat = pdf[lat_col].to_numpy(np.float64)
+            d = haversine_km(plon[:, None], plat[:, None], slon[None, :], slat[None, :])
+            # top-k with deterministic tie-break (distance, station_id)
+            key = d + np.argsort(id_order)[None, :] * 1e-12
+            top = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+            rowi = np.arange(len(pdf))[:, None]
+            order = np.argsort(key[rowi, top], axis=1)
+            top = top[rowi, order]
+            rep = pdf.loc[pdf.index.repeat(kk)].reset_index(drop=True)
+            rep["station_id"] = ids[top].ravel()
+            rep["station_rank"] = np.tile(np.arange(1, kk + 1, dtype=np.int32), len(pdf))
+            rep["station_km"] = d[rowi, top].ravel()
+            rep["station_cwv"] = scwv[top].ravel() if scwv is not None else np.nan
+            yield rep
+
+    return points.mapInPandas(fn, out_schema)

@@ -1,0 +1,396 @@
+"""Training-data pipeline operators over documents/embeddings.
+
+Large-scale corpus curation ops the graft adds as first-class components:
+exact dedup, shingle MinHash + LSH banding, n-gram Jaccard, SimHash,
+language/quality scoring, token stats, fingerprinting, and embedding
+similarity search (brute-force top-k + LSH bucketing).
+
+Cross-engine determinism rules (driver hashes values): hashes go through
+md5 (identical in Spark and DuckDB; Spark's xxhash64/hash are Spark-specific
+so they only appear in rows-only queries), MinHash permutations are exact
+BIGINT arithmetic, cosine is computed as an explicit sequential double fold
+on both sides and rounded before ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from .relational import load, register
+
+# --------------------------------------------------------------------------
+# exact dedup: md5 grouping, keep min doc_id (hash-groupBy dedup)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact",
+    """SELECT md5(text) AS text_hash,
+          CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+          CAST(count(*) AS BIGINT) AS n_copies
+       FROM documents GROUP BY 1""",
+)
+def q_dedup_exact(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding over 5-gram shingles — full SQL-expressible twin.
+# h_i(x) = (a_i * x + b_i) mod p over x = first-8-hex-digits of md5(shingle).
+# 16 permutations, 4 bands of 4 -> candidate pairs share >=1 band.
+# --------------------------------------------------------------------------
+
+_P = 4294967311  # prime > 2^32
+_NPERM = 16
+_BAND = 4
+_SUBSET = "doc_id % 3 = 0"  # bound the pair blow-up at sf0.1
+
+_SHINGLES_SQL = f"""
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT) + 1, 5) AS sh
+  FROM (SELECT doc_id, text,
+               unnest(range(0, greatest(length(text) - 4, 1))) AS i
+        FROM documents WHERE {_SUBSET}) src
+"""
+
+# DuckDB has no conv(); both engines CAN parse hex via this arithmetic:
+# we instead fold the first 8 md5 hex chars through exact integer ops.
+_HEXC = "substr(md5(sh), {k}, 1)"
+_HEXV = (
+    "(CASE WHEN {c} BETWEEN '0' AND '9' THEN ascii({c}) - 48 "
+    "ELSE ascii({c}) - 87 END)"
+)
+
+
+def _hex_to_int_sql() -> str:
+    terms = []
+    for k in range(1, 9):
+        c = _HEXC.format(k=k)
+        terms.append(f"CAST({_HEXV.format(c=c)} AS BIGINT) * {16 ** (8 - k)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _minhash_sql() -> str:
+    x = _hex_to_int_sql()
+    return f"""
+  WITH shingles AS ({_SHINGLES_SQL}),
+  hashed AS (SELECT doc_id, {x} AS x FROM shingles),
+  perms AS (SELECT CAST(i AS BIGINT) AS perm,
+                   CAST(2 * i + 1 AS BIGINT) AS a,
+                   CAST((i * 2654435761) % {_P} AS BIGINT) AS b
+            FROM range({_NPERM}) t(i)),
+  minh AS (SELECT doc_id, perm, min((a * x + b) % {_P}) AS mh
+           FROM hashed CROSS JOIN perms GROUP BY doc_id, perm)
+"""
+
+
+@register(
+    "q_minhash_signatures",
+    _minhash_sql()
+    + """SELECT doc_id, CAST(perm AS BIGINT) AS perm, CAST(mh AS BIGINT) AS minhash
+         FROM minh""",
+)
+def q_minhash_signatures(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(_SUBSET)
+    sh = (
+        d.select("doc_id", F.explode(F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1)))).alias("i"),
+                 "text")
+        .select("doc_id", F.expr("substr(text, i, 5)").alias("sh"))
+        .distinct()
+    )
+    x = F.expr(_hex_to_int_sql())
+    hashed = sh.select("doc_id", x.alias("x"))
+    perms = spark.range(_NPERM).select(
+        F.col("id").alias("perm"),
+        (F.col("id") * 2 + 1).alias("a"),
+        ((F.col("id") * 2654435761) % _P).alias("b"),
+    )
+    return (
+        hashed.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "perm")
+        .agg(F.min((F.col("a") * F.col("x") + F.col("b")) % _P).alias("minhash"))
+    )
+
+
+@register(
+    "q_minhash_lsh_pairs",
+    _minhash_sql()
+    + f""",
+    bands AS (SELECT doc_id, perm // {_BAND} AS band,
+                     md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm)) AS band_key
+              FROM minh GROUP BY doc_id, band)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS shared_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    GROUP BY 1, 2""",
+)
+def q_minhash_lsh_pairs(spark, sf_dir):
+    minh = q_minhash_signatures(spark, sf_dir)
+    bands = (
+        minh.withColumn("band", (F.col("perm") / _BAND).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(F.array_join(F.transform(
+                F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
+                lambda s: s["minhash"].cast("string")), ",")).alias("band_key")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (exact set overlap, integer counts)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_ngram_jaccard",
+    f"""WITH shingles AS ({_SHINGLES_SQL}),
+       sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                 FROM shingles a JOIN shingles b
+                   ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+              round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+       FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.08""",
+)
+def q_ngram_jaccard(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(_SUBSET)
+    sh = (
+        d.select("doc_id",
+                 F.explode(F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1)))).alias("i"),
+                 "text")
+        .select("doc_id", F.expr("substr(text, i, 5)").alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.08)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# token stats / quality scoring / language heuristic / fingerprint
+# --------------------------------------------------------------------------
+
+_NTOK = "(length(text) - length(replace(text, ' ', '')) + 1)"
+
+
+@register(
+    "q_token_stats",
+    f"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum({_NTOK}) AS BIGINT) AS total_tokens,
+           round(CAST(sum({_NTOK}) AS DOUBLE) / count(*), 6) AS avg_tokens,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM documents GROUP BY lang""",
+)
+def q_token_stats(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    ntok = F.expr(_NTOK)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok).cast("long").alias("total_tokens"),
+        F.round(F.sum(ntok).cast("double") / F.count(F.lit(1)), 6).alias("avg_tokens"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+_STOP = "('a','the','and','of','to','in','is','row','data','value')"
+
+
+@register(
+    "q_lang_id",
+    f"""WITH toks AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+       ), scored AS (
+          SELECT doc_id, any_value(lang) AS lang,
+                 CAST(count(*) AS BIGINT) AS n_tok,
+                 CAST(sum(CASE WHEN tok IN {_STOP} THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+          FROM toks GROUP BY doc_id
+       )
+       SELECT doc_id, lang, n_tok, n_stop,
+              round(CAST(n_stop AS DOUBLE) / n_tok, 6) AS stop_ratio,
+              CASE WHEN CAST(n_stop AS DOUBLE) / n_tok > 0.08 THEN 'en_like' ELSE 'other' END AS lang_pred
+       FROM scored""",
+)
+def q_lang_id(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+    scored = toks.groupBy("doc_id").agg(
+        F.first("lang").alias("lang"),
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(F.expr(f"CASE WHEN tok IN {_STOP} THEN 1 ELSE 0 END")).alias("n_stop"),
+    )
+    ratio = F.col("n_stop").cast("double") / F.col("n_tok")
+    return scored.select(
+        "doc_id", "lang", "n_tok", "n_stop",
+        F.round(ratio, 6).alias("stop_ratio"),
+        F.when(ratio > 0.08, "en_like").otherwise("other").alias("lang_pred"),
+    )
+
+
+@register(
+    "q_quality_score",
+    f"""SELECT doc_id,
+           CAST({_NTOK} AS BIGINT) AS n_tok,
+           round(CAST(length(text) AS DOUBLE) / {_NTOK}, 6) AS avg_tok_len,
+           CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+           round(least(CAST({_NTOK} AS DOUBLE) / 64.0, 1.0)
+                 * (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                          / length(text)), 6) AS quality
+        FROM documents""",
+)
+def q_quality_score(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    ntok = F.expr(_NTOK).cast("double")
+    npunct = F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).cast("double")
+    return d.select(
+        "doc_id",
+        F.expr(_NTOK).cast("long").alias("n_tok"),
+        F.round(F.length("text").cast("double") / ntok, 6).alias("avg_tok_len"),
+        npunct.cast("long").alias("n_punct"),
+        F.round(F.least(ntok / 64.0, F.lit(1.0)) * (1.0 - npunct / F.length("text")), 6).alias("quality"),
+    )
+
+
+@register(
+    "q_fingerprint",
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(count(DISTINCT md5(lower(regexp_replace(text, '[^a-z0-9]', '', 'g')))) AS BIGINT)
+            AS n_distinct_fp
+       FROM documents GROUP BY source""",
+)
+def q_fingerprint(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace("text", "[^a-z0-9]", "")))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fp).alias("n_distinct_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding similarity search
+# --------------------------------------------------------------------------
+
+# explicit sequential double fold -> identical fp result in both engines
+_DOT_SPARK = (
+    "aggregate(zip_with(CAST(a.embedding AS array<double>), CAST(b.embedding AS array<double>),"
+    " (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+)
+_NRM_SPARK = (
+    "sqrt(aggregate(transform(CAST({t}.embedding AS array<double>), x -> x * x),"
+    " 0D, (acc, v) -> acc + v))"
+)
+
+_DOT_DUCK = "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+_NRM_DUCK = "sqrt(list_dot_product(CAST({t}.embedding AS DOUBLE[]), CAST({t}.embedding AS DOUBLE[])))"
+
+
+@register(
+    "q_embed_cosine_topk",
+    f"""WITH pairs AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                round({_DOT_DUCK} / ({_NRM_DUCK.format(t='a')} * {_NRM_DUCK.format(t='b')}), 4) AS cos
+         FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+         WHERE a.vec_id % 50 = 0
+       )
+       SELECT query_id, neighbor_id, cos FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id) AS rnk
+         FROM pairs) WHERE rnk <= 5""",
+)
+def q_embed_cosine_topk(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    a = e.filter("vec_id % 50 = 0").alias("a")
+    b = e.alias("b")
+    cos = F.round(
+        F.expr(_DOT_SPARK) / (F.expr(_NRM_SPARK.format(t="a")) * F.expr(_NRM_SPARK.format(t="b"))), 4
+    )
+    pairs = a.join(b, F.col("b.vec_id") != F.col("a.vec_id")).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        cos.alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return pairs.withColumn("rnk", F.row_number().over(w)).filter("rnk <= 5").drop("rnk")
+
+
+# 64-bit SimHash over whitespace tokens. Rows-only: Spark's xxhash64 has no
+# DuckDB equivalent (md5-per-bit in SQL would be a 64-way blowup); the
+# numpy parity oracle lives in tests/test_textops.py.
+@register("q_simhash64", None)
+def q_simhash64(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    toks = toks.withColumn("h", F.xxhash64("tok"))
+    # per bit j: sum(+1/-1), sign -> bit j
+    bits = [
+        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bits)
+    sim = None
+    for j in range(64):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j) if j else bit
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return agg.select("doc_id", sim.alias("simhash64"))
+
+
+# axis-aligned-hyperplane LSH bucketing (exact, no fp accumulation at all)
+_LSH_DIMS = [3, 11, 19, 27, 35, 43, 51, 59]
+
+
+def _bucket_sql(tbl: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {tbl}embedding[{d + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i, d in enumerate(_LSH_DIMS)
+    )
+
+
+@register(
+    "q_ann_lsh_buckets",
+    f"""SELECT CAST({_bucket_sql('')} AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(min(vec_id) AS BIGINT) AS min_vec_id
+        FROM embeddings GROUP BY 1""",
+)
+def q_ann_lsh_buckets(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    bucket = sum(
+        (F.when(F.element_at("embedding", d + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        for i, d in enumerate(_LSH_DIMS)
+    ).cast("long")
+    return e.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("vec_id").alias("min_vec_id"),
+    )

@@ -1,0 +1,82 @@
+"""Resume semantics (SURVEY.md §5.2 item 6): kill after partial progress,
+re-run, final table identical to an uninterrupted run; only missing slices
+recomputed; lineage mismatch forces recompute."""
+
+import json
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+from i_landsat8_swlst_spark import checkpoint, constants as C, synth
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    scenes = spark.createDataFrame(synth.scenes_pdf("tiny"))
+    meta = spark.createDataFrame(synth.scene_meta_pdf("tiny"))
+    emis = spark.createDataFrame(pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
+    return scenes, meta, emis
+
+
+def _table(spark, out):
+    return (
+        checkpoint.read_result(spark, out)
+        .select("image_id", "n_valid", "lst_mean")
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_kill_and_resume_identical(spark, fixture, tmp_path_factory):
+    scenes, meta, emis = fixture
+    clean = str(tmp_path_factory.mktemp("clean"))
+    killed = str(tmp_path_factory.mktemp("killed"))
+
+    r1 = checkpoint.run_lst_job(spark, scenes, meta, emis, clean, n_slices=4, window=5)
+    assert r1["executed"] and not r1["skipped"]
+
+    with pytest.raises(checkpoint.InjectedFailure):
+        checkpoint.run_lst_job(spark, scenes, meta, emis, killed, n_slices=4,
+                               window=5, fail_after=2)
+    partial = checkpoint.read_manifest(killed)
+    assert len(partial) == 2
+
+    r2 = checkpoint.run_lst_job(spark, scenes, meta, emis, killed, n_slices=4, window=5)
+    assert sorted(r2["skipped"]) == sorted(partial)  # completed slices not recomputed
+    assert len(r2["executed"]) == 2
+
+    pd.testing.assert_frame_equal(_table(spark, clean), _table(spark, killed))
+
+    # second resume is a full no-op
+    r3 = checkpoint.run_lst_job(spark, scenes, meta, emis, killed, n_slices=4, window=5)
+    assert r3["executed"] == [] and len(r3["skipped"]) == 4
+
+
+def test_manifest_carries_lineage_and_metrics(spark, fixture, tmp_path_factory):
+    scenes, meta, emis = fixture
+    out = str(tmp_path_factory.mktemp("m"))
+    checkpoint.run_lst_job(spark, scenes, meta, emis, out, n_slices=2, window=5)
+    recs = checkpoint.read_manifest(out)
+    assert len(recs) == 2
+    for rec in recs.values():
+        assert rec["code_version"]
+        assert rec["input_fingerprint"] != 0
+        assert rec["rows_out"] > 0 and rec["pixels"] > 0 and rec["wall_ms"] > 0
+        assert rec["attempt"] == 1
+
+
+def test_lineage_mismatch_forces_recompute(spark, fixture, tmp_path_factory):
+    scenes, meta, emis = fixture
+    out = str(tmp_path_factory.mktemp("lin"))
+    checkpoint.run_lst_job(spark, scenes, meta, emis, out, n_slices=2, window=5)
+    # corrupt one manifest fingerprint -> that slice must re-run
+    md = Path(out) / "_manifest"
+    f = sorted(md.glob("slice-*.json"))[0]
+    rec = json.loads(f.read_text())
+    rec["input_fingerprint"] += 1
+    f.write_text(json.dumps(rec))
+    r = checkpoint.run_lst_job(spark, scenes, meta, emis, out, n_slices=2, window=5)
+    assert r["executed"] == [rec["slice"]]
+    assert checkpoint.read_manifest(out)[rec["slice"]]["attempt"] == 2

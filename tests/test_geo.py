@@ -1,0 +1,99 @@
+"""S2 / hexcell encoder invariants (SURVEY.md §5.2 item 5).
+
+No s2 library exists in the sandbox to produce golden ids, so correctness is
+established through structural invariants of the published cell-id scheme:
+face assignment at axis points, round-trip identity, parent containment,
+center round-trip, and Hilbert locality.
+"""
+
+import numpy as np
+
+from i_landsat8_swlst_spark import geo
+
+
+def test_face_assignment_at_axis_points():
+    lon = np.array([0.0, 90.0, 0.0, 180.0, -90.0, 0.0])
+    lat = np.array([0.0, 0.0, 90.0, 0.0, 0.0, -90.0])
+    x, y, z = geo.lonlat_to_xyz(lon, lat)
+    face, _, _ = geo.xyz_to_face_uv(x, y, z)
+    assert face.tolist() == [0, 1, 2, 3, 4, 5]
+
+
+def test_leaf_cell_structure():
+    cells = geo.s2_cell(np.array([5.0, -120.0]), np.array([45.0, -33.0]))
+    u = cells.view(np.uint64)
+    assert np.all(u & np.uint64(1) == 1)  # leaf lsb
+    assert np.all((u >> np.uint64(61)) <= 5)
+    assert np.all(geo.s2_level(cells) == 30)
+
+
+def test_hilbert_roundtrip_face_ij():
+    rng = np.random.default_rng(3)
+    face = rng.integers(0, 6, 500)
+    i = rng.integers(0, 1 << 30, 500)
+    j = rng.integers(0, 1 << 30, 500)
+    cell = geo.s2_cell_from_face_ij(face, i, j)
+    f2, i2, j2 = geo.s2_cell_to_face_ij(cell)
+    np.testing.assert_array_equal(f2, face)
+    np.testing.assert_array_equal(i2, i)
+    np.testing.assert_array_equal(j2, j)
+
+
+def test_parent_containment_monotone():
+    rng = np.random.default_rng(4)
+    lon = rng.uniform(-180, 180, 300)
+    lat = rng.uniform(-85, 85, 300)
+    prev = None
+    for level in (30, 20, 12, 7):
+        c = geo.s2_cell(lon, lat, level).view(np.uint64)
+        assert np.all(geo.s2_level(c.view(np.int64)) == level)
+        if prev is not None:
+            # truncating the finer id to this level must equal this id
+            lsb = np.uint64(1) << np.uint64(2 * (30 - level))
+            trunc = (prev & ~(lsb - np.uint64(1))) | lsb
+            np.testing.assert_array_equal(trunc, c)
+        prev = c
+
+
+def test_cell_center_roundtrip():
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-180, 180, 200)
+    lat = rng.uniform(-85, 85, 200)
+    for level in (30, 16):
+        c = geo.s2_cell(lon, lat, level)
+        clon, clat = geo.s2_cell_center(c)
+        c2 = geo.s2_cell(clon, clat, level)
+        np.testing.assert_array_equal(c, c2)
+        if level == 30:  # leaf centers are within a leaf diagonal (~1e-6 deg)
+            assert np.max(np.abs(clat - lat)) < 1e-4
+
+
+def test_hilbert_locality():
+    # nearby points at level 12 share or neighbor cells far more than random
+    rng = np.random.default_rng(6)
+    lon = rng.uniform(-30, 30, 200)
+    lat = rng.uniform(-30, 30, 200)
+    a = geo.s2_cell(lon, lat, 12)
+    b = geo.s2_cell(lon + 1e-7, lat + 1e-7, 12)
+    assert (a == b).mean() > 0.95
+
+
+def test_hexcell_roundtrip_and_res():
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-170, 170, 400)
+    lat = rng.uniform(-80, 80, 400)
+    for res in (7, 8, 9):
+        c = geo.hexcell(lon, lat, res)
+        r, q, rr = geo.hexcell_decode(c)
+        assert np.all(r == res)
+        clon, clat = geo.hexcell_center(c)
+        # center is within one hex circumradius
+        size = geo.HEX_EDGE_DEG[res]
+        d = np.hypot(clon - lon, clat - lat)
+        assert np.max(d) <= size * 1.0001
+        # re-encoding the center returns the same cell
+        np.testing.assert_array_equal(geo.hexcell(clon, clat, res), c)
+    # finer res -> more distinct cells
+    n7 = len(np.unique(geo.hexcell(lon, lat, 7)))
+    n9 = len(np.unique(geo.hexcell(lon, lat, 9)))
+    assert n9 >= n7

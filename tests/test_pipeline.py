@@ -1,0 +1,128 @@
+"""End-to-end pipeline parity (SURVEY.md §5.2 items 3-4): synthetic scene
+table -> Spark engine -> pixel rows, checked against the scalar oracle and
+the per-row invariants (caption equality, phash, PSNR)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import oracle_ref as oracle
+from i_landsat8_swlst_spark import codecs, constants as C, pipeline, synth
+
+WINDOW = 5
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    scenes = spark.createDataFrame(synth.scenes_pdf("tiny"))
+    meta = spark.createDataFrame(synth.scene_meta_pdf("tiny"))
+    emis = spark.createDataFrame(pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
+    return scenes, meta, emis
+
+
+def test_scenes_schema_matches_baseline_contract(tiny):
+    scenes, _, _ = tiny
+    assert [ (f.name, f.dataType.simpleString()) for f in scenes.schema ] == [
+        ("image_id", "string"), ("bytes", "binary"), ("w", "int"), ("h", "int"),
+        ("fmt", "string"), ("caption", "string"), ("phash", "bigint"),
+    ]
+
+
+def test_caption_roundtrip_and_phash(tiny):
+    scenes, _, _ = tiny
+    rows = scenes.limit(24).collect()
+    for r in rows:
+        sid, band, tx, ty = synth.parse_image_id(r.image_id)
+        # caption must round-trip exactly (BASELINE.json:15)
+        assert f"scene={sid} band={band} tile=({tx},{ty})" in r.caption
+        dec = codecs.decode_tile(r.bytes, r.w, r.h, r.fmt)
+        assert codecs.phash64(dec) == r.phash
+
+
+def test_lossy_rows_meet_psnr_gate(tiny):
+    scenes, _, _ = tiny
+    lossy = scenes.filter("fmt = 'u16dct'").limit(8).collect()
+    assert lossy, "fixture should contain lossy tiles"
+    for r in lossy:
+        sid, band, tx, ty = synth.parse_image_id(r.image_id)
+        t = synth.gen_tile(sid, tx, ty, r.w, r.h)
+        truth = t["dn10"] if band == 10 else t["dn11"]
+        dec = codecs.decode_tile(r.bytes, r.w, r.h, r.fmt)
+        assert codecs.psnr(truth, dec) >= 40.0
+
+
+def test_pair_bands_pairs_every_tile(tiny):
+    scenes, _, _ = tiny
+    parsed = pipeline.parse_scenes(scenes)
+    paired = pipeline.pair_bands(parsed)
+    assert paired.count() == scenes.count() / 2
+
+
+def test_pixels_match_scalar_oracle(tiny, spark):
+    scenes, meta, emis = tiny
+    enriched = pipeline.build_enriched_with_grid(scenes, meta, emis)
+    pixels = pipeline.lst_pixels(enriched, window=WINDOW)
+    one = pixels.filter(
+        "scene_id = 'LC08_00000' and tile_x = 1 and tile_y = 2"
+    ).toPandas().set_index(["py", "px"]).sort_index()
+    assert len(one) > 0
+
+    # recompute ground truth for that tile from the same deterministic synth
+    t = synth.gen_tile("LC08_00000", 1, 2, 32, 32)
+    lossy = synth.stable_hash("LC08_00000", 1, 2, "fmt") % 4 == 0
+    fmt = codecs.FMT_DCT if lossy else codecs.FMT_RAW
+    dn10 = codecs.decode_tile(codecs.encode_tile(t["dn10"], fmt), 32, 32, fmt)
+    dn11 = codecs.decode_tile(codecs.encode_tile(t["dn11"], fmt), 32, 32, fmt)
+    e = C.emissivities_by_class()[t["landcover"]]
+    bt10 = np.array([[oracle.brightness_temperature(dn10[y, x], C.ML_DEFAULT, C.AL_DEFAULT, C.K1_B10, C.K2_B10) for x in range(32)] for y in range(32)])
+    bt11 = np.array([[oracle.brightness_temperature(dn11[y, x], C.ML_DEFAULT, C.AL_DEFAULT, C.K1_B11, C.K2_B11) for x in range(32)] for y in range(32)])
+    cwv = np.array(oracle.cwv_grid(bt10.tolist(), bt11.tolist(), WINDOW))
+
+    checked = 0
+    for (py, px), row in one.iterrows():
+        exp = oracle.compute_lst(bt10[py, px], bt11[py, px], cwv[py, px],
+                                 e.emissivity_b10, e.emissivity_b11)
+        assert not math.isnan(exp), "valid_only output must only hold valid LST"
+        assert row.lst_k == pytest.approx(exp, rel=1e-7)
+        assert row.bt10 == pytest.approx(bt10[py, px], rel=1e-9)
+        assert row.cwv == pytest.approx(cwv[py, px], rel=1e-7)
+        assert row.lst_c == pytest.approx(exp - 273.15, rel=1e-7)
+        assert row.subrange == oracle.select_subrange(cwv[py, px])
+        checked += 1
+    assert checked > 50
+    # NULL-edge semantics: no pixel with a window hanging off the tile
+    r = WINDOW // 2
+    pys = one.index.get_level_values(0)
+    pxs = one.index.get_level_values(1)
+    assert pys.min() >= r and pxs.min() >= r and pys.max() < 32 - r and pxs.max() < 32 - r
+
+
+def test_tiles_stats_consistent_with_pixels(tiny):
+    scenes, meta, emis = tiny
+    enriched = pipeline.build_enriched(scenes, meta, emis)
+    tiles = pipeline.lst_tiles(enriched, window=WINDOW)
+    row = tiles.filter("scene_id = 'LC08_00001' and tile_x = 0 and tile_y = 0").collect()[0]
+    lst = np.frombuffer(row.lst_bytes, dtype="<f4").reshape(row.h, row.w)
+    assert row.n_valid == int(np.isfinite(lst).sum())
+    if row.n_valid:
+        assert row.lst_mean == pytest.approx(float(np.nanmean(lst)), rel=1e-6)
+    assert "band=10" in row.caption
+
+
+def test_rasterize_roundtrip(tiny):
+    scenes, meta, emis = tiny
+    enriched = pipeline.build_enriched_with_grid(scenes, meta, emis)
+    pixels = pipeline.lst_pixels(enriched, window=WINDOW)
+    rast = pipeline.rasterize_pixels(pixels, w=32, h=32)
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis), window=WINDOW)
+    a = {(r.scene_id, r.tile_x, r.tile_y): r for r in rast.collect()}
+    b = {(r.scene_id, r.tile_x, r.tile_y): r for r in tiles.filter("n_valid > 0").collect()}
+    assert set(a) == set(b)
+    for k in list(a)[:6]:
+        ra = np.frombuffer(a[k].raster_bytes, dtype="<f4").reshape(32, 32)
+        rb = np.frombuffer(b[k].lst_bytes, dtype="<f4").reshape(32, 32)
+        both = np.isfinite(ra) & np.isfinite(rb)
+        assert both.sum() == a[k].n_valid == b[k].n_valid
+        np.testing.assert_allclose(ra[both], rb[both], rtol=1e-6)

@@ -1,0 +1,135 @@
+"""Spatial operator tests: PIP golden vectors (edges/vertices/non-convex),
+R-tree query vs brute force, kNN vs brute force, Spark-level joins."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from i_landsat8_swlst_spark import spatial, synth
+
+
+# --- PIP golden vectors -------------------------------------------------------
+
+SQUARE = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=float)
+STAR = np.array(  # non-convex: concave notch at top
+    [[0, 0], [4, 0], [4, 4], [2, 1.5], [0, 4], [0, 0]], dtype=float
+)
+
+
+def test_pip_golden_square():
+    px = np.array([2.0, -1.0, 5.0, 0.0, 4.0, 2.0, 0.0, 2.0])
+    py = np.array([2.0, 2.0, 2.0, 0.0, 4.0, 0.0, 2.0, 4.0])
+    #              in    out   out  vert  vert  edge  edge  edge
+    exp = np.array([1, 0, 0, 1, 1, 1, 1, 1], dtype=bool)
+    got = spatial.points_in_ring(px, py, SQUARE)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_pip_golden_nonconvex():
+    px = np.array([2.0, 2.0, 1.0, 3.0, 2.0])
+    py = np.array([3.0, 1.0, 2.0, 2.0, 1.5])
+    # (2,3) is inside the notch -> OUT; (2,1.5) is the concave vertex -> boundary
+    exp = np.array([0, 1, 1, 1, 1], dtype=bool)
+    got = spatial.points_in_ring(px, py, STAR)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_rtree_query_matches_bruteforce():
+    aoi = synth.aoi_pdf("small")
+    pp = spatial.PackedPolygons.from_pdf(aoi)
+    rng = np.random.default_rng(11)
+    # sample probe points around every polygon bbox
+    px, py = [], []
+    for k in range(len(pp.aoi_ids)):
+        b = pp.bbox[k]
+        px.append(rng.uniform(b[0] - 0.2, b[2] + 0.2, 60))
+        py.append(rng.uniform(b[1] - 0.2, b[3] + 0.2, 60))
+    px, py = np.concatenate(px), np.concatenate(py)
+    pi, gi = spatial.query_polygons(pp, px, py)
+    got = set(zip(pi.tolist(), gi.tolist()))
+    exp = set()
+    for k in range(len(pp.aoi_ids)):
+        hit = spatial.points_in_ring(px, py, pp.ring(k))
+        exp |= {(int(i), k) for i in np.nonzero(hit)[0]}
+    assert got == exp
+    assert len(exp) > 50  # fixture actually exercises hits
+
+
+def test_knn_matches_bruteforce():
+    st = synth.stations_pdf("small")
+    rng = np.random.default_rng(12)
+    plon = rng.uniform(-170, 170, 40)
+    plat = rng.uniform(-80, 80, 40)
+    d = spatial.haversine_km(plon[:, None], plat[:, None],
+                             st["lon"].to_numpy()[None, :], st["lat"].to_numpy()[None, :])
+    ids = st["station_id"].to_numpy(object)
+    for k in (1, 3):
+        # brute force with (dist, id) tie-break
+        exp = []
+        for i in range(len(plon)):
+            order = sorted(range(len(ids)), key=lambda j: (d[i, j], ids[j]))
+            exp.append([ids[j] for j in order[:k]])
+        # engine path (numpy internals of knn_join)
+        key = d + np.argsort(np.argsort(ids, kind="stable"))[None, :] * 1e-12
+        top = np.argpartition(key, k - 1, axis=1)[:, :k]
+        rowi = np.arange(len(plon))[:, None]
+        top = top[rowi, np.argsort(key[rowi, top], axis=1)]
+        got = ids[top]
+        for i in range(len(plon)):
+            assert list(got[i]) == exp[i], i
+
+
+def test_pip_join_spark(spark):
+    aoi = synth.aoi_pdf("tiny")
+    pp = spatial.PackedPolygons.from_pdf(aoi)
+    rng = np.random.default_rng(13)
+    pts = []
+    for kpoly in range(len(pp.aoi_ids)):
+        b = pp.bbox[kpoly]
+        for _ in range(25):
+            pts.append((float(rng.uniform(b[0] - 0.1, b[2] + 0.1)),
+                        float(rng.uniform(b[1] - 0.1, b[3] + 0.1))))
+    pdf = pd.DataFrame(pts, columns=["lon", "lat"]).reset_index().rename(columns={"index": "pid"})
+    points = spark.createDataFrame(pdf)
+    got = spatial.pip_join(points, aoi, how="inner").toPandas()
+    # numpy truth
+    pi, gi = spatial.query_polygons(pp, pdf["lon"].to_numpy(), pdf["lat"].to_numpy())
+    exp = {(int(pdf["pid"][i]), pp.aoi_ids[g]) for i, g in zip(pi, gi)}
+    assert set(zip(got["pid"], got["aoi_id"])) == exp
+    assert len(got) == len(exp) > 0
+    # left join keeps everything
+    left = spatial.pip_join(points, aoi, how="left").toPandas()
+    assert set(left.loc[left.aoi_id.notna(), "pid"]) == {p for p, _ in exp}
+    assert len(set(left["pid"])) == len(pdf)
+
+
+def test_knn_join_spark(spark):
+    st = synth.stations_pdf("tiny")
+    pdf = pd.DataFrame({
+        "pid": range(20),
+        "lon": np.linspace(-170, 170, 20),
+        "lat": np.linspace(-80, 80, 20),
+    })
+    got = spatial.knn_join(spark.createDataFrame(pdf), st, k=3).toPandas()
+    assert len(got) == 60
+    assert set(got["station_rank"]) == {1, 2, 3}
+    g = got.sort_values(["pid", "station_rank"]).groupby("pid")
+    for pid, rows in g:
+        assert rows["station_km"].is_monotonic_increasing
+        # spot-check rank 1 vs brute force
+        d = spatial.haversine_km(pdf.loc[pdf.pid == pid, "lon"].iloc[0],
+                                 pdf.loc[pdf.pid == pid, "lat"].iloc[0],
+                                 st["lon"].to_numpy(), st["lat"].to_numpy())
+        assert rows.iloc[0]["station_id"] == st["station_id"].iloc[int(np.argmin(d))]
+
+
+def test_with_cells_spark(spark):
+    pdf = pd.DataFrame({"lon": [5.0, 5.001, -120.0], "lat": [45.0, 45.001, -33.0]})
+    out = spatial.with_cells(spark.createDataFrame(pdf)).toPandas()
+    from i_landsat8_swlst_spark import geo
+    np.testing.assert_array_equal(
+        out["s2_cell"].to_numpy(), geo.s2_cell(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 14)
+    )
+    np.testing.assert_array_equal(
+        out["h3_8"].to_numpy(), geo.hexcell(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 8)
+    )

@@ -1,0 +1,50 @@
+"""SimHash parity: rebuild the 64-bit simhash in numpy from Spark's own
+token hashes (checks the bit aggregation independent of the hash fn), plus
+behavioral properties (duplicate -> identical hash)."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from i_landsat8_swlst_spark.textops import q_simhash64
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _numpy_simhash(hashes: np.ndarray) -> int:
+    h = hashes.astype(np.uint64)
+    acc = np.zeros(64, dtype=np.int64)
+    for j in range(64):
+        bit = ((h >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+        acc[j] = np.sum(2 * bit - 1)
+    out = np.uint64(0)
+    for j in range(64):
+        if acc[j] > 0:
+            out |= np.uint64(1) << np.uint64(j)
+    return int(out.view(np.int64) if hasattr(out, "view") else out)
+
+
+def test_simhash_matches_numpy_rebuild(spark):
+    got = q_simhash64(spark, SF_DIR).filter("doc_id < 8").toPandas().set_index("doc_id")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter("doc_id < 8")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    th = toks.select("doc_id", F.xxhash64("tok").alias("h")).toPandas()
+    assert len(got) > 0
+    for doc_id, grp in th.groupby("doc_id"):
+        exp = _numpy_simhash(grp["h"].to_numpy())
+        exp_signed = np.uint64(exp).astype(np.int64) if exp >= 0 else exp
+        assert int(got.loc[doc_id, "simhash64"]) == int(np.int64(np.uint64(exp))), doc_id
+
+
+def test_simhash_duplicate_docs_identical(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha beta gamma delta", "alpha beta gamma delta", "zeta eta theta iota"],
+        "lang": ["en"] * 3, "source": ["s"] * 3, "n_chars": [22, 22, 19],
+    })
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = q_simhash64(spark, d).toPandas().set_index("doc_id")["simhash64"]
+    assert out[1] == out[2]
+    assert out[1] != out[3]
