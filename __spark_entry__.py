@@ -54,7 +54,8 @@ def _q_lst_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     scenes = spark.createDataFrame(synth.scenes_pdf("tiny"))
     meta = spark.createDataFrame(synth.scene_meta_pdf("tiny"))
     emis = spark.createDataFrame(pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
-    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis), window=5)
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis), window=5,
+                               emit_arrays=False)
     return (
         tiles.groupBy("scene_id")
         .agg(
@@ -149,6 +150,27 @@ def _q_rasterize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("scene_id")
 
 
+def _q_full_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only flagship: the complete north-star flow — fused LST kernel ->
+    pixel rows -> cell-encode -> broadcast R-tree PIP -> kNN stations —
+    aggregated per (aoi, nearest station) for a stable small result."""
+    from i_landsat8_swlst_spark import pipeline, synth
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    out = pipeline.full_pixel_pipeline(
+        scenes, meta, emis, synth.aoi_pdf("tiny"), synth.stations_pdf("tiny"),
+        window=5, knn_k=1,
+    )
+    return (
+        out.filter("aoi_id IS NOT NULL")
+        .groupBy("aoi_id", "station_id")
+        .agg(F.count(F.lit(1)).alias("n_pixels"),
+             F.round(F.avg("lst_k"), 4).alias("avg_lst_k"),
+             F.round(F.avg("station_km"), 4).alias("avg_station_km"))
+        .orderBy("aoi_id", "station_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = dict(relational.queries())
     q["q_lst_pipeline"] = _q_lst_pipeline
@@ -156,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_knn_stations"] = _q_knn_stations
     q["q_tile_assignments"] = _q_tile_assignments
     q["q_rasterize_roundtrip"] = _q_rasterize_roundtrip
+    q["q_full_spatial"] = _q_full_spatial
     return q
 
 

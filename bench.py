@@ -68,10 +68,12 @@ def main() -> None:
 
     meta = spark.createDataFrame(synth.scene_meta_pdf("bench"))
     emis = spark.createDataFrame(pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
-    enriched = pipeline.build_enriched(scenes, meta, emis)
-
+    # cold pass warms Python workers; steady-state measured on a fresh plan
+    _materialize(pipeline.lst_tiles(
+        pipeline.build_enriched(scenes, meta, emis), window=C.DEFAULT_CWV_WINDOW))
     t0 = time.perf_counter()
-    _materialize(pipeline.lst_tiles(enriched, window=C.DEFAULT_CWV_WINDOW))
+    _materialize(pipeline.lst_tiles(
+        pipeline.build_enriched(scenes, meta, emis), window=C.DEFAULT_CWV_WINDOW))
     raster_sec = time.perf_counter() - t0
     times["q_lst_pipeline_bench"] = round(raster_sec, 3)
     scenes.unpersist()

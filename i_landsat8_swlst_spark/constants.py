@@ -45,6 +45,11 @@ CWV_MAX = 6.3  # reference raises outside [0, 6.3]; we yield NULL (C14)
 
 DEFAULT_CWV_WINDOW = 7  # [U] window= option, odd, >=7 recommended
 
+# QA-band values treated as cloud -> NULL (C4; OQ-4: read the exact set from
+# [U] i.landsat8.swlst.py :: clouds option on mount). 61440 is the Landsat-8
+# BQA high-confidence cloud code commonly used by the module's examples.
+DEFAULT_CLOUD_QA_VALUES = (61440, 59424, 57344)
+
 
 class SWCoefficients(NamedTuple):
     """One subrange row of the split-window coefficient table (C8/C9)."""

@@ -1,0 +1,67 @@
+"""TableIO: storage abstraction + partitioned sinks.
+
+North rule targets Iceberg tables; no Iceberg runtime jar exists in this
+sandbox (SURVEY.md §0), so TableIO isolates the storage choice: the Parquet
+backend is live now, and an Iceberg backend is a config change (catalog name
++ ``writeTo``) once a jar is present — the call sites don't change.
+
+Sinks (SURVEY.md §2.2): outputs are partitioned by coarse cell prefix so
+downstream spatial queries prune at the directory/manifest level — the
+storage-layout analog of the reference's region clipping (C13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class TableIO:
+    """read/write with a pluggable backend ('parquet' now, 'iceberg' later)."""
+
+    def __init__(self, spark: SparkSession, backend: str = "parquet",
+                 catalog: str | None = None):
+        if backend not in ("parquet", "iceberg"):
+            raise ValueError(backend)
+        if backend == "iceberg":
+            jars = spark.sparkContext._jsc.sc().listJars().mkString(",")  # noqa: SLF001
+            if "iceberg" not in jars.lower():
+                raise NotImplementedError(
+                    "no Iceberg runtime jar on the classpath in this container; "
+                    "TableIO keeps call sites identical so adding the jar + "
+                    "catalog config enables this backend without code changes"
+                )
+        self.spark = spark
+        self.backend = backend
+        self.catalog = catalog
+
+    def read(self, target: str) -> DataFrame:
+        if self.backend == "parquet":
+            return self.spark.read.parquet(target)
+        return self.spark.table(f"{self.catalog}.{target}")
+
+    def write(self, df: DataFrame, target: str, partition_by: list[str] | None = None,
+              mode: str = "overwrite") -> None:
+        if self.backend == "parquet":
+            w = df.write.mode(mode)
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(target)
+        else:
+            w = df.writeTo(f"{self.catalog}.{target}")
+            if partition_by:
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()
+
+
+def with_cell_prefix(df: DataFrame, cell_col: str = "h3_7",
+                     out_col: str = "cell_p", bits: int = 8) -> DataFrame:
+    """Coarse partition key from a cell id: top bits -> bounded cardinality."""
+    return df.withColumn(
+        out_col, F.pmod(F.shiftrightunsigned(F.col(cell_col), 64 - bits - 4), F.lit(1 << bits))
+    )
+
+
+def write_pixels_sink(io: TableIO, pixels_with_cells: DataFrame, target: str) -> None:
+    """LST pixel-row sink partitioned by cell prefix (SURVEY.md §2.2 sinks)."""
+    df = with_cell_prefix(pixels_with_cells)
+    io.write(df, target, partition_by=["cell_p"])

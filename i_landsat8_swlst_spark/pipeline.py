@@ -54,7 +54,7 @@ def parse_scenes(scenes: DataFrame) -> DataFrame:
     )
 
 
-def pair_bands(parsed: DataFrame) -> DataFrame:
+def pair_bands(parsed: DataFrame, with_qa: bool = False) -> DataFrame:
     """Join band-10 rows to band-11 rows on the tile key.
 
     At 100 TB this is the one unavoidable big shuffle; co-locating both bands
@@ -79,7 +79,12 @@ def pair_bands(parsed: DataFrame) -> DataFrame:
         F.col("fmt").alias("fmt_b11"),
         F.col("caption").alias("caption_b11"),
     )
-    return b10.join(b11, on=key, how="inner")
+    paired = b10.join(b11, on=key, how="inner")
+    if with_qa:
+        qa = parsed.filter(F.col("band") == 0).select(
+            *key, F.col("bytes").alias("bytes_qa"))
+        paired = paired.join(qa, on=key, how="left")  # QA optional per tile
+    return paired
 
 
 def with_meta(paired: DataFrame, scene_meta: DataFrame) -> DataFrame:
@@ -163,21 +168,36 @@ def _to_batch(pdf: pd.DataFrame, spark_schema: StructType) -> pa.RecordBatch:
     return pa.RecordBatch.from_arrays(arrays, schema=schema)
 
 
+_CLOUD_VALUES = np.array(C.DEFAULT_CLOUD_QA_VALUES, dtype=np.float64)
+
+
 def _run_tile_kernel(row, window: int) -> dict:
-    """Decode both bands and run the fused physics for one tile row."""
+    """Decode both bands (+ optional QA cloud mask, C4) and run the fused
+    physics for one tile row."""
     w, h = int(row.w), int(row.h)
     dn10 = codecs.decode_tile(row.bytes_b10, w, h, row.fmt_b10)
     dn11 = codecs.decode_tile(row.bytes_b11, w, h, row.fmt_b11)
+    qa = None
+    qa_bytes = getattr(row, "bytes_qa", None)
+    if qa_bytes is not None:
+        qa = codecs.decode_u16le(qa_bytes, w, h)
     meta = {k: float(getattr(row, k)) for k in META_COLS}
     return K.fused_lst_kernel(
         dn10, dn11, meta,
         e10=float(row.emissivity_b10), e11=float(row.emissivity_b11),
         window=window,
+        qa=qa, cloud_values=_CLOUD_VALUES if qa is not None else None,
     )
 
 
-def lst_tiles(enriched: DataFrame, window: int = C.DEFAULT_CWV_WINDOW) -> DataFrame:
-    """Fused raster kernel -> tile-level LST/CWV arrays + stats (C11)."""
+def lst_tiles(enriched: DataFrame, window: int = C.DEFAULT_CWV_WINDOW,
+              emit_arrays: bool = True) -> DataFrame:
+    """Fused raster kernel -> tile-level LST/CWV arrays + stats (C11).
+
+    emit_arrays=False keeps the byte columns empty for stats-only consumers:
+    Catalyst cannot prune columns *through* a Python UDF node, so the UDF
+    offers the projection control itself (3.4 GB less Arrow traffic per
+    6k-tile batch in the bench job)."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -193,8 +213,8 @@ def lst_tiles(enriched: DataFrame, window: int = C.DEFAULT_CWV_WINDOW) -> DataFr
                     "tile_x": row.tile_x, "tile_y": row.tile_y,
                     "w": row.w, "h": row.h,
                     "caption": row.caption_b10,
-                    "lst_bytes": lst.astype("<f4").tobytes(),
-                    "cwv_bytes": r["cwv"].astype("<f4").tobytes(),
+                    "lst_bytes": lst.astype("<f4").tobytes() if emit_arrays else b"",
+                    "cwv_bytes": r["cwv"].astype("<f4").tobytes() if emit_arrays else b"",
                     "n_valid": int(valid.sum()),
                     "lst_min": float(np.nanmin(lst)) if valid.any() else None,
                     "lst_max": float(np.nanmax(lst)) if valid.any() else None,
@@ -262,11 +282,13 @@ def lst_pixels(
 
 
 def build_enriched(
-    scenes: DataFrame, scene_meta: DataFrame, emissivities: DataFrame
+    scenes: DataFrame, scene_meta: DataFrame, emissivities: DataFrame,
+    with_qa: bool = False,
 ) -> DataFrame:
     """scan -> parse -> pair -> broadcast meta -> broadcast emissivity."""
     parsed = parse_scenes(scenes)
-    return with_emissivity(with_meta(pair_bands(parsed), scene_meta), emissivities)
+    return with_emissivity(
+        with_meta(pair_bands(parsed, with_qa=with_qa), scene_meta), emissivities)
 
 
 def build_enriched_with_grid(
@@ -275,6 +297,173 @@ def build_enriched_with_grid(
     parsed = parse_scenes(scenes)
     enriched = with_emissivity(with_meta(pair_bands(parsed), scene_meta), emissivities)
     return enriched.join(F.broadcast(scene_grids(parsed)), on="scene_id", how="inner")
+
+
+def full_pixel_pipeline(
+    scenes: DataFrame,
+    scene_meta: DataFrame,
+    emissivities: DataFrame,
+    aoi_pdf,
+    stations_pdf,
+    window: int = C.DEFAULT_CWV_WINDOW,
+    knn_k: int = 3,
+    s2_level: int = 14,
+) -> DataFrame:
+    """The complete north-star flow (BASELINE.json:6) in one logical plan:
+
+    decode -> BT -> CWV -> LST (fused kernel) -> pixel rows -> batched
+    H3-role/S2 cell-encode -> broadcast R-tree PIP join to AOIs (left) ->
+    kNN match to CWV stations -> FIXTURES.md §7 lst_pixels shape.
+
+    Everything after the kernel is embarrassingly parallel (broadcast-only
+    joins), so the plan has exactly two exchanges end-to-end: the band-pair
+    join and none after.
+    """
+    from . import spatial
+
+    pixels = lst_pixels(
+        build_enriched_with_grid(scenes, scene_meta, emissivities), window=window
+    )
+    cells = spatial.with_cells(pixels, s2_level=s2_level)
+    pip = spatial.pip_join(cells, aoi_pdf, how="left")
+    return spatial.knn_join(pip, stations_pdf, k=knn_k)
+
+
+HALO_TILE_SCHEMA = TILE_SCHEMA  # same output contract as lst_tiles
+
+
+def lst_tiles_halo(enriched: DataFrame, window: int = C.DEFAULT_CWV_WINDOW) -> DataFrame:
+    """Fused kernel with cross-tile halo exchange: scene-mosaic semantics.
+
+    ``lst_tiles`` reproduces the reference exactly at tile-as-scene
+    granularity (windows hanging off a tile -> NULL). For seamless scene
+    mosaics the CWV window must see r = window//2 pixels of the 8 neighbor
+    tiles. Implemented as the classic halo exchange, Spark-style:
+
+      pass 1 (mapInArrow):   decode once, emit the center tile plus the 8
+                             r-wide DN edge strips each neighbor needs
+                             (shuffle volume ~ (1 + 2r(w+h)/(wh))x, NOT 9x);
+      shuffle:               hash on the receiving tile key;
+      pass 2 (applyInPandas): assemble the (h+2r, w+2r) padded arrays
+                             (missing neighbors = NaN = true scene edge),
+                             run the same fused kernel, crop the halo.
+
+    Catalyst sees a plain groupBy — AQE/salting applies as usual.
+    """
+    r = window // 2
+    strip_schema = StructType([
+        StructField("scene_id", StringType()),
+        StructField("rx", IntegerType()),        # receiving tile key
+        StructField("ry", IntegerType()),
+        StructField("dx", IntegerType()),        # where the piece sits
+        StructField("dy", IntegerType()),
+        StructField("piece10", BinaryType()),    # uint16 LE DN pieces
+        StructField("piece11", BinaryType()),
+        StructField("pw", IntegerType()),
+        StructField("ph", IntegerType()),
+        # center-only passthrough (None on strips)
+        StructField("image_id", StringType()),
+        StructField("caption", StringType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("emissivity_b10", DoubleType()),
+        StructField("emissivity_b11", DoubleType()),
+    ] + [StructField(k, DoubleType()) for k in META_COLS])
+
+    def emit_strips(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            pdf = batch.to_pandas()
+            out = []
+            for row in pdf.itertuples():
+                w, h = int(row.w), int(row.h)
+                dn10 = codecs.decode_tile(row.bytes_b10, w, h, row.fmt_b10).astype("<u2")
+                dn11 = codecs.decode_tile(row.bytes_b11, w, h, row.fmt_b11).astype("<u2")
+                meta = {k: float(getattr(row, k)) for k in META_COLS}
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        rx, ry = row.tile_x + dx, row.tile_y + dy
+                        if rx < 0 or ry < 0:
+                            continue
+                        # slice of THIS tile that tile (rx, ry) needs
+                        xs = slice(None) if dx == 0 else (slice(w - r, w) if dx == 1 else slice(0, r))
+                        ys = slice(None) if dy == 0 else (slice(h - r, h) if dy == 1 else slice(0, r))
+                        p10 = np.ascontiguousarray(dn10[ys, xs])
+                        p11 = np.ascontiguousarray(dn11[ys, xs])
+                        rec = {
+                            "scene_id": row.scene_id, "rx": rx, "ry": ry,
+                            "dx": dx, "dy": dy,
+                            "piece10": p10.tobytes(), "piece11": p11.tobytes(),
+                            "pw": p10.shape[1], "ph": p10.shape[0],
+                            "image_id": None, "caption": None, "w": w, "h": h,
+                            "emissivity_b10": None, "emissivity_b11": None,
+                            **{k: None for k in META_COLS},
+                        }
+                        if dx == 0 and dy == 0:
+                            rec.update({
+                                "image_id": row.image_id_b10,
+                                "caption": row.caption_b10,
+                                "emissivity_b10": float(row.emissivity_b10),
+                                "emissivity_b11": float(row.emissivity_b11),
+                                **meta,
+                            })
+                        out.append(rec)
+            if out:
+                yield _to_batch(pd.DataFrame(out), strip_schema)
+
+    strips = enriched.mapInArrow(emit_strips, strip_schema)
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        center = pdf[(pdf["dx"] == 0) & (pdf["dy"] == 0)]
+        if center.empty or pd.isna(center["image_id"].iloc[0]):
+            return pd.DataFrame(columns=[f.name for f in TILE_SCHEMA])
+        c = center.iloc[0]
+        w, h = int(c["w"]), int(c["h"])
+        pad10 = np.full((h + 2 * r, w + 2 * r), np.nan)
+        pad11 = np.full((h + 2 * r, w + 2 * r), np.nan)
+        for row in pdf.itertuples():
+            piece10 = np.frombuffer(row.piece10, dtype="<u2").reshape(row.ph, row.pw)
+            piece11 = np.frombuffer(row.piece11, dtype="<u2").reshape(row.ph, row.pw)
+            # sender = receiver - (dx,dy): a dx=+1 piece came from the left
+            # neighbor, so it lands on the receiver's padded-left strip, etc.
+            if row.dx == 1:
+                x0 = 0
+            elif row.dx == -1:
+                x0 = r + w
+            else:
+                x0 = r
+            if row.dy == 1:
+                y0 = 0
+            elif row.dy == -1:
+                y0 = r + h
+            else:
+                y0 = r
+            pad10[y0:y0 + row.ph, x0:x0 + row.pw] = piece10
+            pad11[y0:y0 + row.ph, x0:x0 + row.pw] = piece11
+        meta = {k: float(c[k]) for k in META_COLS}
+        res = K.fused_lst_kernel(pad10, pad11, meta,
+                                 e10=float(c["emissivity_b10"]),
+                                 e11=float(c["emissivity_b11"]), window=window)
+        lst = res["lst_k"][r:r + h, r:r + w]
+        cwv = res["cwv"][r:r + h, r:r + w]
+        valid = np.isfinite(lst)
+        return pd.DataFrame([{
+            "image_id": c["image_id"], "scene_id": key[0],
+            "tile_x": int(key[1]), "tile_y": int(key[2]),
+            "w": w, "h": h, "caption": c["caption"],
+            "lst_bytes": lst.astype("<f4").tobytes(),
+            "cwv_bytes": cwv.astype("<f4").tobytes(),
+            "n_valid": int(valid.sum()),
+            "lst_min": float(np.nanmin(lst)) if valid.any() else None,
+            "lst_max": float(np.nanmax(lst)) if valid.any() else None,
+            "lst_mean": float(np.nanmean(lst)) if valid.any() else None,
+            "cwv_mean": float(np.nanmean(cwv)) if np.isfinite(cwv).any() else None,
+            "bt10_mean": float(np.nanmean(res["bt10"][r:r + h, r:r + w])),
+            "bt11_mean": float(np.nanmean(res["bt11"][r:r + h, r:r + w])),
+        }])
+
+    return strips.groupBy(
+        F.col("scene_id"), F.col("rx").alias("tile_x"), F.col("ry").alias("tile_y")
+    ).applyInPandas(assemble, TILE_SCHEMA)
 
 
 def rasterize_pixels(

@@ -31,6 +31,10 @@ def get_spark(
     repo = str(Path(__file__).resolve().parent.parent)
     if repo not in os.environ.get("PYTHONPATH", ""):
         os.environ["PYTHONPATH"] = repo + os.pathsep + os.environ.get("PYTHONPATH", "")
+    # local mode: python workers fork from this process env, so pin BLAS here
+    # too (executorEnv covers real clusters)
+    for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(v, "1")
     b = (
         SparkSession.builder.appName(app)
         .master(f"local[{cores}]")
@@ -39,6 +43,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # binary tile rows are ~256 KB: the 64 MB default advisory size
+        # coalesces below core count and caps parallelism; 16 MB keeps
+        # every core busy while batches stay amortized
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         # Arrow transfer for all pandas/Arrow UDF paths
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
@@ -51,6 +59,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+        # one BLAS/OpenMP thread per Python worker: N workers x M BLAS threads
+        # oversubscribes the box and destroys kernel-stage scaling
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

@@ -127,9 +127,24 @@ def scene_grid(i: int, scale: str) -> tuple[int, int]:
     return tiles_for_scene(i, ntx, nty, zipf, n_scenes)
 
 
-def scene_rows(i: int, scale: str, ty_only: int | None = None) -> list[dict]:
+CLOUD_QA_VALUE = C.DEFAULT_CLOUD_QA_VALUES[0]  # OQ-4: confirm set on mount
+
+
+def gen_qa(sid: str, tx: int, ty: int, w: int, h: int) -> np.ndarray:
+    """Deterministic QA band: ~1/3 of tiles carry a rectangular cloud patch."""
+    rng = rng_for(sid, tx, ty, "qa")
+    qa = np.zeros((h, w), dtype=np.uint16)
+    if rng.random() < 0.34:
+        y0, x0 = rng.integers(0, h // 2), rng.integers(0, w // 2)
+        qa[y0:y0 + h // 3, x0:x0 + w // 3] = CLOUD_QA_VALUE
+    return qa
+
+
+def scene_rows(i: int, scale: str, ty_only: int | None = None,
+               with_qa: bool = False) -> list[dict]:
     """Rows (both bands) for scene i — optionally one tile-row (the unit of
-    distributed generation; keyed rngs make any split identical)."""
+    distributed generation; keyed rngs make any split identical).
+    with_qa adds a band-0 QA row per tile (cloud mask input, C4)."""
     n_scenes, ntx, nty, w, h, zipf = SCALES[scale]
     sid = scene_id(i)
     date = acquired_at(i).strftime("%Y-%m-%d")
@@ -140,7 +155,12 @@ def scene_rows(i: int, scale: str, ty_only: int | None = None) -> list[dict]:
             t = gen_tile(sid, tx, ty, w, h)
             lossy = stable_hash(sid, tx, ty, "fmt") % 4 == 0
             fmt = codecs.FMT_DCT if lossy else codecs.FMT_RAW
-            for band, dn in ((10, t["dn10"]), (11, t["dn11"])):
+            bands = [(10, t["dn10"]), (11, t["dn11"])]
+            if with_qa:
+                bands.append((0, gen_qa(sid, tx, ty, w, h)))
+            for band, dn in bands:
+                if band == 0:
+                    fmt = codecs.FMT_RAW  # QA is always lossless
                 data = codecs.encode_tile(dn, fmt)
                 decoded = codecs.decode_tile(data, w, h, fmt)
                 rows.append(
@@ -157,12 +177,13 @@ def scene_rows(i: int, scale: str, ty_only: int | None = None) -> list[dict]:
     return rows
 
 
-def scenes_pdf(scale: str = "tiny", scenes: list[int] | None = None) -> pd.DataFrame:
+def scenes_pdf(scale: str = "tiny", scenes: list[int] | None = None,
+               with_qa: bool = False) -> pd.DataFrame:
     n_scenes = SCALES[scale][0]
     idx = scenes if scenes is not None else range(n_scenes)
     rows: list[dict] = []
     for i in idx:
-        rows.extend(scene_rows(i, scale))
+        rows.extend(scene_rows(i, scale, with_qa=with_qa))
     df = pd.DataFrame(rows)
     df["w"] = df["w"].astype("int32")
     df["h"] = df["h"].astype("int32")

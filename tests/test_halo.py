@@ -1,0 +1,100 @@
+"""Halo exchange parity: the cross-tile pipeline must equal a whole-scene
+mosaic computed in numpy (windows see across tile borders; NULL only at true
+scene edges)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from i_landsat8_swlst_spark import codecs, constants as C, kernels as K, pipeline, synth
+
+WINDOW = 5
+R = WINDOW // 2
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    scenes = spark.createDataFrame(synth.scenes_pdf("tiny"))
+    meta = spark.createDataFrame(synth.scene_meta_pdf("tiny"))
+    emis = spark.createDataFrame(pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
+    return scenes, meta, emis
+
+
+def _scene_mosaic(sid: str, ntx: int, nty: int, w: int, h: int):
+    """Decoded DN mosaic for both bands + per-tile landcover grid."""
+    m10 = np.zeros((nty * h, ntx * w))
+    m11 = np.zeros((nty * h, ntx * w))
+    lc = {}
+    for ty in range(nty):
+        for tx in range(ntx):
+            t = synth.gen_tile(sid, tx, ty, w, h)
+            lossy = synth.stable_hash(sid, tx, ty, "fmt") % 4 == 0
+            fmt = codecs.FMT_DCT if lossy else codecs.FMT_RAW
+            d10 = codecs.decode_tile(codecs.encode_tile(t["dn10"], fmt), w, h, fmt)
+            d11 = codecs.decode_tile(codecs.encode_tile(t["dn11"], fmt), w, h, fmt)
+            m10[ty * h:(ty + 1) * h, tx * w:(tx + 1) * w] = d10
+            m11[ty * h:(ty + 1) * h, tx * w:(tx + 1) * w] = d11
+            lc[(tx, ty)] = t["landcover"]
+    return m10, m11, lc
+
+
+def test_halo_matches_whole_scene_oracle(spark, tiny):
+    scenes, meta, emis = tiny
+    enriched = pipeline.build_enriched(scenes, meta, emis)
+    halo = pipeline.lst_tiles_halo(enriched, window=WINDOW)
+    got = {(r.scene_id, r.tile_x, r.tile_y): r
+           for r in halo.filter("scene_id = 'LC08_00001'").collect()}
+    assert len(got) == 16  # 4x4 tiles
+
+    m10, m11, lc = _scene_mosaic("LC08_00001", 4, 4, 32, 32)
+    metad = dict(ml_b10=C.ML_DEFAULT, al_b10=C.AL_DEFAULT, ml_b11=C.ML_DEFAULT,
+                 al_b11=C.AL_DEFAULT, k1_b10=C.K1_B10, k2_b10=C.K2_B10,
+                 k1_b11=C.K1_B11, k2_b11=C.K2_B11)
+    bt10 = K.dn_to_bt(m10, metad["ml_b10"], metad["al_b10"], metad["k1_b10"], metad["k2_b10"])
+    bt11 = K.dn_to_bt(m11, metad["ml_b11"], metad["al_b11"], metad["k1_b11"], metad["k2_b11"])
+    cwv_full = K.cwv(bt10, bt11, WINDOW)
+
+    eb = C.emissivities_by_class()
+    for (sid, tx, ty), row in got.items():
+        lst = np.frombuffer(row.lst_bytes, dtype="<f4").reshape(32, 32)
+        cwv_tile = np.frombuffer(row.cwv_bytes, dtype="<f4").reshape(32, 32)
+        exp_cwv = cwv_full[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32]
+        both_nan = np.isnan(cwv_tile) & np.isnan(exp_cwv)
+        close = np.isclose(cwv_tile, exp_cwv, rtol=1e-5, atol=1e-5)
+        assert np.all(both_nan | close), (tx, ty)
+        # interior tiles have NO NaN *window edge* (halo filled it): every
+        # NaN left must come from out-of-range CWV, not missing neighbors
+        if 0 < tx < 3 and 0 < ty < 3:
+            assert np.isfinite(exp_cwv).all()
+            assert row.n_valid == int(np.isfinite(
+                K.lst_from_bt(np.zeros((32, 32)) + 280.0, np.zeros((32, 32)) + 279.0,
+                              exp_cwv, 0.97, 0.96)[0]).sum()), (tx, ty)
+        # scene-corner tile keeps NaN exactly on the true scene edge
+        if tx == 0 and ty == 0:
+            assert np.all(np.isnan(lst[:R, :])) and np.all(np.isnan(lst[:, :R]))
+        e = eb[lc[(tx, ty)]]
+        et10 = bt10[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32]
+        et11 = bt11[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32]
+        exp_lst, _ = K.lst_from_bt(et10, et11, exp_cwv, e.emissivity_b10, e.emissivity_b11)
+        lnan = np.isnan(lst) & np.isnan(exp_lst)
+        lclose = np.isclose(lst, exp_lst, rtol=1e-5, atol=1e-4)
+        assert np.all(lnan | lclose), (tx, ty)
+
+
+def test_halo_interior_matches_tile_local(spark, tiny):
+    """Pixels whose window never crosses a tile border are identical in both
+    modes (the halo changes only border bands)."""
+    scenes, meta, emis = tiny
+    enriched = pipeline.build_enriched(scenes, meta, emis)
+    local = {(r.scene_id, r.tile_x, r.tile_y): r
+             for r in pipeline.lst_tiles(enriched, window=WINDOW)
+             .filter("scene_id = 'LC08_00000'").collect()}
+    halo = {(r.scene_id, r.tile_x, r.tile_y): r
+            for r in pipeline.lst_tiles_halo(enriched, window=WINDOW)
+            .filter("scene_id = 'LC08_00000'").collect()}
+    assert set(local) == set(halo)
+    for k in local:
+        a = np.frombuffer(local[k].lst_bytes, dtype="<f4").reshape(32, 32)
+        b = np.frombuffer(halo[k].lst_bytes, dtype="<f4").reshape(32, 32)
+        inner = (slice(R, 32 - R), slice(R, 32 - R))
+        np.testing.assert_allclose(a[inner], b[inner], rtol=1e-6, equal_nan=True)
