@@ -171,6 +171,95 @@ def _q_full_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_overviews(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: mean-pool overview pyramid (resize path) over tiles;
+    numpy-pooling parity in tests/test_mediaops.py."""
+    from i_landsat8_swlst_spark import mediaops
+
+    scenes, _, _ = _tiny_fixture(spark)
+    ov = mediaops.tile_overviews(scenes, levels=(2, 4))
+    return (
+        ov.groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_tiles"),
+             F.round(F.avg("px_mean"), 4).alias("avg_px_mean"))
+        .orderBy("level")
+    )
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: every-4th-frame sampling of packed u16seq videos;
+    exact-slice parity in tests/test_mediaops.py."""
+    from i_landsat8_swlst_spark import mediaops
+
+    videos = spark.createDataFrame(mediaops.videos_pdf(n=4, frames=12))
+    return mediaops.frame_sample(videos, every=4).select(
+        "video_id", "frame_idx", "w", "h", "px_mean"
+    ).orderBy("video_id", "frame_idx")
+
+
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: pcm16 rms/zero-crossing features; numpy parity in
+    tests/test_mediaops.py."""
+    from i_landsat8_swlst_spark import mediaops
+
+    clips = spark.createDataFrame(mediaops.audio_pdf(n=6))
+    return mediaops.audio_features(clips).orderBy("clip_id")
+
+
+def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: tolerant decode catalog over mixed formats (undecodable
+    fmts catalogued, not failed)."""
+    from i_landsat8_swlst_spark import mediaops
+
+    scenes, _, _ = _tiny_fixture(spark)
+    return (
+        mediaops.media_meta(scenes)
+        .groupBy("fmt", "decoded")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.round(F.avg("px_mean"), 4).alias("avg_px"))
+        .orderBy("fmt", "decoded")
+    )
+
+
+def _q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: Structured Streaming ingest (file source -> watermark dedup
+    -> Arrow decode -> checkpointed partitioned sink) drained twice with a
+    duplicate re-delivery in drop 2; semantics tested in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from i_landsat8_swlst_spark import streaming, synth
+
+    tmp = tempfile.mkdtemp(prefix="swlst_qstream_")
+    try:
+        in_dir, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        import os
+        os.makedirs(in_dir)
+        s0 = synth.scenes_pdf("tiny", scenes=[0])
+        s1 = synth.scenes_pdf("tiny", scenes=[1])
+        pq.write_table(pa.Table.from_pandas(s0, preserve_index=False), f"{in_dir}/d1.parquet")
+        streaming.stream_tile_stats(spark, in_dir, out, ckpt)
+        # drop 2 re-delivers scene 0 alongside new scene 1 -> deduped
+        pq.write_table(pa.Table.from_pandas(
+            pd.concat([s1, s0], ignore_index=True), preserve_index=False),
+            f"{in_dir}/d2.parquet")
+        streaming.stream_tile_stats(spark, in_dir, out, ckpt)
+        return (
+            streaming.read_stats(spark, out)
+            .groupBy("scene_id", "band")
+            .agg(F.count(F.lit(1)).alias("n_tiles"),
+                 F.round(F.avg("dn_mean"), 4).alias("avg_dn"))
+            .orderBy("scene_id", "band")
+            .localCheckpoint()  # materialize before the temp dir vanishes
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = dict(relational.queries())
     q["q_lst_pipeline"] = _q_lst_pipeline
@@ -179,6 +268,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_tile_assignments"] = _q_tile_assignments
     q["q_rasterize_roundtrip"] = _q_rasterize_roundtrip
     q["q_full_spatial"] = _q_full_spatial
+    q["q_media_overviews"] = _q_media_overviews
+    q["q_frame_sample"] = _q_frame_sample
+    q["q_audio_features"] = _q_audio_features
+    q["q_media_meta"] = _q_media_meta
+    q["q_stream_ingest"] = _q_stream_ingest
     return q
 
 

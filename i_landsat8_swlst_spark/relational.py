@@ -415,3 +415,74 @@ def q_date_math(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_orders"),
              F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"))
     )
+
+
+# --- JSON ops: parse events.props, extract + aggregate ---------------------------
+# (engine surface: semi-structured columns; Spark get_json_object <-> DuckDB
+# json_extract — identical path semantics for flat keys)
+
+@register(
+    "q_json_extract",
+    """SELECT event_type,
+          CAST(count(*) AS BIGINT) AS n_events,
+          CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+          CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+       FROM events GROUP BY event_type""",
+)
+def q_json_extract(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# --- CUBE / grouping sets (per-scene x per-class rollup shape, SURVEY §2.2) ------
+# NULL group markers are coalesced to 'ALL' on both sides so the value hash
+# is engine-agnostic (Spark and DuckDB agree on CUBE group production).
+
+@register(
+    "q_cube",
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+          coalesce(l_linestatus, 'ALL') AS linestatus,
+          CAST(count(*) AS BIGINT) AS n_items,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+)
+def q_cube(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("revenue_cents"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items", "revenue_cents",
+        )
+    )
+
+
+# --- scalar subquery (uncorrelated): orders above the global average -------------
+
+@register(
+    "q_scalar_subquery",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_above_avg
+       FROM orders
+       WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+       GROUP BY o_orderpriority""",
+)
+def q_scalar_subquery(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    avg = o.agg(F.avg("o_totalprice").alias("avg_price"))
+    # uncorrelated scalar subquery == broadcast 1-row cross join in DF algebra
+    return (
+        o.crossJoin(F.broadcast(avg))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_above_avg"))
+    )

@@ -1,0 +1,168 @@
+"""Structured Streaming ingest of scene tiles.
+
+The reference is strictly batch (SURVEY.md §2.2 documents the negative) and
+BASELINE.json:14 frames production as checkpoint-resumable batch jobs — this
+module is the graft's *ingest* path for continuously arriving scene drops:
+
+  file-source stream of scene parquet  ->  event-time watermark (acquisition
+  date parsed from the caption)  ->  dropDuplicatesWithinWatermark(image_id)
+  (re-delivered tiles are dropped exactly like the batch resume anti-join)
+  ->  the same Arrow decode kernel  ->  checkpointed append sink partitioned
+  by scene_id.
+
+Everything runs under ``trigger(availableNow=True)``: each invocation drains
+whatever files have landed and stops, so the same code is a cron-style
+incremental batch OR a long-running stream — and tests need no daemon.
+
+Scale notes: the file source lists only NEW files per micro-batch (the
+checkpoint's file log is the lineage); dedup state is keyed by image_id and
+bounded by the watermark horizon; the sink's exactly-once story is the
+standard streaming-commit-log + idempotent file names.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
+)
+
+from . import codecs
+from .pipeline import _to_batch, parse_scenes
+
+SCENES_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("bytes", BinaryType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("fmt", StringType()),
+    StructField("caption", StringType()),
+    StructField("phash", LongType()),
+])
+
+TILE_STATS_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("scene_id", StringType()),
+    StructField("band", IntegerType()),
+    StructField("tile_x", IntegerType()),
+    StructField("tile_y", IntegerType()),
+    StructField("acq_date", StringType()),
+    StructField("n_px", LongType()),
+    StructField("dn_min", DoubleType()),
+    StructField("dn_max", DoubleType()),
+    StructField("dn_mean", DoubleType()),
+])
+
+
+def _with_event_time(scenes: DataFrame) -> DataFrame:
+    """Event time = acquisition date parsed from the caption (deterministic,
+    round-trips with synth.caption_for)."""
+    return scenes.withColumn(
+        "acq_ts",
+        F.to_timestamp(F.regexp_extract("caption", r"acquired=(\d{4}-\d{2}-\d{2})", 1)),
+    )
+
+
+def _decode_stats(df: DataFrame) -> DataFrame:
+    """Same Arrow-batched decode discipline as the batch kernel (C2 input
+    side), per single band — streaming pairs arrive independently, so the
+    per-band stats table is the streaming analog of lst_tiles' input audit."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            pdf = batch.to_pandas()
+            out = []
+            for row in pdf.itertuples():
+                img = codecs.decode_tile(row.bytes, int(row.w), int(row.h), row.fmt)
+                out.append({
+                    "image_id": row.image_id, "scene_id": row.scene_id,
+                    "band": int(row.band),
+                    "tile_x": int(row.tile_x), "tile_y": int(row.tile_y),
+                    "acq_date": row.acq_date,
+                    "n_px": int(img.size),
+                    "dn_min": float(img.min()), "dn_max": float(img.max()),
+                    "dn_mean": round(float(img.mean()), 6),
+                })
+            if out:
+                yield _to_batch(pd.DataFrame(out), TILE_STATS_SCHEMA)
+
+    return df.mapInArrow(fn, TILE_STATS_SCHEMA)
+
+
+def stream_tile_stats(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    dedup_horizon: str = "365 days",
+) -> None:
+    """Drain all pending scene-parquet drops into the tile-stats sink.
+
+    Exactly-once per image_id: the file log skips already-processed FILES,
+    and dropDuplicatesWithinWatermark skips re-delivered ROWS (same tile in
+    a later drop) while their event time is within `dedup_horizon`."""
+    raw = spark.readStream.schema(SCENES_SCHEMA).parquet(in_dir)
+    deduped = (
+        _with_event_time(raw)
+        .withWatermark("acq_ts", dedup_horizon)
+        .dropDuplicatesWithinWatermark(["image_id"])
+    )
+    parsed = parse_scenes(deduped).withColumn(
+        "acq_date", F.date_format("acq_ts", "yyyy-MM-dd"))
+    stats = _decode_stats(parsed.select(
+        "image_id", "scene_id", "band", "tile_x", "tile_y", "acq_date",
+        "bytes", "w", "h", "fmt"))
+    q = (
+        stats.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("scene_id")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 day",
+) -> None:
+    """Event-time tumbling-window aggregation with late-data handling: tiles
+    per (scene, 1-day acquisition window). Append mode — a window row is
+    emitted only once its window is below the watermark (finalized), the
+    standard Structured Streaming contract."""
+    raw = spark.readStream.schema(SCENES_SCHEMA).parquet(in_dir)
+    counts = (
+        _with_event_time(raw)
+        .withColumn("scene_id", F.regexp_extract("image_id", r"^([^/]+)/", 1))
+        .withWatermark("acq_ts", watermark)
+        .groupBy(F.window("acq_ts", "1 day").alias("win"), "scene_id")
+        .agg(F.count(F.lit(1)).alias("n_tiles"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "scene_id", "n_tiles",
+        )
+    )
+    q = (
+        counts.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_stats(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(out_dir)

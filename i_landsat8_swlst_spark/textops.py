@@ -394,3 +394,245 @@ def q_ann_lsh_buckets(spark, sf_dir):
         F.count(F.lit(1)).alias("n_vecs"),
         F.min("vec_id").alias("min_vec_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE-ish token counting: regex word/number/punct pieces (identical RE
+# semantics in Java regex and DuckDB's RE2 for this alternation)
+# --------------------------------------------------------------------------
+
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "q_bpe_tokens",
+    f"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '{_BPE_RE}', 0))) AS BIGINT) AS total_pieces,
+           round(CAST(sum(len(regexp_extract_all(text, '{_BPE_RE}', 0))) AS DOUBLE)
+                 / sum({{ntok}}), 6) AS pieces_per_ws_token
+        FROM documents GROUP BY source""".format(ntok=_NTOK),
+)
+def q_bpe_tokens(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    pieces = F.size(F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)"))
+    ws = F.expr(_NTOK)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(pieces).cast("long").alias("total_pieces"),
+        F.round(F.sum(pieces).cast("double") / F.sum(ws), 6).alias("pieces_per_ws_token"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer et al. rolling-window scheme):
+# k-gram hashes (k=8, same exact md5->int fold as MinHash), sliding window of
+# w=6 positions, fingerprint = window minimum. Both engines run the identical
+# window-min frame, so the selected fingerprint SET matches exactly.
+# --------------------------------------------------------------------------
+
+_WINNOW_K = 8
+_WINNOW_W = 6
+_WINNOW_SUBSET = "doc_id % 7 = 0"
+
+
+def _winnow_grams_sql() -> str:
+    return f"""
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         substr(text, CAST(i AS INT) + 1, {_WINNOW_K}) AS sh
+  FROM (SELECT doc_id, text,
+               unnest(range(0, length(text) - {_WINNOW_K} + 1)) AS i
+        FROM documents
+        WHERE {_WINNOW_SUBSET} AND length(text) >= {_WINNOW_K}) src
+"""
+
+
+@register(
+    "q_winnow_fingerprint",
+    f"""WITH grams AS ({_winnow_grams_sql()}),
+       hashed AS (SELECT doc_id, i, {_hex_to_int_sql()} AS h FROM grams),
+       wmins AS (SELECT doc_id, i,
+                        min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                     ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp,
+                        count(*) OVER (PARTITION BY doc_id) AS n_pos
+                 FROM hashed)
+       SELECT doc_id,
+              CAST(any_value(n_pos) AS BIGINT) AS n_kgrams,
+              CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+              CAST(min(fp) AS BIGINT) AS min_fp,
+              CAST(max(fp) AS BIGINT) AS max_fp
+       FROM wmins WHERE i + {_WINNOW_W - 1} <= n_pos - 1
+       GROUP BY doc_id""",
+)
+def q_winnow_fingerprint(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(_WINNOW_SUBSET).filter(
+        F.length("text") >= _WINNOW_K)
+    grams = (
+        d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.length("text") - _WINNOW_K)).alias("i"),
+            "text",
+        )
+        .select("doc_id", "i", F.expr(f"substr(text, i + 1, {_WINNOW_K})").alias("sh"))
+    )
+    hashed = grams.select("doc_id", "i", F.expr(_hex_to_int_sql()).alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, _WINNOW_W - 1)
+    wpos = Window.partitionBy("doc_id")
+    wmins = hashed.select(
+        "doc_id", "i",
+        F.min("h").over(w).alias("fp"),
+        F.count(F.lit(1)).over(wpos).alias("n_pos"),
+    )
+    return (
+        wmins.filter(F.col("i") + (_WINNOW_W - 1) <= F.col("n_pos") - 1)
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_pos").alias("n_kgrams"),
+            F.countDistinct("fp").alias("n_fingerprints"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-duplicate dedup: pairs above a cosine threshold on a
+# deterministic subset, then keeper = min vec_id over the near-dup neighbor-
+# hood (including self) — the embedding analog of q_dedup_exact.
+# --------------------------------------------------------------------------
+
+_ND_THRESH = 0.3
+_ND_SUBSET = "vec_id % 5 = 0"
+
+
+def _dot_duck(x: str, y: str) -> str:
+    return f"list_dot_product(CAST({x}.embedding AS DOUBLE[]), CAST({y}.embedding AS DOUBLE[]))"
+
+
+def _nrm_duck(t: str) -> str:
+    return f"sqrt({_dot_duck(t, t)})"
+
+
+def _dot_spark(x: str, y: str) -> str:
+    return (
+        f"aggregate(zip_with(CAST({x}.embedding AS array<double>),"
+        f" CAST({y}.embedding AS array<double>), (p, q) -> p * q),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _nrm_spark(t: str) -> str:
+    return f"sqrt({_dot_spark(t, t)})"
+
+
+@register(
+    "q_embed_neardup",
+    f"""WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE {_ND_SUBSET}),
+       pairs AS (
+         SELECT ia, ib FROM (
+           SELECT a.vec_id AS ia, b.vec_id AS ib,
+                  round({_dot_duck('a', 'b')} / ({_nrm_duck('a')} * {_nrm_duck('b')}), 4) AS cos
+           FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
+         WHERE cos >= {_ND_THRESH}),
+       edges AS (SELECT ia AS v, ib AS u FROM pairs
+                 UNION ALL SELECT ib, ia FROM pairs
+                 UNION ALL SELECT vec_id, vec_id FROM sub)
+       SELECT v AS vec_id, CAST(min(u) AS BIGINT) AS keeper_id,
+              CAST(count(*) - 1 AS BIGINT) AS n_neardups,
+              CAST(CASE WHEN min(u) < v THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+       FROM edges GROUP BY v""",
+)
+def q_embed_neardup(spark, sf_dir):
+    sub = load(spark, sf_dir, "embeddings").filter(_ND_SUBSET).select("vec_id", "embedding")
+    a, b = sub.alias("a"), sub.alias("b")
+    cos = F.round(
+        F.expr(_dot_spark("a", "b")) / (F.expr(_nrm_spark("a")) * F.expr(_nrm_spark("b"))), 4)
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib"), cos.alias("cos"))
+        .filter(F.col("cos") >= _ND_THRESH)
+    )
+    edges = (
+        pairs.select(F.col("ia").alias("v"), F.col("ib").alias("u"))
+        .unionAll(pairs.select(F.col("ib").alias("v"), F.col("ia").alias("u")))
+        .unionAll(sub.select(F.col("vec_id").alias("v"), F.col("vec_id").alias("u")))
+    )
+    return edges.groupBy(F.col("v").alias("vec_id")).agg(
+        F.min("u").alias("keeper_id"),
+        (F.count(F.lit(1)) - 1).alias("n_neardups"),
+        F.when(F.min("u") < F.col("v"), 1).otherwise(0).cast("long").alias("is_dup"),
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF approximate nearest neighbors: deterministic coarse quantizer (every
+# 97th vector is a centroid), assign all vectors to their nearest centroid,
+# probe the nprobe=2 closest clusters per query, exact top-k inside the
+# probed clusters. Fully SQL-twinned (the scale path: the assignment join is
+# |V| x |C| with C ~ sqrt(|V|) broadcast, candidates shrink by ~|C|/nprobe).
+# --------------------------------------------------------------------------
+
+_IVF_CENT = "vec_id % 97 = 7"
+_IVF_QRY = "vec_id % 50 = 1"
+_IVF_NPROBE = 2
+_IVF_K = 5
+
+
+@register(
+    "q_ann_ivf",
+    f"""WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE {_IVF_CENT}),
+       assign0 AS (
+         SELECT v.vec_id, c.cid,
+                round({_dot_duck('v', 'c')} / ({_nrm_duck('v')} * {_nrm_duck('c')}), 6) AS cosd
+         FROM embeddings v CROSS JOIN cent c),
+       assign AS (SELECT vec_id, cid FROM (
+           SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY cosd DESC, cid) AS rn
+           FROM assign0) WHERE rn = 1),
+       probe AS (SELECT vec_id AS qid, cid FROM (
+           SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY cosd DESC, cid) AS rn
+           FROM assign0 WHERE {_IVF_QRY}) WHERE rn <= {_IVF_NPROBE}),
+       cand AS (SELECT p.qid, a.vec_id AS nid
+                FROM probe p JOIN assign a ON a.cid = p.cid AND a.vec_id != p.qid),
+       scored AS (
+         SELECT cand.qid, cand.nid,
+                round({_dot_duck('q', 'n')} / ({_nrm_duck('q')} * {_nrm_duck('n')}), 4) AS cos
+         FROM cand JOIN embeddings q ON q.vec_id = cand.qid
+                   JOIN embeddings n ON n.vec_id = cand.nid)
+       SELECT qid AS query_id, nid AS neighbor_id, cos, CAST(rnk AS BIGINT) AS rnk FROM (
+         SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+         FROM scored) WHERE rnk <= {_IVF_K}""",
+)
+def q_ann_ivf(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    cent = e.filter(_IVF_CENT).select(F.col("vec_id").alias("cid"), "embedding")
+    v, c = e.alias("v"), cent.alias("c")
+    cosd = F.round(
+        F.expr(_dot_spark("v", "c")) / (F.expr(_nrm_spark("v")) * F.expr(_nrm_spark("c"))), 6)
+    assign0 = v.crossJoin(F.broadcast(c)).select(
+        F.col("v.vec_id").alias("vec_id"), F.col("c.cid").alias("cid"), cosd.alias("cosd"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosd"), F.asc("cid"))
+    ranked = assign0.withColumn("rn", F.row_number().over(w))
+    assign = ranked.filter("rn = 1").select("vec_id", "cid")
+    probe = (
+        ranked.filter(_IVF_QRY).filter(f"rn <= {_IVF_NPROBE}")
+        .select(F.col("vec_id").alias("qid"), "cid")
+    )
+    cand = probe.join(assign.alias("a"),
+                      (F.col("a.cid") == probe.cid) & (F.col("a.vec_id") != probe.qid)) \
+                .select("qid", F.col("a.vec_id").alias("nid"))
+    q, n = e.alias("q"), e.alias("n")
+    cos = F.round(
+        F.expr(_dot_spark("q", "n")) / (F.expr(_nrm_spark("q")) * F.expr(_nrm_spark("n"))), 4)
+    scored = (
+        cand.join(q, F.col("q.vec_id") == cand.qid)
+        .join(n, F.col("n.vec_id") == cand.nid)
+        .select("qid", "nid", cos.alias("cos"))
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .filter(f"rnk <= {_IVF_K}")
+        .select(F.col("qid").alias("query_id"), F.col("nid").alias("neighbor_id"),
+                "cos", F.col("rnk").cast("long").alias("rnk"))
+    )

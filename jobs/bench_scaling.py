@@ -25,7 +25,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import pandas as pd  # noqa: E402
 
 REPO = Path(__file__).resolve().parent.parent
-TMP = REPO / "BENCH" / ".tmp"
+_SHM = Path("/dev/shm")
+TMP = (_SHM / "swlst_scaling_tmp") if _SHM.is_dir() else (REPO / "BENCH" / ".tmp")
 N_SCENES = int(os.environ.get("SCALING_SCENES", "10"))
 WINDOW = 7
 

@@ -1,0 +1,87 @@
+"""Structured Streaming ingest: incremental file drains, exactly-once row
+dedup within the watermark, and event-time windowed aggregation semantics."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from i_landsat8_swlst_spark import streaming, synth
+
+
+def _drop(pdf, path):
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+
+
+def test_stream_tile_stats_incremental_and_dedup(spark, tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    s0 = synth.scenes_pdf("small", scenes=[0])
+    s1 = synth.scenes_pdf("small", scenes=[1])
+    s2 = synth.scenes_pdf("small", scenes=[2])
+
+    # drop 1: scenes 0+1
+    _drop(s0, in_dir / "drop1a.parquet")
+    _drop(s1, in_dir / "drop1b.parquet")
+    streaming.stream_tile_stats(spark, str(in_dir), out, ckpt)
+    got = streaming.read_stats(spark, out)
+    assert got.count() == len(s0) + len(s1)
+
+    # drain again with no new files: nothing reprocessed
+    streaming.stream_tile_stats(spark, str(in_dir), out, ckpt)
+    assert streaming.read_stats(spark, out).count() == len(s0) + len(s1)
+
+    # drop 2: new scene 2 PLUS a re-delivery of scene 0 (same image_ids in a
+    # new file) -> file source reads it, watermark dedup drops the rows
+    import pandas as pd
+    _drop(pd.concat([s2, s0], ignore_index=True), in_dir / "drop2.parquet")
+    streaming.stream_tile_stats(spark, str(in_dir), out, ckpt)
+    got = streaming.read_stats(spark, out)
+    assert got.count() == len(s0) + len(s1) + len(s2)
+    # no image_id appears twice
+    assert got.select("image_id").distinct().count() == got.count()
+
+    # values match a direct batch decode of the same tiles
+    row = got.filter("band = 10").orderBy("image_id").limit(1).collect()[0]
+    from i_landsat8_swlst_spark import codecs
+    src = next(r for _, r in s0.iterrows() if r["image_id"] == row["image_id"])
+    img = codecs.decode_tile(bytes(src["bytes"]), src["w"], src["h"], src["fmt"])
+    assert row["n_px"] == img.size
+    assert row["dn_mean"] == round(float(img.mean()), 6)
+
+
+def test_stream_windowed_counts_watermark_semantics(spark, tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    s0 = synth.scenes_pdf("small", scenes=[0])  # acquired 2024-01-01
+    s1 = synth.scenes_pdf("small", scenes=[1])  # acquired 2024-01-02
+    _drop(s0, in_dir / "d1.parquet")
+    _drop(s1, in_dir / "d2.parquet")
+
+    # batch 1: watermark starts at epoch -> append emits no finalized window
+    streaming.stream_windowed_counts(spark, str(in_dir), out, ckpt)
+    emitted1 = spark.read.parquet(out).count() if _has_files(out) else 0
+
+    # batch 2: scene 3 (2024-01-04) pushes the watermark past the Jan-1/Jan-2
+    # windows -> they finalize and append exactly once
+    s3 = synth.scenes_pdf("small", scenes=[3])
+    _drop(s3, in_dir / "d3.parquet")
+    streaming.stream_windowed_counts(spark, str(in_dir), out, ckpt)
+    got = {r["scene_id"]: r["n_tiles"] for r in spark.read.parquet(out).collect()}
+
+    assert emitted1 == 0, "append mode must not emit unfinalized windows"
+    assert got == {
+        synth.scene_id(0): len(s0),
+        synth.scene_id(1): len(s1),
+    }
+
+
+def _has_files(path):
+    import glob
+    import os
+    return bool(glob.glob(os.path.join(path, "*.parquet")) or
+                glob.glob(os.path.join(path, "*", "*.parquet")))
