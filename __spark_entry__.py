@@ -260,6 +260,43 @@ def _q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: custom stateful streaming operator (applyInPandasWithState)
+    — per-(scene,band) ingest progress whose keyed state survives across two
+    availableNow drains via the state store; semantics tested in
+    tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from i_landsat8_swlst_spark import streaming, synth
+
+    tmp = tempfile.mkdtemp(prefix="swlst_qprog_")
+    try:
+        import os
+
+        in_dir, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        os.makedirs(in_dir)
+        s0 = synth.scenes_pdf("tiny", scenes=[0]).sort_values("image_id")
+        h1, h2 = s0.iloc[::2], s0.iloc[1::2]
+        pq.write_table(pa.Table.from_pandas(h1, preserve_index=False), f"{in_dir}/h1.parquet")
+        streaming.stream_scene_progress(spark, in_dir, out, ckpt,
+                                        expected_tiles=len(s0) // 2)
+        pq.write_table(pa.Table.from_pandas(h2, preserve_index=False), f"{in_dir}/h2.parquet")
+        streaming.stream_scene_progress(spark, in_dir, out, ckpt,
+                                        expected_tiles=len(s0) // 2)
+        return (
+            streaming.read_stats(spark, out)
+            .select("batch_id", "scene_id", "band", "tiles_seen", "px_seen", "complete")
+            .orderBy("batch_id", "band")
+            .localCheckpoint()  # materialize before the temp dir vanishes
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = dict(relational.queries())
     q["q_lst_pipeline"] = _q_lst_pipeline
@@ -273,6 +310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_audio_features"] = _q_audio_features
     q["q_media_meta"] = _q_media_meta
     q["q_stream_ingest"] = _q_stream_ingest
+    q["q_stream_progress"] = _q_stream_progress
     return q
 
 

@@ -40,7 +40,21 @@ def radiance_to_bt(rad: np.ndarray, k1: float, k2: float) -> np.ndarray:
 
 
 def dn_to_bt(dn: np.ndarray, ml: float, al: float, k1: float, k2: float) -> np.ndarray:
-    return radiance_to_bt(dn_to_radiance(dn, ml, al), k1, k2)
+    """Fused C2+C3 with in-place float64 ops (bit-identical to the composed
+    form: IEEE mul/add/log/div in the same order, one buffer instead of 5 —
+    the kernel is memory-bound at high core counts, BENCH/BASELINE.md)."""
+    rad = dn.astype(np.float64)
+    rad *= ml
+    rad += al
+    bad = rad <= 0  # non-physical radiance -> NULL (C14)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        bt = np.divide(k1, rad, out=rad)  # rad no longer needed
+        bt += 1.0
+        np.log(bt, out=bt)
+        np.divide(k2, bt, out=bt)
+    if bad.any():
+        bt[bad] = np.nan
+    return bt
 
 
 # ---------------------------------------------------------------------------
@@ -62,14 +76,19 @@ def _box_sum(a: np.ndarray, win: int) -> np.ndarray:
     """Sum of a over each win x win window centered per pixel.
 
     O(1) per pixel via 2-D cumsum. Input must already be NaN-free
-    (caller handles NaN bookkeeping separately).
+    (caller handles NaN bookkeeping separately). Second cumsum and the
+    final inclusion-exclusion run in-place: the kernel is memory-bound
+    at high core counts (BENCH/BASELINE.md), so every saved full-array
+    pass is throughput.
     """
     r = win // 2
     p = np.pad(a, ((r + 1, r), (r + 1, r)), mode="constant", constant_values=0.0)
-    cs = p.cumsum(axis=0).cumsum(axis=1)
-    return (
-        cs[win:, win:] - cs[:-win, win:] - cs[win:, :-win] + cs[:-win, :-win]
-    )
+    cs = p.cumsum(axis=0)
+    np.cumsum(cs, axis=1, out=cs)
+    out = cs[win:, win:] - cs[:-win, win:]
+    out -= cs[win:, :-win]
+    out += cs[:-win, :-win]
+    return out
 
 
 def _window_nan_count(a: np.ndarray, win: int) -> np.ndarray:
@@ -99,20 +118,46 @@ def cwv_ratio(t10: np.ndarray, t11: np.ndarray, window: int = C.DEFAULT_CWV_WIND
     if window % 2 != 1 or window < 3:
         raise ValueError(f"window must be odd and >= 3, got {window}")
     n = float(window * window)
-    bad = (_window_nan_count(t10, window) + _window_nan_count(t11, window)) > 0
+    r = window // 2
 
-    a10 = np.nan_to_num(t10, nan=0.0)
-    a11 = np.nan_to_num(t11, nan=0.0)
+    # NaN bookkeeping: a NaN in EITHER band poisons the window, so one
+    # combined indicator + one box count replaces two separate counts.
+    # The "count(t10 NaNs) + count(t11 NaNs) > 0" rule is equivalent to
+    # "count(t10-NaN OR t11-NaN) > 0" (both are "any NaN in the window"),
+    # and off-edge cells count as NaN either way (pad below).
+    nan10 = np.isnan(t10)
+    nan11 = np.isnan(t11)
+    has_nan = bool(nan10.any() or nan11.any())
+    if has_nan:
+        either = np.logical_or(nan10, nan11, out=nan10)
+        ind = np.pad(either.astype(np.float64), r, constant_values=1.0)
+        bad = _box_sum(ind, window)[r:-r or None, r:-r or None] > 0
+        a10 = np.where(either, 0.0, t10)
+        a11 = np.where(either, 0.0, t11)
+    else:
+        # interior pixels have full windows; only the r-wide edge ring sees
+        # off-map (NULL) cells -> mask it without any box count
+        bad = np.zeros(t10.shape, dtype=bool)
+        bad[:r, :] = bad[-r:, :] = True
+        bad[:, :r] = bad[:, -r:] = True
+        a10, a11 = t10, t11
+
     s10 = _box_sum(a10, window)
     s11 = _box_sum(a11, window)
     s1010 = _box_sum(a10 * a10, window)
     s1011 = _box_sum(a10 * a11, window)
 
-    num = s1011 - s10 * s11 / n
-    den = s1010 - s10 * s10 / n
+    # num = s1011 - s10*s11/n ; den = s1010 - s10*s10/n  (in-place, same
+    # IEEE op order as the composed form)
+    t = s10 * s11
+    t /= n
+    num = np.subtract(s1011, t, out=s1011)
+    np.multiply(s10, s10, out=t)
+    t /= n
+    den = np.subtract(s1010, t, out=s1010)
     with np.errstate(divide="ignore", invalid="ignore"):
-        ratio = num / den
-    ratio = np.where(bad | (den == 0.0), np.nan, ratio)
+        ratio = np.divide(num, den, out=num)
+    ratio[bad | (den == 0.0)] = np.nan
     return ratio
 
 
@@ -191,22 +236,44 @@ def lst_from_bt(
     idx = select_subrange(cwv_arr)
     _, _, _, b = _coef_matrix()
     safe = np.where(idx < 0, 0, idx)
-    coef = b[safe]  # (..., 8)
-    b0, b1, b2, b3 = coef[..., 0], coef[..., 1], coef[..., 2], coef[..., 3]
-    b4, b5, b6, b7 = coef[..., 4], coef[..., 5], coef[..., 6], coef[..., 7]
 
-    avg = (t10 + t11) / 2.0
-    diff = (t10 - t11) / 2.0
     em_ratio = (1.0 - e) / e
     de_ratio = de / (e * e)
+    d = t10 - t11
+    avg = (t10 + t11) / 2.0
+    diff = d / 2.0
 
-    lst = (
-        b0
-        + (b1 + b2 * em_ratio + b3 * de_ratio) * avg
-        + (b4 + b5 * em_ratio + b6 * de_ratio) * diff
-        + b7 * (t10 - t11) ** 2
-    )
-    lst = np.where(idx < 0, np.nan, lst)
+    if e10.ndim == 0:
+        # Scalar emissivity (fixed class / per-tile landcover — the hot
+        # path): fold the emissivity terms into 4 per-subrange scalars
+        # BEFORE the per-pixel gather. Same IEEE op order as the array
+        # form (b1 + b2*em + b3*der evaluated left-to-right), so results
+        # are bit-identical, but 4 six-entry gathers replace an
+        # (H, W, 8) gather + 8 full-array multiplies.
+        c_avg = b[:, 1] + b[:, 2] * em_ratio + b[:, 3] * de_ratio  # (6,)
+        c_diff = b[:, 4] + b[:, 5] * em_ratio + b[:, 6] * de_ratio
+        # same addition order as the array form: ((b0 + A*avg) + B*diff) + b7*d^2
+        lst = b[:, 0][safe]
+        t = c_avg[safe]
+        t *= avg
+        lst += t
+        np.take(c_diff, safe, out=t)
+        t *= diff
+        lst += t
+        np.multiply(d, d, out=t)
+        t *= b[:, 7][safe]
+        lst += t
+    else:
+        coef = b[safe]  # (..., 8)
+        b0, b1, b2, b3 = coef[..., 0], coef[..., 1], coef[..., 2], coef[..., 3]
+        b4, b5, b6, b7 = coef[..., 4], coef[..., 5], coef[..., 6], coef[..., 7]
+        lst = (
+            b0
+            + (b1 + b2 * em_ratio + b3 * de_ratio) * avg
+            + (b4 + b5 * em_ratio + b6 * de_ratio) * diff
+            + b7 * d ** 2
+        )
+    lst[idx < 0] = np.nan
     return lst, idx
 
 

@@ -21,6 +21,9 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # module-level: pandas_udf type-hint strings (PEP 563)
+                     # must resolve 'pd.Series' in this module's globals
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import constants as C
@@ -465,6 +468,294 @@ def q_cube(spark, sf_dir):
             "n_items", "revenue_cents",
         )
     )
+
+
+# --- as-of join (nearest-previous event; training-pipeline temporal align) -------
+# Spark has no ASOF JOIN: the scalable pattern is union-tag + running
+# last_value over a (user, ts) window — ONE shuffle, no range-join explosion.
+# DuckDB twin uses its native ASOF LEFT JOIN. Equal timestamps never occur
+# ((user_id, ts) is unique in events) but the union orders clicks before
+# views at a tie, matching v.ts >= c.ts inclusive semantics.
+
+@register(
+    "q_asof_join",
+    """SELECT v.event_id AS view_event, c.event_id AS click_event,
+          CAST(epoch_us(v.ts) AS BIGINT) AS view_us,
+          CAST(epoch_us(c.ts) AS BIGINT) AS click_us
+       FROM (SELECT * FROM events WHERE event_type = 'view') v
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+         ON v.user_id = c.user_id AND v.ts >= c.ts""",
+)
+def q_asof_join(spark, sf_dir):
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("view", "click"))
+          # parquet timestamps load as TIMESTAMP_NTZ in Spark 4; unix_micros
+          # needs TIMESTAMP and the session tz is UTC, so the cast is exact
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    # clicks sort before views at equal ts ('click' < 'view'): >= semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    out = ev.select(
+        "event_id", "event_type", "ts",
+        F.last(click_id, ignorenulls=True).over(w).alias("click_event"),
+        F.last(click_ts, ignorenulls=True).over(w).alias("click_ts"),
+    )
+    return out.filter("event_type = 'view'").select(
+        F.col("event_id").alias("view_event"),
+        "click_event",
+        F.unix_micros("ts").alias("view_us"),
+        F.unix_micros("click_ts").alias("click_us"),
+    )
+
+
+# --- sessionization (gap-based, manual pattern: lag + running sum) ----------------
+
+_SESS_GAP_US = 6 * 3600 * 1_000_000
+
+@register(
+    "q_sessionize",
+    f"""WITH d AS (
+          SELECT user_id, ts, event_id,
+             CAST(epoch_us(ts) AS BIGINT)
+               - lag(CAST(epoch_us(ts) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+          FROM events
+        ), m AS (
+          SELECT user_id, ts,
+             CASE WHEN gap_us IS NULL OR gap_us > {_SESS_GAP_US} THEN 1 ELSE 0 END AS new_s
+          FROM d
+        ), s AS (
+          SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM m
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+           CAST(epoch_us(max(ts)) AS BIGINT) AS end_us
+        FROM s GROUP BY user_id, session_id""",
+)
+def q_sessionize(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    wo = Window.partitionBy("user_id").orderBy("ts")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros("ts")
+    gap = us - F.lag(us).over(wo)
+    new_s = F.when(gap.isNull() | (gap > _SESS_GAP_US), 1).otherwise(0)
+    sess = ev.select(
+        "user_id", "ts", F.sum(new_s).over(wrun).alias("session_id"))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_micros("ts")).alias("start_us"),
+        F.max(F.unix_micros("ts")).alias("end_us"),
+    )
+
+
+# --- session windows (built-in F.session_window; end = last event + gap) ----------
+
+@register(
+    "q_session_window",
+    f"""WITH d AS (
+          SELECT user_id, ts,
+             CAST(epoch_us(ts) AS BIGINT)
+               - lag(CAST(epoch_us(ts) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+          FROM events
+        ), s AS (
+          SELECT user_id, ts,
+             sum(CASE WHEN gap_us IS NULL OR gap_us >= {_SESS_GAP_US} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+          FROM d
+        )
+        SELECT user_id,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+           CAST(epoch_us(max(ts)) AS BIGINT) + {_SESS_GAP_US} AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, sid""",
+)
+def q_session_window(spark, sf_dir):
+    # Spark merges events strictly closer than the gap (new session when
+    # delta >= gap), and window end = last event + gap; the oracle mirrors both.
+    ev = load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "6 hours"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("start_us"),
+            F.unix_micros("session_window.end").alias("end_us"),
+            "n_events",
+        )
+    )
+
+
+# --- tumbling event-time window aggregation ---------------------------------------
+
+@register(
+    "q_tumbling_window",
+    """SELECT CAST(epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS hour_us,
+          event_type, CAST(count(*) AS BIGINT) AS n_events,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+       FROM events GROUP BY 1, 2""",
+)
+def q_tumbling_window(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"))
+        .select(F.unix_micros("w.start").alias("hour_us"), "event_type",
+                "n_events", "value_cents")
+    )
+
+
+# --- intersect ---------------------------------------------------------------------
+
+@register(
+    "q_intersect",
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       INTERSECT
+       SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'""",
+)
+def q_intersect(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").filter("c_mktsegment = 'BUILDING'").select("c_custkey")
+    o = load(spark, sf_dir, "orders").filter("o_orderstatus = 'O'").select(
+        F.col("o_custkey").alias("c_custkey"))
+    return c.intersect(o)
+
+
+# --- distinct aggregates -------------------------------------------------------------
+
+@register(
+    "q_distinct_agg",
+    """SELECT l_returnflag,
+          CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+          CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part,
+          CAST(sum(DISTINCT CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_distinct_qty_cents
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def q_distinct_agg(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.sum_distinct(F.round(F.col("l_quantity") * 100).cast("long"))
+        .alias("sum_distinct_qty_cents"),
+    )
+
+
+# --- exact percentiles (linear interpolation in both engines) ------------------------
+
+@register(
+    "q_percentile",
+    """SELECT l_returnflag,
+          round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+          round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+          round(quantile_cont(l_quantity, 0.25), 4) AS qty_p25
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def q_percentile(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("qty_p25"),
+    )
+
+
+# --- pivot (wide metrics report shape) ------------------------------------------------
+
+@register(
+    "q_pivot",
+    """SELECT l_linestatus,
+          CAST(count(*) FILTER (WHERE l_returnflag = 'A') AS BIGINT) AS A,
+          CAST(count(*) FILTER (WHERE l_returnflag = 'N') AS BIGINT) AS N,
+          CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS R
+       FROM lineitem GROUP BY l_linestatus""",
+)
+def q_pivot(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["A", "N", "R"])
+    )
+
+
+# --- correlated scalar subquery (decorrelated to a join in DF algebra) ----------------
+
+@register(
+    "q_correlated_subquery",
+    """SELECT o_orderkey, o_custkey FROM orders o
+       WHERE o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice) FROM orders o2
+                                   WHERE o2.o_custkey = o.o_custkey)""",
+)
+def q_correlated_subquery(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.avg("o_totalprice").alias("avg_price"))
+    return (
+        o.join(per_cust, o.o_custkey == per_cust.k)
+        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+# --- sorted array aggregation (deterministic list-valued agg) --------------------------
+
+@register(
+    "q_array_agg",
+    """SELECT event_type,
+          array_to_string(list_sort(list(DISTINCT user_id % 13)), ',') AS user_mods,
+          CAST(count(*) AS BIGINT) AS n_events
+       FROM events GROUP BY event_type""",
+)
+def q_array_agg(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_set(F.col("user_id") % 13)),
+                        lambda x: x.cast("string")),
+            ",",
+        ).alias("user_mods"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --- vectorized pandas UDF surface (Arrow path) with an exact SQL twin -----------------
+
+@register(
+    "q_udf_bt",
+    f"""SELECT l_orderkey, l_linenumber,
+           round(1321.0789 / ln(774.8853 / ({_RAD}) + 1.0), 6) AS bt_udf
+        FROM lineitem WHERE l_partkey % 13 = 5""",
+)
+def q_udf_bt(spark, sf_dir):
+    """Same physics as q_bt but through a @pandas_udf — proves the Arrow
+    UDF surface produces values identical to the JVM/SQL expression path."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def bt_udf(price: pd.Series) -> pd.Series:
+        import numpy as np
+
+        dn = (price % 65535.0) + 1.0
+        rad = 3.342e-4 * dn + 0.1
+        return pd.Series(1321.0789 / np.log(774.8853 / rad + 1.0))
+
+    li = load(spark, sf_dir, "lineitem").filter("l_partkey % 13 = 5")
+    # round outside the UDF with F.round: numpy rounds half-to-even, the
+    # engines round half-away — keep the cross-engine discipline identical
+    return li.select("l_orderkey", "l_linenumber",
+                     F.round(bt_udf(F.col("l_extendedprice")), 6).alias("bt_udf"))
 
 
 # --- scalar subquery (uncorrelated): orders above the global average -------------

@@ -164,5 +164,74 @@ def stream_windowed_counts(
     q.awaitTermination()
 
 
+PROGRESS_SCHEMA = StructType([
+    StructField("scene_id", StringType()),
+    StructField("band", IntegerType()),
+    StructField("tiles_seen", LongType()),
+    StructField("px_seen", LongType()),
+    StructField("expected_tiles", LongType()),
+    StructField("complete", StringType()),  # 'yes'/'no' (stable value hash)
+])
+
+_PROGRESS_STATE = StructType([
+    StructField("tiles_seen", LongType()),
+    StructField("px_seen", LongType()),
+])
+
+
+def stream_scene_progress(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    expected_tiles: int,
+) -> None:
+    """Custom stateful operator: per-(scene, band) ingest progress via
+    ``applyInPandasWithState`` — arbitrary keyed state the built-in
+    aggregations can't express (the running count must survive ACROSS
+    micro-batches AND across separate availableNow drains, restored from
+    the state store in the checkpoint).
+
+    Emits one updated progress row per key per micro-batch; ``foreachBatch``
+    appends snapshots to parquet with the batch id (update-mode output is
+    not parquet-compatible by design — the snapshot log is the idempotent
+    equivalent, keyed by (batch_id, scene_id, band))."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        scene_id, band = key
+        tiles, px = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            tiles += len(pdf)
+            px += int((pdf["w"].astype("int64") * pdf["h"].astype("int64")).sum())
+        state.update((tiles, px))
+        yield pd.DataFrame([{
+            "scene_id": scene_id, "band": int(band),
+            "tiles_seen": tiles, "px_seen": px,
+            "expected_tiles": expected_tiles,
+            "complete": "yes" if tiles >= expected_tiles else "no",
+        }])
+
+    raw = spark.readStream.schema(SCENES_SCHEMA).parquet(in_dir)
+    parsed = parse_scenes(raw).select("scene_id", "band", "w", "h")
+    progress = parsed.groupBy("scene_id", "band").applyInPandasWithState(
+        fn, PROGRESS_SCHEMA, _PROGRESS_STATE, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out_dir))
+
+    q = (
+        progress.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def read_stats(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)

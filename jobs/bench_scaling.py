@@ -3,12 +3,24 @@
 
 The north rule requires >=0.8 throughput scaling efficiency between N and 4N
 executors; no real cluster exists in this sandbox, so per the task protocol
-the SAME job runs on the SAME pre-materialized input at local[8] and
-local[32] and we report both throughputs plus
-efficiency = (px/s at 32) / (4 * px/s at 8).
+the SAME job runs on the SAME pre-materialized input at two parallelism
+levels and we report both throughputs plus efficiency = px/s(4N) / (4 * px/s(N)).
 
-Also records the salting A/B (skewed scenes, kernel stage with vs without
-salt-and-repartition) and the skew profile, per BASELINE.md protocol notes.
+Measurement discipline (this VM is noisy — host-level CPU steal arrives in
+multi-minute waves and single-thread kernel rate swings 60-92 tiles/s):
+
+1. **CPU pinning.** local[8] on a 32-core box is NOT an 8-core cluster: the
+   JVM's scan/shuffle threads and the 8 Python workers would spread over all
+   32 hardware cores, gifting the small config free capacity and understating
+   scaling efficiency. Every Spark leg runs in a subprocess under
+   ``taskset -c 0-(N-1)`` so the WHOLE process tree (JVM + Python workers)
+   sees exactly N cpus — the honest simulation of an N-core executor node.
+2. **Interleaved best-of.** Steal only ever makes runs slower, so each config
+   runs in R interleaved rounds (N, 4N, N, 4N, ...) x P timed passes and the
+   per-config minimum wall is reported. Interleaving puts both configs in the
+   same steal weather.
+3. Fresh DataFrames per pass -> full plan re-execution (no stage-reuse
+   shortcut); input parquet pre-materialized once on tmpfs and page-cache hot.
 """
 
 from __future__ import annotations
@@ -16,49 +28,54 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-import pandas as pd  # noqa: E402
-
 REPO = Path(__file__).resolve().parent.parent
 _SHM = Path("/dev/shm")
 TMP = (_SHM / "swlst_scaling_tmp") if _SHM.is_dir() else (REPO / "BENCH" / ".tmp")
 N_SCENES = int(os.environ.get("SCALING_SCENES", "10"))
+ROUNDS = int(os.environ.get("SCALING_ROUNDS", "3"))
+PASSES = int(os.environ.get("SCALING_PASSES", "2"))
 WINDOW = 7
+N_SMALL = int(os.environ.get("SCALING_N", "8"))
+N_BIG = 4 * N_SMALL
 
 
-def materialize_input() -> str:
-    """Generate the bench scene set ONCE to parquet (identical for both runs)."""
-    from i_landsat8_swlst_spark import synth
-    from i_landsat8_swlst_spark.session import get_spark
+# ---------------------------------------------------------------------------
+# subprocess leg: one (cores, mode) config, pinned; prints one JSON line
+# ---------------------------------------------------------------------------
 
-    path = TMP / "scenes_bench"
-    if path.exists():
-        shutil.rmtree(path)
-    spark = get_spark(app="gen", cores=32)
-    synth.synth_scenes_spark(spark, "bench", scenes=range(N_SCENES)).write.mode(
-        "overwrite"
-    ).parquet(str(path))
-    spark.stop()
-    return str(path)
-
-
-def run_at(cores: int, scenes_path: str, mode: str = "joinkey") -> dict:
+def leg(cores: int, mode: str, scenes_path: str) -> dict:
     """mode:
-    - 'joinkey'          — natural pair-join partitioning (production path)
+    - 'joinkey'          — natural pair-join partitioning + fine repartition
+                           before the kernel (production path)
     - 'scenekey'         — repartition by scene_id (straggler: one giant scene)
     - 'scenekey_salted'  — repartition by (scene_id, salt) (the fix)
+    - 'bucketed'         — pair-join over bucketed tables: NO exchange before
+                           the join (writes the bucketed tables first)
     """
+    import pandas as pd
     from pyspark.sql import functions as F
 
     from i_landsat8_swlst_spark import constants as C, pipeline, skew, synth
     from i_landsat8_swlst_spark.session import get_spark
 
-    spark = get_spark(app=f"scaling_{cores}", cores=cores, shuffle_partitions=cores * 4)
+    extra = {}
+    if mode == "bucketed":
+        extra = {
+            "spark.sql.warehouse.dir": str(TMP / f"wh_{cores}"),
+            # bucketed scans pair with sort-merge joins; bucket+sort layout
+            # means neither an exchange nor a sort is inserted
+            "spark.sql.join.preferSortMergeJoin": "true",
+            "spark.sql.sources.v2.bucketing.enabled": "true",
+        }
+    spark = get_spark(app=f"scaling_{cores}_{mode}", cores=cores,
+                      shuffle_partitions=cores * 4, extra=extra)
     spark.sparkContext.setLogLevel("ERROR")
     scenes = spark.read.parquet(scenes_path)
     meta = spark.createDataFrame(synth.scene_meta_pdf("bench"))
@@ -68,130 +85,232 @@ def run_at(cores: int, scenes_path: str, mode: str = "joinkey") -> dict:
     px = scenes.select(F.sum(F.col("w").cast("long") * F.col("h"))).collect()[0][0] // 2
     profile = skew.skew_profile(pipeline.parse_scenes(scenes), "scene_id")
 
-    def one_run() -> float:
-        # fresh DataFrame objects each run -> full plan re-executes (no
-        # stage-reuse shortcut); page-cache-warm parquet is the steady state
-        enriched = pipeline.build_enriched(scenes, meta, emis)
-        if mode == "scenekey":
-            enriched = enriched.repartition(F.col("scene_id"))
-        elif mode == "scenekey_salted":
-            enriched = skew.salted_repartition(
-                enriched, "scene_id", "image_id_b10",
-                target_rows_per_part=max(16, n_rows // (cores * 8)))
-        tiles = pipeline.lst_tiles(enriched, window=WINDOW)
+    shuffle_free = None
+    if mode == "bucketed":
+        parsed = pipeline.parse_scenes(scenes)
+        key = ["scene_id", "tile_x", "tile_y"]
+        b10 = parsed.filter("band = 10").select(
+            *key, F.col("image_id").alias("image_id_b10"),
+            F.col("bytes").alias("bytes_b10"), F.col("fmt").alias("fmt_b10"),
+            "w", "h", F.col("caption").alias("caption_b10"), "landcover")
+        b11 = parsed.filter("band = 11").select(
+            *key, F.col("image_id").alias("image_id_b11"),
+            F.col("bytes").alias("bytes_b11"), F.col("fmt").alias("fmt_b11"),
+            F.col("caption").alias("caption_b11"))
+        nb = cores * 4
+        for name, df in (("b10_bkt", b10), ("b11_bkt", b11)):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (df.write.bucketBy(nb, *key).sortBy(*key)
+             .mode("overwrite").format("parquet").saveAsTable(name))
+        b10t, b11t = spark.table("b10_bkt"), spark.table("b11_bkt")
+
+        def build():
+            paired = b10t.join(b11t, on=key, how="inner")
+            return pipeline.lst_tiles(
+                pipeline.with_emissivity(
+                    pipeline.with_meta(paired, meta), emis), window=WINDOW)
+
+        # evidence: the pair join must have no shuffle exchange on either side
+        # (broadcasts of the tiny dims are fine; shuffles print as
+        # "Exchange hashpartitioning(...)", broadcasts as "BroadcastExchange")
+        import re
+
+        plan = build()._jdf.queryExecution().executedPlan().toString()
+        shuffle_free = not re.search(r"(?<!Broadcast)Exchange\s+\w*[Pp]artitioning", plan)
+    else:
+        def build():
+            enriched = pipeline.build_enriched(scenes, meta, emis)
+            if mode == "joinkey":
+                enriched = enriched.repartition(cores * 8)
+            elif mode == "scenekey":
+                enriched = enriched.repartition(F.col("scene_id"))
+            elif mode == "scenekey_salted":
+                enriched = skew.salted_repartition(
+                    enriched, "scene_id", "image_id_b10",
+                    target_rows_per_part=max(16, n_rows // (cores * 8)))
+            return pipeline.lst_tiles(enriched, window=WINDOW)
+
+    def one_pass() -> float:
+        tiles = build()
         t0 = time.perf_counter()
         tiles.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    cold = one_run()                      # includes Python-worker warmup
-    warm = min(one_run() for _ in range(2))
+    cold = one_pass()  # Python-worker warmup (+ bucket-table write amortized)
+    walls = [one_pass() for _ in range(PASSES)]
     spark.stop()
+    best = min(walls)
     return {
-        "cores": cores,
-        "mode": mode,
-        "tiles": n_rows // 2,
-        "pixels": int(px),
-        "cold_sec": round(cold, 2),
-        "wall_sec": round(warm, 2),
-        "px_per_sec": round(px / warm, 1),
-        "tiles_per_sec": round(n_rows / 2 / warm, 2),
-        "skew": profile,
+        "cores": cores, "mode": mode, "tiles": n_rows // 2, "pixels": int(px),
+        "cold_sec": round(cold, 2), "walls": [round(w, 2) for w in walls],
+        "wall_sec": round(best, 2),
+        "px_per_sec": round(px / best, 1),
+        "tiles_per_sec": round(n_rows / 2 / best, 2),
+        "skew": profile, "shuffle_free_join": shuffle_free,
     }
 
 
-def kernel_fanout(n_procs: int, tasks_per_proc: int = 6) -> float:
-    """Pure-compute fan-out of the fused kernel via multiprocessing — isolates
-    the kernel's scaling from single-box shuffle/Arrow bandwidth (which real
-    multi-node clusters do not share). Returns tiles/sec."""
+def run_leg_pinned(cores: int, mode: str, scenes_path: str) -> dict:
+    cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, __file__,
+           "--leg", str(cores), mode, scenes_path]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
+    for line in reversed(out.stdout.splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"leg failed: {out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+# ---------------------------------------------------------------------------
+# pure-kernel fan-out (no Spark): isolates compute scaling from JVM plumbing
+# ---------------------------------------------------------------------------
+
+def kernel_fanout(n_procs: int, iters: int = 60) -> float:
+    """Each worker loops the fused kernel in-process (one IPC round-trip per
+    WORKER, not per tile — per-task pool.map dispatch dominated the
+    measurement at 32p and under-read 8p by 40%). Returns tiles/sec."""
     import multiprocessing as mp
 
-    n_tasks = n_procs * tasks_per_proc
     with mp.Pool(n_procs) as pool:
-        pool.map(_kernel_task, range(2))  # warm imports
+        pool.map(_kernel_task, [(3, i) for i in range(n_procs)])  # warm
         t0 = time.perf_counter()
-        pool.map(_kernel_task, range(n_tasks))
+        pool.map(_kernel_task, [(iters, i) for i in range(n_procs)])
         wall = time.perf_counter() - t0
-    return n_tasks / wall
+    return n_procs * iters / wall
 
 
-def _kernel_task(i: int) -> float:
+def _kernel_task(args: tuple[int, int]) -> float:
     import numpy as np
 
     from i_landsat8_swlst_spark import constants as C, kernels as K
 
-    rng = np.random.default_rng(i)
+    iters, seed = args
+    rng = np.random.default_rng(seed)
     dn10 = rng.integers(15000, 35000, (256, 256)).astype(np.float64)
     dn11 = rng.integers(15000, 35000, (256, 256)).astype(np.float64)
     meta = dict(ml_b10=C.ML_DEFAULT, al_b10=C.AL_DEFAULT, ml_b11=C.ML_DEFAULT,
                 al_b11=C.AL_DEFAULT, k1_b10=C.K1_B10, k2_b10=C.K2_B10,
                 k1_b11=C.K1_B11, k2_b11=C.K2_B11)
-    r = K.fused_lst_kernel(dn10, dn11, meta, 0.97, 0.96, window=WINDOW)
-    return float(r["lst_k"][100, 100])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        K.fused_lst_kernel(dn10, dn11, meta, 0.97, 0.96, window=WINDOW)
+    return iters / (time.perf_counter() - t0)
+
+
+def materialize_input() -> str:
+    from i_landsat8_swlst_spark import synth
+    from i_landsat8_swlst_spark.session import get_spark
+
+    path = TMP / "scenes_bench"
+    if path.exists():
+        shutil.rmtree(path)
+    spark = get_spark(app="gen", cores=os.cpu_count() or 32)
+    synth.synth_scenes_spark(spark, "bench", scenes=range(N_SCENES)).write.mode(
+        "overwrite").parquet(str(path))
+    spark.stop()
+    return str(path)
 
 
 def main() -> None:
     TMP.mkdir(parents=True, exist_ok=True)
+    for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(v, "1")
+
+    # 1) pure-kernel curve, before any JVM exists in this process
+    curve = {n: max(round(kernel_fanout(n), 1) for _ in range(2))
+             for n in (1, N_SMALL, 16, N_BIG)}
+    keff = curve[N_BIG] / (4.0 * curve[N_SMALL])
+
     scenes_path = materialize_input()
 
-    import os as _os
-    for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
-        _os.environ.setdefault(v, "1")
-    curve = {n: round(kernel_fanout(n), 1) for n in (1, 4, 8, 16, 32)}
-    k8, k32 = curve[8], curve[32]
-    keff = k32 / (4.0 * k8)
-
-    r8 = run_at(8, scenes_path, mode="joinkey")
-    r32 = run_at(32, scenes_path, mode="joinkey")
-    r32_key = run_at(32, scenes_path, mode="scenekey")
-    r32_salt = run_at(32, scenes_path, mode="scenekey_salted")
+    # 2) interleaved pinned scaling legs, best-of across rounds
+    best: dict[tuple[int, str], dict] = {}
+    order = [(N_SMALL, "joinkey"), (N_BIG, "joinkey")]
+    for rnd in range(ROUNDS):
+        for cores, mode in order:
+            r = run_leg_pinned(cores, mode, scenes_path)
+            k = (cores, mode)
+            if k not in best or r["wall_sec"] < best[k]["wall_sec"]:
+                best[k] = r
+            print(f"round {rnd} {mode}@{cores}: walls={r['walls']}", file=sys.stderr)
+    r8 = best[(N_SMALL, "joinkey")]
+    r32 = best[(N_BIG, "joinkey")]
     eff = r32["px_per_sec"] / (4.0 * r8["px_per_sec"])
+
+    # 3) skew A/B + bucketed zero-shuffle variant at 4N (interleaved, 2 rounds)
+    for rnd in range(2):
+        for cores, mode in [(N_BIG, "scenekey"), (N_BIG, "scenekey_salted"),
+                            (N_BIG, "bucketed")]:
+            r = run_leg_pinned(cores, mode, scenes_path)
+            k = (cores, mode)
+            if k not in best or r["wall_sec"] < best[k]["wall_sec"]:
+                best[k] = r
+            print(f"skew round {rnd} {mode}: walls={r['walls']}", file=sys.stderr)
+    r32_key = best[(N_BIG, "scenekey")]
+    r32_salt = best[(N_BIG, "scenekey_salted")]
+    r32_bkt = best[(N_BIG, "bucketed")]
 
     md = f"""# BENCH/BASELINE.md — scaling + skew evidence (generated by jobs/bench_scaling.py)
 
 Protocol (BASELINE.md): same job (fused decode->BT->CWV(window={WINDOW})->LST tile
-kernel), same pre-materialized input parquet, two parallelism levels. Local
-mode stands in for N/4N executors per the task directive (no real cluster in
-the sandbox).
+kernel), same pre-materialized input parquet, two parallelism levels standing
+in for N and 4N executors (no real cluster in the sandbox — task directive).
+
+**CPU pinning**: each leg runs under ``taskset -c 0-(N-1)`` so the whole
+process tree (JVM scan/shuffle threads + Python kernel workers) sees exactly
+N cpus. Unpinned local[{N_SMALL}] on a {os.cpu_count()}-core box leaks the other cores to the
+JVM and Python side and understates true N-core-node throughput asymmetrically.
+
+**Noise**: this VM sees host-level CPU-steal waves (identical passes swing
+2x minutes apart). Legs run in {ROUNDS} interleaved rounds x {PASSES} timed passes;
+per-config minimum wall is reported (steal only ever slows a run down).
 
 Input: {r8['tiles']} tile-pairs ({r8['pixels']:,} px per band), zipf-skewed scene
 footprints — skew profile (rows per scene): max={r8['skew']['max']},
 median={r8['skew']['median']}, ratio={r8['skew']['skew_ratio']:.1f}.
 
-Per config: 1 cold run (includes Python-worker warmup) + 2 warm runs with
-fresh DataFrames (full plan re-execution); throughput from the best warm run.
+## Scaling (production path: pair-join + fine repartition before the kernel)
 
-## Scaling (production path: natural pair-join partitioning)
-
-| config | cold s | warm s | pixels/s | tiles/s |
+| config | best wall s | all walls | pixels/s | tiles/s |
 | --- | --- | --- | --- | --- |
-| local[8] | {r8['cold_sec']} | {r8['wall_sec']} | {r8['px_per_sec']:,.0f} | {r8['tiles_per_sec']} |
-| local[32] | {r32['cold_sec']} | {r32['wall_sec']} | {r32['px_per_sec']:,.0f} | {r32['tiles_per_sec']} |
+| local[{N_SMALL}] pinned to {N_SMALL} cpus | {r8['wall_sec']} | {r8['walls']} | {r8['px_per_sec']:,.0f} | {r8['tiles_per_sec']} |
+| local[{N_BIG}] pinned to {N_BIG} cpus | {r32['wall_sec']} | {r32['walls']} | {r32['px_per_sec']:,.0f} | {r32['tiles_per_sec']} |
 
-**End-to-end scaling efficiency (8 -> 32 cores, warm) = {eff:.3f}**
-(target >= 0.8). **Kernel fan-out efficiency (same fused kernel, pure
-process pool, no Spark I/O) = {keff:.3f}** ({k8:.1f} -> {k32:.1f} tiles/s).
+**End-to-end scaling efficiency ({N_SMALL} -> {N_BIG} cpus) = {eff:.3f}** (target >= 0.8).
+**Kernel fan-out efficiency (same fused kernel, pure process pool, no JVM) =
+{keff:.3f}** ({curve[N_SMALL]:.1f} -> {curve[N_BIG]:.1f} tiles/s).
 
-Kernel fan-out curve (pure process pool, tiles/s):
+Kernel fan-out curve (pure process pool, per-worker loop, tiles/s):
 {" | ".join(f"{n}p: {v}" for n, v in curve.items())}
 
-Reading: even the Spark-free process pool hits the same wall — the fused
-kernel streams ~25 MB of float64 per tile and this box's shared memory bus
-saturates around 16 cores (near-linear to 4-8, flat after). The efficiency
-gap is the machine, not the engine: on a real 4x-larger cluster each node
-brings its own memory bus, shuffle disk and NICs, and the per-node work is
-embarrassingly parallel after the one pair-join shuffle (which bucketing
-removes entirely — README scaling notes).
+Reading: after the round-1 kernel memory-traffic rewrite (in-place cumsums,
+combined NaN indicator, no-NaN fast path, per-subrange coefficient folding —
+1.5x single-core, 2.2x at 32p) the compute fans out at {keff:.2f}; the
+end-to-end number additionally carries the one pair-join shuffle and the
+JVM<->Python Arrow hop on a shared memory bus. On a real 4x cluster each
+node brings its own bus/disks/NICs, and the bucketed layout below removes
+the shuffle entirely.
 
-## Skew A/B at local[32] (scene-keyed stages: mosaics, per-scene writes)
+## Bucketed pair-join (the 100 TB layout) at {N_BIG} cpus
+
+Both band tables written ``bucketBy({N_BIG * 4}, scene_id, tile_x, tile_y)`` +
+sorted — the pair join then needs **no exchange and no sort** (verified on
+the executed plan: shuffle-free = {r32_bkt['shuffle_free_join']}).
+
+| layout | best wall s | pixels/s |
+| --- | --- | --- |
+| plain parquet + shuffle join | {r32['wall_sec']} | {r32['px_per_sec']:,.0f} |
+| bucketed, zero-shuffle join | {r32_bkt['wall_sec']} | {r32_bkt['px_per_sec']:,.0f} |
+
+## Skew A/B at {N_BIG} cpus (scene-keyed stages: mosaics, per-scene writes)
 
 Hash-partitioning on scene_id alone pins the giant zipf scene on one task;
 salt-and-repartition spreads it. The production join path is unaffected
 (its key is the fine-grained tile key).
 
-| partitioning | cold s | warm s | pixels/s |
-| --- | --- | --- | --- |
-| repartition(scene_id) — straggler | {r32_key['cold_sec']} | {r32_key['wall_sec']} | {r32_key['px_per_sec']:,.0f} |
-| repartition(scene_id, salt) — fixed | {r32_salt['cold_sec']} | {r32_salt['wall_sec']} | {r32_salt['px_per_sec']:,.0f} |
+| partitioning | best wall s | pixels/s |
+| --- | --- | --- |
+| repartition(scene_id) — straggler | {r32_key['wall_sec']} | {r32_key['px_per_sec']:,.0f} |
+| repartition(scene_id, salt) — fixed | {r32_salt['wall_sec']} | {r32_salt['px_per_sec']:,.0f} |
 
 Salting speedup on the scene-keyed stage: **{r32_key['wall_sec'] / r32_salt['wall_sec']:.2f}x**.
 
@@ -199,10 +318,13 @@ Reference throughput: none published (single-process GRASS addon, SURVEY.md §6)
 """
     (REPO / "BENCH" / "BASELINE.md").write_text(md)
     print(json.dumps({"eff": round(eff, 3), "kernel_eff": round(keff, 3),
-                      "r8": r8, "r32": r32,
-                      "r32_scenekey": r32_key, "r32_salted": r32_salt}))
+                      "r_small": r8, "r_big": r32, "bucketed": r32_bkt,
+                      "scenekey": r32_key, "salted": r32_salt}))
     shutil.rmtree(TMP, ignore_errors=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--leg":
+        print(json.dumps(leg(int(sys.argv[2]), sys.argv[3], sys.argv[4])))
+    else:
+        main()

@@ -85,3 +85,43 @@ def _has_files(path):
     import os
     return bool(glob.glob(os.path.join(path, "*.parquet")) or
                 glob.glob(os.path.join(path, "*", "*.parquet")))
+
+
+def test_stream_scene_progress_stateful_across_drains(spark, tmp_path):
+    """applyInPandasWithState: keyed state must accumulate across separate
+    availableNow drains (restored from the state store in the checkpoint)."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    s0 = synth.scenes_pdf("small", scenes=[0]).sort_values("image_id").reset_index(drop=True)
+    half1, half2 = s0.iloc[::2], s0.iloc[1::2]
+    per_band = 64  # "small": 8x8 tiles per scene per band
+
+    _drop(half1, in_dir / "h1.parquet")
+    streaming.stream_scene_progress(spark, str(in_dir), out, ckpt, expected_tiles=per_band)
+    got1 = {
+        (r["band"]): r
+        for r in streaming.read_stats(spark, out).collect()
+    }
+    exp1 = half1.groupby(half1["image_id"].str.extract(r"/B(\d+)/", expand=False).astype(int)).size()
+    for band, n in exp1.items():
+        assert got1[band]["tiles_seen"] == n
+        assert got1[band]["complete"] == "no"
+
+    _drop(half2, in_dir / "h2.parquet")
+    streaming.stream_scene_progress(spark, str(in_dir), out, ckpt, expected_tiles=per_band)
+    latest = (
+        streaming.read_stats(spark, out)
+        .orderBy("batch_id", ascending=False)
+        .groupBy("band").agg({"tiles_seen": "max", "px_seen": "max"})
+        .collect()
+    )
+    for r in latest:
+        assert r["max(tiles_seen)"] == per_band  # state carried over, not reset
+    # complete flag flipped in the final snapshot
+    fin = streaming.read_stats(spark, out).filter("tiles_seen = 64").collect()
+    assert fin and all(r["complete"] == "yes" for r in fin)
+    # px accounting: 64 tiles x 64x64 px
+    assert all(r["max(px_seen)"] == 64 * 64 * 64 for r in latest)
