@@ -758,6 +758,236 @@ def q_udf_bt(spark, sf_dir):
                      F.round(bt_udf(F.col("l_extendedprice")), 6).alias("bt_udf"))
 
 
+# --- kNN join, fully SQL-expressible form ------------------------------------------
+# The production kNN (spatial.knn_join) is haversine + argpartition inside an
+# Arrow kernel (rows-only q_knn_stations); this twin proves the JOIN SHAPE —
+# broadcast small side, per-query row_number over distance — against DuckDB
+# using squared planar distance (pure +,* polynomial: IEEE-identical across
+# engines, no trig last-ulp risk). Same pattern, exact hash match.
+
+_KNN_PX = "(c_custkey % 360.0) - 180.0"
+_KNN_PY = "(c_acctbal % 180.0) - 90.0"
+_KNN_SX = "(s_suppkey % 24.0) * 15.0 - 180.0"
+_KNN_SY = "(s_acctbal % 180.0) - 90.0"
+_KNN_D2 = f"(({_KNN_PX}) - ({_KNN_SX})) * (({_KNN_PX}) - ({_KNN_SX})) + (({_KNN_PY}) - ({_KNN_SY})) * (({_KNN_PY}) - ({_KNN_SY}))"
+
+@register(
+    "q_knn_sql",
+    f"""WITH s AS (SELECT * FROM supplier WHERE s_suppkey % 40 = 1),
+         d AS (
+          SELECT c_custkey, s_suppkey, {_KNN_D2} AS dist2,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY {_KNN_D2}, s_suppkey) AS station_rank
+          FROM customer, s
+          WHERE c_custkey % 10 = 4)
+        SELECT c_custkey, s_suppkey AS station_id, station_rank,
+           round(dist2, 6) AS dist2
+        FROM d WHERE station_rank <= 3""",
+)
+def q_knn_sql(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").filter("c_custkey % 10 = 4")
+    stations = load(spark, sf_dir, "supplier").filter("s_suppkey % 40 = 1")
+    d2 = F.expr(_KNN_D2)
+    w = Window.partitionBy("c_custkey").orderBy(d2.asc(), F.col("s_suppkey").asc())
+    return (
+        cust.crossJoin(F.broadcast(stations))
+        .select("c_custkey", F.col("s_suppkey").alias("station_id"),
+                F.row_number().over(w).alias("station_rank"),
+                F.round(d2, 6).alias("dist2"))
+        .filter("station_rank <= 3")
+    )
+
+
+# --- bbox containment join (the PIP coarse prefilter, SQL-expressible form) --------
+# Production PIP = broadcast R-tree + ray casting (rows-only q_pip_join); its
+# coarse stage — candidate selection by bounding box — is a non-equi broadcast
+# join on pure comparisons, twinned here exactly.
+
+_BB_PX = "(s_suppkey % 360.0) - 180.0"
+_BB_PY = "(s_acctbal % 180.0) - 90.0"
+
+@register(
+    "q_bbox_join",
+    f"""WITH b AS (
+          SELECT r_regionkey,
+             r_regionkey * 60.0 - 180.0 AS lon0,
+             r_regionkey * 60.0 - 100.0 AS lon1,
+             r_regionkey * 20.0 - 50.0 AS lat0,
+             r_regionkey * 20.0 + 10.0 AS lat1
+          FROM region)
+        SELECT r_regionkey,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(s_suppkey) AS BIGINT) AS sum_key
+        FROM supplier JOIN b
+          ON ({_BB_PX}) >= lon0 AND ({_BB_PX}) < lon1
+         AND ({_BB_PY}) >= lat0 AND ({_BB_PY}) < lat1
+        GROUP BY r_regionkey""",
+)
+def q_bbox_join(spark, sf_dir):
+    sup = load(spark, sf_dir, "supplier")
+    boxes = load(spark, sf_dir, "region").select(
+        "r_regionkey",
+        (F.col("r_regionkey") * 60.0 - 180.0).alias("lon0"),
+        (F.col("r_regionkey") * 60.0 - 100.0).alias("lon1"),
+        (F.col("r_regionkey") * 20.0 - 50.0).alias("lat0"),
+        (F.col("r_regionkey") * 20.0 + 10.0).alias("lat1"),
+    )
+    px, py = F.expr(_BB_PX), F.expr(_BB_PY)
+    return (
+        sup.join(F.broadcast(boxes),
+                 (px >= F.col("lon0")) & (px < F.col("lon1"))
+                 & (py >= F.col("lat0")) & (py < F.col("lat1")), "inner")
+        .groupBy("r_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_points"),
+             F.sum("s_suppkey").alias("sum_key"))
+    )
+
+
+# --- GROUPING SETS (beyond cube/rollup: explicit set list) --------------------------
+
+@register(
+    "q_grouping_sets",
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+          coalesce(l_linestatus, 'ALL') AS linestatus,
+          CAST(count(*) AS BIGINT) AS n_items,
+          CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
+)
+def q_grouping_sets(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_gsets")
+    return spark.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+              coalesce(l_linestatus, 'ALL') AS linestatus,
+              count(*) AS n_items,
+              sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents
+           FROM li_gsets
+           GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"""
+    )
+
+
+# --- lag/lead (per-key temporal deltas — training-pipeline sequence features) -------
+
+@register(
+    "q_lag_lead",
+    """SELECT user_id, event_id,
+          CAST(round(value * 100) AS BIGINT) AS value_cents,
+          CAST(round(lag(value) OVER w * 100) AS BIGINT) AS prev_cents,
+          CAST(round(lead(value) OVER w * 100) AS BIGINT) AS next_cents
+       FROM events
+       WHERE user_id % 25 = 7
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def q_lag_lead(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter("user_id % 25 = 7")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = lambda c: F.round(c * 100).cast("long")  # noqa: E731
+    return ev.select(
+        "user_id", "event_id",
+        cents(F.col("value")).alias("value_cents"),
+        cents(F.lag("value").over(w)).alias("prev_cents"),
+        cents(F.lead("value").over(w)).alias("next_cents"),
+    )
+
+
+# --- explode / lateral (word unnest over documents) ----------------------------------
+
+@register(
+    "q_explode_words",
+    """SELECT word, CAST(count(*) AS BIGINT) AS n,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents WHERE doc_id % 50 = 7)
+       WHERE word <> '' GROUP BY word HAVING count(*) >= 3""",
+)
+def q_explode_words(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter("doc_id % 50 = 7")
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("word"))
+        .filter("word <> ''")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.countDistinct("doc_id").alias("n_docs"))
+        .filter("n >= 3")
+    )
+
+
+# --- latest-record-per-key dedup (keep newest event per user) ------------------------
+
+@register(
+    "q_dedup_latest",
+    """SELECT user_id, event_id,
+          CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+          CAST(round(value * 100) AS BIGINT) AS value_cents
+       FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events)
+       WHERE rn = 1 AND user_id % 11 = 3""",
+)
+def q_dedup_latest(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1 AND user_id % 11 = 3")
+        .select("user_id", "event_id",
+                F.unix_micros("ts").alias("ts_us"),
+                F.round(F.col("value") * 100).cast("long").alias("value_cents"))
+    )
+
+
+# --- salted two-stage aggregation (skew-safe pattern, exactly equal to plain agg) -----
+# The scale pattern from SURVEY §2.2 skew handling: partial agg on
+# (key, salt) spreads a hot key over S reducers, final agg on key merges.
+# Exact integer cents make the two-stage result hash-identical to the
+# single-stage oracle.
+
+@register(
+    "q_salted_agg",
+    """SELECT l_returnflag,
+          CAST(count(*) AS BIGINT) AS n_items,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def q_salted_agg(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    partial = (
+        li.withColumn("salt", F.pmod(F.col("l_orderkey"), F.lit(16)))
+        .groupBy("l_returnflag", "salt")
+        .agg(F.count(F.lit(1)).alias("pc"),
+             F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("ps"))
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pc").alias("n_items"), F.sum("ps").alias("revenue_cents"))
+
+
+# --- ntile / first_value / last_value window report --------------------------------
+
+@register(
+    "q_ntile_first_last",
+    """SELECT o_orderkey, o_custkey,
+          ntile(4) OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey) AS quartile,
+          first_value(o_orderkey) OVER w AS cheapest_order,
+          last_value(o_orderkey) OVER w AS priciest_order
+       FROM orders WHERE o_orderkey % 7 = 2
+       WINDOW w AS (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+)
+def q_ntile_first_last(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").filter("o_orderkey % 7 = 2")
+    wo = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wf = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.ntile(4).over(wo).alias("quartile"),
+        F.first("o_orderkey").over(wf).alias("cheapest_order"),
+        F.last("o_orderkey").over(wf).alias("priciest_order"),
+    )
+
+
 # --- scalar subquery (uncorrelated): orders above the global average -------------
 
 @register(
