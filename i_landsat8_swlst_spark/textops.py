@@ -636,3 +636,46 @@ def q_ann_ivf(spark, sf_dir):
         .select(F.col("qid").alias("query_id"), F.col("nid").alias("neighbor_id"),
                 "cos", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+# --- TF-IDF (document term weighting — the classic text-featurization op) ----------
+# Smoothed idf = ln((N+1)/(df+1)); tf >= 3 bounds output. No lowercasing
+# (unicode case folding differs across engines); tokens are exact
+# space-separated strings, so the hash match is byte-exact.
+
+_TFIDF_SUBSET = "doc_id % 20 = 3"
+
+@register(
+    "q_tfidf",
+    f"""WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents WHERE {_TFIDF_SUBSET}),
+        tf AS (
+          SELECT doc_id, word, count(*) AS tf FROM toks WHERE word <> ''
+          GROUP BY doc_id, word),
+        df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf)
+        SELECT t.doc_id, t.word,
+           CAST(t.tf AS BIGINT) AS tf,
+           CAST(d.df AS BIGINT) AS df,
+           round(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) AS tfidf
+        FROM tf t JOIN df d USING (word) CROSS JOIN n
+        WHERE t.tf >= 3""",
+)
+def q_tfidf(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(_TFIDF_SUBSET)
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("word")
+    ).filter("word <> ''")
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        tf.join(df, "word").crossJoin(F.broadcast(n))
+        .filter("tf >= 3")
+        .select("doc_id", "word",
+                F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"),
+                F.round(F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6)
+                .alias("tfidf"))
+    )
