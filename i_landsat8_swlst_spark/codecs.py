@@ -100,6 +100,16 @@ def decode_tile(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     )
 
 
+def decode_tile_dn(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    """Like decode_tile but keeps lossless tiles as raw uint16 (zero-copy
+    frombuffer view) so the BT stage can use the 65536-entry LUT gather in
+    kernels.dn_to_bt instead of full-array transcendental math. Lossy tiles
+    decode to float64 and take the arithmetic path."""
+    if fmt == FMT_RAW:
+        return np.frombuffer(data, dtype="<u2").reshape(h, w)
+    return decode_tile(data, w, h, fmt)
+
+
 def encode_tile(img: np.ndarray, fmt: str) -> bytes:
     if fmt == FMT_RAW:
         return encode_u16le(img)

@@ -39,10 +39,35 @@ def radiance_to_bt(rad: np.ndarray, k1: float, k2: float) -> np.ndarray:
     return np.where(rad > 0, out, np.nan)
 
 
+_BT_LUT: dict = {}
+
+
+def _bt_lut(ml: float, al: float, k1: float, k2: float) -> np.ndarray:
+    """65536-entry DN->BT table: BT is a pure function of the 16-bit DN given
+    per-scene MTL constants, so one gather replaces the whole per-pixel
+    mul/add/log/div chain. Bit-identical to the arithmetic path — every table
+    entry is computed by dn_to_bt itself over arange(65536), the exact IEEE
+    op sequence the elementwise form would run. 512 KB per distinct
+    (ml, al, k1, k2), L2-resident; built once per scene per worker."""
+    key = (ml, al, k1, k2)
+    lut = _BT_LUT.get(key)
+    if lut is None:
+        if len(_BT_LUT) >= 256:  # worker-lifetime backstop (256 x 512 KB)
+            _BT_LUT.clear()
+        lut = dn_to_bt(np.arange(65536, dtype=np.float64), ml, al, k1, k2)
+        _BT_LUT[key] = lut
+    return lut
+
+
 def dn_to_bt(dn: np.ndarray, ml: float, al: float, k1: float, k2: float) -> np.ndarray:
     """Fused C2+C3 with in-place float64 ops (bit-identical to the composed
     form: IEEE mul/add/log/div in the same order, one buffer instead of 5 —
-    the kernel is memory-bound at high core counts, BENCH/BASELINE.md)."""
+    the kernel is memory-bound at high core counts, BENCH/BASELINE.md).
+    Integer DN input (lossless tiles via codecs.decode_tile_dn) takes the
+    LUT-gather fast path; float input (lossy tiles, halo pads with NaN)
+    takes the arithmetic path."""
+    if dn.dtype.kind in "ui":
+        return _bt_lut(ml, al, k1, k2)[dn]
     rad = dn.astype(np.float64)
     rad *= ml
     rad += al

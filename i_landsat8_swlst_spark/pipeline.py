@@ -175,8 +175,8 @@ def _run_tile_kernel(row, window: int) -> dict:
     """Decode both bands (+ optional QA cloud mask, C4) and run the fused
     physics for one tile row."""
     w, h = int(row.w), int(row.h)
-    dn10 = codecs.decode_tile(row.bytes_b10, w, h, row.fmt_b10)
-    dn11 = codecs.decode_tile(row.bytes_b11, w, h, row.fmt_b11)
+    dn10 = codecs.decode_tile_dn(row.bytes_b10, w, h, row.fmt_b10)
+    dn11 = codecs.decode_tile_dn(row.bytes_b11, w, h, row.fmt_b11)
     qa = None
     qa_bytes = getattr(row, "bytes_qa", None)
     if qa_bytes is not None:
@@ -376,8 +376,8 @@ def lst_tiles_halo(enriched: DataFrame, window: int = C.DEFAULT_CWV_WINDOW) -> D
             out = []
             for row in pdf.itertuples():
                 w, h = int(row.w), int(row.h)
-                dn10 = codecs.decode_tile(row.bytes_b10, w, h, row.fmt_b10).astype("<u2")
-                dn11 = codecs.decode_tile(row.bytes_b11, w, h, row.fmt_b11).astype("<u2")
+                dn10 = np.asarray(codecs.decode_tile_dn(row.bytes_b10, w, h, row.fmt_b10), dtype="<u2")
+                dn11 = np.asarray(codecs.decode_tile_dn(row.bytes_b11, w, h, row.fmt_b11), dtype="<u2")
                 meta = {k: float(getattr(row, k)) for k in META_COLS}
                 for dx in (-1, 0, 1):
                     for dy in (-1, 0, 1):

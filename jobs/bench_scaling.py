@@ -185,8 +185,9 @@ def _kernel_task(args: tuple[int, int]) -> float:
 
     iters, seed = args
     rng = np.random.default_rng(seed)
-    dn10 = rng.integers(15000, 35000, (256, 256)).astype(np.float64)
-    dn11 = rng.integers(15000, 35000, (256, 256)).astype(np.float64)
+    # uint16 DNs = the production hot path (LUT-gather BT in kernels.dn_to_bt)
+    dn10 = rng.integers(15000, 35000, (256, 256)).astype(np.uint16)
+    dn11 = rng.integers(15000, 35000, (256, 256)).astype(np.uint16)
     meta = dict(ml_b10=C.ML_DEFAULT, al_b10=C.AL_DEFAULT, ml_b11=C.ML_DEFAULT,
                 al_b11=C.AL_DEFAULT, k1_b10=C.K1_B10, k2_b10=C.K2_B10,
                 k1_b11=C.K1_B11, k2_b11=C.K2_B11)
