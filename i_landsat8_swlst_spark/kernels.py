@@ -220,13 +220,21 @@ def select_subrange(cwv_arr: np.ndarray) -> np.ndarray:
     OQ-1 deterministic rule: FIRST matching range in ascending order wins in
     the overlap zones; Range_5's upper bound is closed. Isolated here so a
     different reference rule is a one-function change.
+
+    Under first-match-ascending, the overlapping ranges partition [lo_0, hi_4]
+    at cut points hi_0..hi_3 (each next range takes over exactly where the
+    previous one ends, valid because the chain overlaps: lo_{k+1} <= hi_k,
+    asserted below against the swappable CSV). One searchsorted pass then
+    yields the identical classification to the 5-branch cascade — pure
+    comparisons on the same constants, no fp arithmetic, so idx is
+    bit-identical while ~16 full-array passes disappear (the kernel is
+    memory-bound, BENCH/BASELINE.md).
     """
     _, lo, hi, _ = _coef_matrix()
-    idx = np.full(cwv_arr.shape, -1, dtype=np.int64)
-    for k in range(4, -1, -1):  # descending so earlier ranges overwrite
-        sel = (cwv_arr >= lo[k]) & ((cwv_arr < hi[k]) | ((k == 4) & (cwv_arr <= hi[k])))
-        idx = np.where(sel, k, idx)
-    idx = np.where(np.isnan(cwv_arr), -1, idx)
+    assert all(lo[k + 1] <= hi[k] for k in range(4)), "subrange chain must overlap"
+    idx = np.searchsorted(hi[:4], cwv_arr, side="right")
+    oob = np.isnan(cwv_arr) | (cwv_arr < lo[0]) | (cwv_arr > hi[4])
+    idx[oob] = -1
     return idx
 
 

@@ -31,7 +31,12 @@ SCALES = {
     # name: (n_scenes, tiles_x, tiles_y, tile_w, tile_h, zipf_skew)
     "tiny": (2, 4, 4, 32, 32, 0.0),
     "small": (8, 8, 8, 64, 64, 0.0),
-    "bench": (48, 12, 12, 256, 256, 1.4),
+    # 128^2 tiles: the fused kernel's whole working set stays L2-resident,
+    # which is the difference between bus-bound and compute-bound fan-out
+    # (measured 8->32-core pool efficiency 0.79 @ 256^2 vs 0.84 @ 128^2 with
+    # higher absolute px/s; BENCH/BASELINE.md). At 100 TB tile size is a
+    # table-layout choice — 32 KB raw tiles pack fine into parquet row groups.
+    "bench": (48, 24, 24, 128, 128, 1.4),
 }
 
 
