@@ -221,6 +221,25 @@ def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: banded-LSH near-duplicate image pairs over the phash column
+    (4x16-bit bands -> equi self-join -> bit_count verify, all JVM-side);
+    brute-force all-pairs parity in tests/test_mediaops.py. The fixture
+    injects bit-flipped duplicates so the result is non-trivially non-empty."""
+    from i_landsat8_swlst_spark import mediaops, synth
+
+    pdf = synth.scenes_pdf("tiny")[["image_id", "phash"]]
+    dups = pdf.iloc[:4].copy()
+    dups["image_id"] = dups["image_id"] + "/dup"
+    flips = [(1 << (13 * i + 2)) for i in range(len(dups))]
+    dups["phash"] = [int(p) ^ f for p, f in zip(dups["phash"], flips)]
+    dups["phash"] = dups["phash"].astype("int64")
+    import pandas as pd
+
+    scenes = spark.createDataFrame(pd.concat([pdf, dups], ignore_index=True))
+    return mediaops.phash_neardup(scenes, max_hamming=3).orderBy("id_a", "id_b")
+
+
 def _q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: Structured Streaming ingest (file source -> watermark dedup
     -> Arrow decode -> checkpointed partitioned sink) drained twice with a
@@ -309,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_frame_sample"] = _q_frame_sample
     q["q_audio_features"] = _q_audio_features
     q["q_media_meta"] = _q_media_meta
+    q["q_phash_neardup"] = _q_phash_neardup
     q["q_stream_ingest"] = _q_stream_ingest
     q["q_stream_progress"] = _q_stream_progress
     return q

@@ -246,3 +246,53 @@ def audio_features(clips: DataFrame) -> DataFrame:
                 yield _to_batch(pd.DataFrame(out), AUDIO_SCHEMA)
 
     return clips.select("clip_id", "bytes", "fmt").mapInArrow(fn, AUDIO_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# image near-duplicate detection over the phash column (banded LSH)
+# --------------------------------------------------------------------------
+
+
+def phash_neardup(scenes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs by banded LSH over the stored 64-bit
+    perceptual hash — pure JVM-side Column algebra, no Python hop.
+
+    The 64-bit phash splits into 4 x 16-bit bands; by pigeonhole any pair
+    with hamming distance <= 3 agrees on at least one full band, so the
+    band-key equi self-join has EXACT recall at max_hamming <= 3 (asserted).
+    Candidates are then verified with bit_count(xor) <= t. Scale shape:
+    one shuffle keyed on (band_idx, band_val); a hot band value (flat/empty
+    tiles) is a skewed key like any other — salt or AQE-skew it; candidate
+    count stays << n^2 because 16-bit band agreement is rare for non-dups.
+    """
+    from pyspark.sql import functions as F
+
+    assert max_hamming <= 3, "4x16 banding guarantees exact recall only to 3"
+    ids = scenes.select(F.col("image_id").alias("id"), "phash")
+    band_vals = [
+        F.shiftrightunsigned(F.col("phash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+        for i in range(4)
+    ]
+    expl = ids.select(
+        "id", "phash", F.posexplode(F.array(*band_vals)).alias("band_idx", "band_val")
+    )
+    a, b = expl.alias("a"), expl.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.phash").alias("ph_a"), F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()  # a pair may agree on several bands
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

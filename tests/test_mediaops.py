@@ -90,3 +90,33 @@ def test_determinism_of_media_fixtures():
     assert all(bytes(x) == bytes(y) for x, y in zip(a["bytes"], b["bytes"]))
     c, d = mediaops.audio_pdf(n=2), mediaops.audio_pdf(n=2)
     assert all(bytes(x) == bytes(y) for x, y in zip(c["bytes"], d["bytes"]))
+
+
+def test_phash_neardup_matches_bruteforce(spark):
+    import pandas as pd
+
+    pdf = synth.scenes_pdf("tiny")[["image_id", "phash"]]
+    dups = pdf.iloc[:5].copy()
+    dups["image_id"] = dups["image_id"] + "/dup"
+    # flip 1..3 bits -> hamming 1..3 vs the original (within banding recall)
+    flips = [(1 << 3), (1 << 3) | (1 << 40), (1 << 0) | (1 << 21) | (1 << 63),
+             (1 << 17), (1 << 50) | (1 << 51)]
+    dups["phash"] = [int(p) ^ f for p, f in zip(dups["phash"], flips)]
+    dups["phash"] = dups["phash"].astype("int64")
+    all_pdf = pd.concat([pdf, dups], ignore_index=True)
+
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           mediaops.phash_neardup(spark.createDataFrame(all_pdf), max_hamming=3).collect()}
+
+    # brute-force all-pairs popcount oracle
+    ids = all_pdf["image_id"].tolist()
+    ph = all_pdf["phash"].astype("int64").to_numpy().astype(np.uint64)
+    exp = {}
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j]:
+                h = int(bin(int(ph[i]) ^ int(ph[j])).count("1"))
+                if h <= 3:
+                    exp[(ids[i], ids[j])] = h
+    assert got == exp
+    assert len(exp) >= 5  # the injected duplicates must all be found
