@@ -67,8 +67,12 @@ def leg(cores: int, mode: str, scenes_path: str) -> dict:
 
     extra = {}
     if mode == "bucketed":
+        # fresh warehouse per leg: each leg is a new subprocess with an empty
+        # metastore, so DROP TABLE can't clear a previous leg's table dir
+        wh = TMP / f"wh_{cores}_{os.getpid()}"
+        shutil.rmtree(wh, ignore_errors=True)
         extra = {
-            "spark.sql.warehouse.dir": str(TMP / f"wh_{cores}"),
+            "spark.sql.warehouse.dir": str(wh),
             # bucketed scans pair with sort-merge joins; bucket+sort layout
             # means neither an exchange nor a sort is inserted
             "spark.sql.join.preferSortMergeJoin": "true",
