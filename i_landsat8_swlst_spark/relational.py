@@ -988,6 +988,83 @@ def q_ntile_first_last(spark, sf_dir):
     )
 
 
+# --- fuzzy string join (edit distance <= k; entity-resolution shape) ----------------
+
+@register(
+    "q_fuzzy_join",
+    """SELECT a.n_name AS name_a, b.n_name AS name_b,
+          CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+       FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+       WHERE levenshtein(a.n_name, b.n_name) <= 5""",
+)
+def q_fuzzy_join(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    dist = F.levenshtein(F.col("a.n_name"), F.col("b.n_name"))
+    return (
+        a.join(b, F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        .filter(dist <= 5)
+        .select(F.col("a.n_name").alias("name_a"), F.col("b.n_name").alias("name_b"),
+                dist.cast("long").alias("dist"))
+    )
+
+
+# --- histogram (fixed-width binning; data-profiling shape) ---------------------------
+
+@register(
+    "q_histogram",
+    """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+          CAST(count(*) AS BIGINT) AS n_orders,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+       FROM orders GROUP BY 1""",
+)
+def q_histogram(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 25000.0).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"))
+    )
+
+
+# --- hamming near-dup join (the SQL-expressible twin of the phash LSH op) -----------
+# Same plan shape as mediaops.phash_neardup: band split -> band-key equi
+# self-join -> bit_count(xor) verify. 64-bit "hashes" here are event ids over
+# a sparse subset so both engines compute the identical candidate set.
+
+@register(
+    "q_hamming_join",
+    """WITH h AS (SELECT event_id AS id FROM events WHERE event_id % 37 = 0),
+         e AS (SELECT id, i AS band_idx,
+                  (id >> (16 * i)) & 65535 AS band_val
+               FROM h, (SELECT unnest([0, 1, 2, 3]) AS i)),
+         cand AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           FROM e a JOIN e b
+             ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+            AND a.id < b.id)
+        SELECT id_a, id_b,
+           CAST(bit_count(xor(id_a, id_b)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(id_a, id_b)) <= 3""",
+)
+def q_hamming_join(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter("event_id % 37 = 0") \
+        .select(F.col("event_id").alias("id"))
+    bands = [F.shiftrightunsigned(F.col("id"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+             for i in range(4)]
+    e = ev.select("id", F.posexplode(F.array(*bands)).alias("band_idx", "band_val"))
+    a, b = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("id_a").bitwiseXOR(F.col("id_b")))
+    return cand.filter(ham <= 3).select("id_a", "id_b", ham.cast("long").alias("hamming"))
+
+
 # --- scalar subquery (uncorrelated): orders above the global average -------------
 
 @register(
