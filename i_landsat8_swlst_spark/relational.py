@@ -1065,6 +1065,77 @@ def q_hamming_join(spark, sf_dir):
     return cand.filter(ham <= 3).select("id_a", "id_b", ham.cast("long").alias("hamming"))
 
 
+# --- linear regression aggregate via exact integer algebra ---------------------------
+# regr_slope/intercept built from BIGINT sums of integer-rounded terms: the
+# fp-sum-order nondeterminism that makes native regr_* aggregates hash-unsafe
+# across engines disappears; only the final division is fp, rounded on both
+# sides. (x = quantity, y = extendedprice in whole dollars; products bounded
+# well inside int64 at every SF.)
+
+@register(
+    "q_regr_manual",
+    """WITH t AS (
+          SELECT l_returnflag AS flag,
+             CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_extendedprice) AS BIGINT) AS y
+          FROM lineitem),
+        s AS (
+          SELECT flag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM t GROUP BY flag)
+        SELECT flag, n,
+           round((n * sxy - sx * sy) / (1.0 * n * sxx - 1.0 * sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (1.0 * n * sxx - 1.0 * sx * sx) * sx) / (1.0 * n), 6) AS intercept
+        FROM s""",
+)
+def q_regr_manual(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round("l_quantity").cast("long").alias("x"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    s = t.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.lit(1.0) * F.col("n") * F.col("sxx") - F.lit(1.0) * F.col("sx") * F.col("sx"))
+    return s.select(
+        "flag", "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / (F.lit(1.0) * F.col("n")), 6)
+        .alias("intercept"),
+    )
+
+
+# --- RANGE window frame (trailing 1-hour running stats per user) ---------------------
+
+@register(
+    "q_range_frame",
+    """SELECT user_id, event_id,
+          CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_last_hour
+       FROM (SELECT *, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events
+             WHERE user_id % 40 = 9)
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+)
+def q_range_frame(spark, sf_dir):
+    ev = (load(spark, sf_dir, "events").filter("user_id % 40 = 9")
+          .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp"))))
+    w = (Window.partitionBy("user_id").orderBy("ts_us")
+         .rangeBetween(-3_600_000_000, Window.currentRow))
+    return ev.select(
+        "user_id", "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias("cents_last_hour"),
+    )
+
+
 # --- scalar subquery (uncorrelated): orders above the global average -------------
 
 @register(
