@@ -268,16 +268,20 @@ def lst_pixels(
     north-up affine over the scene footprint.
     """
 
+    pa_schema = _arrow_schema(PIXEL_SCHEMA)
+
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # one output RecordBatch per tile (mapInArrow may yield many per
+        # input batch): numpy-native columns go to Arrow zero-copy, no
+        # pandas detour, no per-batch concat
         for batch in batches:
-            pdf = batch.to_pandas()
-            frames = []
-            for row in pdf.itertuples():
+            for row in _batch_rows(batch):
                 r = _run_tile_kernel(row, window)
                 w, h = int(row.w), int(row.h)
                 lst = r["lst_k"].ravel()
                 keep = np.isfinite(lst) if valid_only else np.ones(lst.size, bool)
-                if not keep.any():
+                n = int(np.count_nonzero(keep))
+                if n == 0:
                     continue
                 py, px = np.divmod(np.arange(w * h, dtype=np.int64)[keep], w)
                 dlon = (row.lon1 - row.lon0) / row.ntx
@@ -287,23 +291,24 @@ def lst_pixels(
                 idx = r["subrange_idx"].ravel()[keep]
                 e10 = float(row.emissivity_b10)
                 e11 = float(row.emissivity_b11)
-                frames.append(pd.DataFrame({
-                    "image_id": row.image_id_b10,
-                    "scene_id": row.scene_id,
-                    "tile_x": np.int32(row.tile_x), "tile_y": np.int32(row.tile_y),
-                    "px": px.astype(np.int32), "py": py.astype(np.int32),
-                    "lon": lon, "lat": lat,
-                    "bt10": r["bt10"].ravel()[keep],
-                    "bt11": r["bt11"].ravel()[keep],
-                    "cwv": r["cwv"].ravel()[keep],
-                    "subrange": _SUBRANGE_NAMES[idx],
-                    "emissivity_avg": (e10 + e11) / 2.0,
-                    "emissivity_delta": e10 - e11,
-                    "lst_k": lst[keep],
-                    "lst_c": r["lst_c"].ravel()[keep],
-                }))
-            if frames:
-                yield _to_batch(pd.concat(frames, ignore_index=True), PIXEL_SCHEMA)
+                arrays = [
+                    pa.array([row.image_id_b10] * n, type=pa.string()),
+                    pa.array([row.scene_id] * n, type=pa.string()),
+                    pa.array(np.full(n, row.tile_x, np.int32)),
+                    pa.array(np.full(n, row.tile_y, np.int32)),
+                    pa.array(px.astype(np.int32)),
+                    pa.array(py.astype(np.int32)),
+                    pa.array(lon), pa.array(lat),
+                    pa.array(r["bt10"].ravel()[keep]),
+                    pa.array(r["bt11"].ravel()[keep]),
+                    pa.array(r["cwv"].ravel()[keep]),
+                    pa.array(_SUBRANGE_NAMES[idx], type=pa.string()),
+                    pa.array(np.full(n, (e10 + e11) / 2.0)),
+                    pa.array(np.full(n, e10 - e11)),
+                    pa.array(lst[keep]),
+                    pa.array(r["lst_c"].ravel()[keep]),
+                ]
+                yield pa.RecordBatch.from_arrays(arrays, schema=pa_schema)
 
     return enriched_with_grid.mapInArrow(fn, PIXEL_SCHEMA)
 
