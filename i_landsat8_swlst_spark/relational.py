@@ -83,17 +83,22 @@ def oracle_sql() -> dict[str, str]:
 
 # --- C2: DN -> radiance ------------------------------------------------------
 
+# radiance compared as exact integer micro-units: round(x, 6) is hash-unsafe
+# cross-engine at half-way boundaries (DuckDB rounds via fp x*1e6, Spark via
+# exact BigDecimal — observed 5/120k rows flipped at sf0.1); an explicit
+# CAST(round(x * 1e6) AS BIGINT) makes both engines round the SAME IEEE
+# product, so the comparison is exact at every SF.
 @register(
     "q_radiance",
     f"""SELECT l_orderkey, l_linenumber,
-           round({_RAD}, 6) AS radiance
+           CAST(round(({_RAD}) * 1000000.0) AS BIGINT) AS radiance_micro
         FROM lineitem WHERE l_partkey % 10 = 3""",
 )
 def q_radiance(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").filter("l_partkey % 10 = 3")
     return li.select(
         "l_orderkey", "l_linenumber",
-        F.round(F.expr(_RAD), 6).alias("radiance"),
+        F.round(F.expr(_RAD) * 1000000.0).cast("long").alias("radiance_micro"),
     )
 
 

@@ -7,7 +7,9 @@ import duckdb
 import pandas as pd
 import pytest
 
-SF_DIR = "/root/testdata/sf0.001"
+import os
+
+SF_DIR = os.environ.get("SWLST_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _duck(sql: str) -> pd.DataFrame:
