@@ -1141,6 +1141,43 @@ def q_range_frame(spark, sf_dir):
     )
 
 
+# --- grouped-map pandas UDF (applyInPandas) with an exact SQL twin -------------------
+# The raster engine's rasterize/halo operators are applyInPandas; this twin
+# proves that surface's exactness through the driver gate: per-user running
+# cents computed by a grouped-map kernel == the window-function form.
+
+@register(
+    "q_grouped_map",
+    """SELECT user_id, event_id,
+          CAST(sum(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+       FROM events WHERE user_id % 30 = 11""",
+)
+def q_grouped_map(spark, sf_dir):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("running_cents", LongType()),
+    ])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        cents = np.rint(pdf["value"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame({
+            "user_id": pdf["user_id"].to_numpy(),
+            "event_id": pdf["event_id"].to_numpy(),
+            "running_cents": np.cumsum(cents),
+        })
+
+    ev = load(spark, sf_dir, "events").filter("user_id % 30 = 11")
+    return ev.groupBy("user_id").applyInPandas(fn, out_schema)
+
+
 # --- scalar subquery (uncorrelated): orders above the global average -------------
 
 @register(
