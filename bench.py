@@ -31,6 +31,10 @@ HEADLINE = [
     "q_broadcast_join",    # dim-chain broadcast join + agg
     "q_agg_stats",         # TPC-H Q1 shape
     "q_window_topk",       # per-key top-k window
+    "q_dedup_exact",       # training-pipeline: exact hash dedup
+    "q_minhash_lsh_pairs", # training-pipeline: MinHash-LSH near-dup pairs
+    "q_embed_cosine_topk", # training-pipeline: brute-force cosine top-k
+    "q_tfidf",             # training-pipeline: term weighting
 ]
 
 
