@@ -1141,6 +1141,58 @@ def q_range_frame(spark, sf_dir):
     )
 
 
+# --- NULL semantics (three-valued logic; C14's relational face) -----------------------
+# get_json_object returns NULL for missing keys -> a natural NULL column over
+# events.props exercises null-safe equality, NULLIF, COALESCE and the
+# count(*) vs count(col) distinction identically in both engines.
+
+@register(
+    "q_null_logic",
+    """WITH t AS (
+          SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             user_id
+          FROM events)
+        SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(k) AS BIGINT) AS n_k_not_null,
+           CAST(sum(CASE WHEN k IS NOT DISTINCT FROM user_id % 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+           CAST(count(nullif(k, 0)) AS BIGINT) AS n_nonzero_k,
+           CAST(sum(coalesce(k, -1)) AS BIGINT) AS sum_k_coalesced
+        FROM t GROUP BY event_type""",
+)
+def q_null_logic(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"), "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("k").alias("n_k_not_null"),
+            F.sum(F.when(F.col("k").eqNullSafe(F.col("user_id") % 10), 1).otherwise(0))
+            .alias("n_nullsafe_eq"),
+            F.count(F.nullif(F.col("k"), F.lit(0))).alias("n_nonzero_k"),
+            F.sum(F.coalesce(F.col("k"), F.lit(-1))).alias("sum_k_coalesced"),
+        )
+    )
+
+
+# --- EXCEPT ALL (bag semantics: multiplicities preserved) -----------------------------
+
+@register(
+    "q_except_all",
+    """SELECT l_partkey FROM lineitem WHERE l_quantity > 10
+       EXCEPT ALL
+       SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 10""",
+)
+def q_except_all(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter("l_quantity > 10").select("l_partkey")
+    b = li.filter("l_returnflag = 'R' AND l_quantity > 10").select("l_partkey")
+    return a.exceptAll(b)
+
+
 # --- grouped-map pandas UDF (applyInPandas) with an exact SQL twin -------------------
 # The raster engine's rasterize/halo operators are applyInPandas; this twin
 # proves that surface's exactness through the driver gate: per-user running
