@@ -349,16 +349,19 @@ def full_pixel_pipeline(
 
     Everything after the kernel is embarrassingly parallel (broadcast-only
     joins), so the plan has exactly two exchanges end-to-end: the band-pair
-    join and none after.
+    join and none after — and exactly TWO Python hops: the fused raster
+    kernel, then spatial.enrich_pixels fusing cells+PIP+kNN (chaining the
+    composable ops instead costs 3 extra full-row Arrow round trips; the
+    fused op is row-for-row identical and each stage keeps its own oracle
+    tests).
     """
     from . import spatial
 
     pixels = lst_pixels(
         build_enriched_with_grid(scenes, scene_meta, emissivities), window=window
     )
-    cells = spatial.with_cells(pixels, s2_level=s2_level)
-    pip = spatial.pip_join(cells, aoi_pdf, how="left")
-    return spatial.knn_join(pip, stations_pdf, k=knn_k)
+    return spatial.enrich_pixels(pixels, aoi_pdf, stations_pdf,
+                                 k=knn_k, s2_level=s2_level, how="left")
 
 
 HALO_TILE_SCHEMA = TILE_SCHEMA  # same output contract as lst_tiles

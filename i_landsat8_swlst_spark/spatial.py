@@ -277,3 +277,111 @@ def knn_join(points: DataFrame, stations: pd.DataFrame, k: int = 3,
             yield rep
 
     return points.mapInPandas(fn, out_schema)
+
+
+# --------------------------------------------------------------------------
+# fused pixel enrichment: cells + PIP + kNN in ONE Python hop
+# --------------------------------------------------------------------------
+
+
+def enrich_pixels(points: DataFrame, aoi: pd.DataFrame, stations: pd.DataFrame,
+                  k: int = 3, s2_level: int = 14, how: str = "left",
+                  lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Cell-encode + broadcast R-tree PIP + kNN stations in a single
+    mapInArrow pass.
+
+    The composable ops (with_cells, pip_join, knn_join) each pay a full
+    JVM<->Python serialization of every pixel column; chained on the
+    north-star flow that is 3 extra round trips of ~20 columns per pixel.
+    All three stages only need (lon, lat) plus broadcast small sides, so one
+    fused hop computes them together — same results row-for-row as the
+    composition (the pytest oracles cover each stage individually).
+    """
+    import pyarrow as pa
+
+    spark = points.sparkSession
+    pp = PackedPolygons.from_pdf(aoi)
+    cat = dict(zip(aoi["aoi_id"], aoi.get("category", pd.Series(index=aoi.index, dtype=object))))
+    st = (
+        stations["station_id"].to_numpy(object),
+        stations["lon"].to_numpy(np.float64),
+        stations["lat"].to_numpy(np.float64),
+        stations["cwv_obs"].to_numpy(np.float64) if "cwv_obs" in stations else None,
+    )
+    bc = spark.sparkContext.broadcast((pp, cat, st))
+
+    in_fields = list(points.schema.fields)
+    out_schema = StructType(in_fields + [
+        StructField("h3_7", LongType()), StructField("h3_8", LongType()),
+        StructField("h3_9", LongType()), StructField("s2_cell", LongType()),
+        StructField("aoi_id", StringType()), StructField("aoi_category", StringType()),
+        StructField("station_id", StringType()), StructField("station_rank", IntegerType()),
+        StructField("station_km", DoubleType()), StructField("station_cwv", DoubleType()),
+    ])
+    in_names = [f.name for f in in_fields]
+    lon_i, lat_i = in_names.index(lon_col), in_names.index(lat_col)
+
+    import pyarrow as _pa
+
+    _PA = {"string": _pa.string(), "int": _pa.int32(), "bigint": _pa.int64(),
+           "double": _pa.float64(), "binary": _pa.binary()}
+    pa_out = _pa.schema([(f.name, _PA[f.dataType.simpleString()]) for f in out_schema])
+
+    def fn(batches):
+        pp, cat, (ids, slon, slat, scwv) = bc.value
+        m = len(ids)
+        kk = min(k, m)
+        id_rank = np.argsort(np.argsort(ids, kind="stable"))
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            px = batch.column(lon_i).to_numpy(zero_copy_only=False).astype(np.float64)
+            py = batch.column(lat_i).to_numpy(zero_copy_only=False).astype(np.float64)
+
+            # cells (same kernels the pandas UDFs wrap)
+            from . import geo
+            cells = [geo.hexcell(px, py, r) for r in (7, 8, 9)] + [geo.s2_cell(px, py, s2_level)]
+
+            # PIP -> (point index, aoi arrays), left semantics
+            pi, gi = query_polygons(pp, px, py)
+            if how == "left":
+                unmatched = np.setdiff1d(np.arange(n), np.unique(pi))
+                idxA = np.concatenate([pi, unmatched])
+                aoi_ids = np.concatenate([pp.aoi_ids[gi],
+                                          np.full(unmatched.size, None, dtype=object)])
+            else:
+                idxA = pi
+                aoi_ids = pp.aoi_ids[gi]
+            aoi_cat = np.array([cat.get(a) if a is not None else None for a in aoi_ids],
+                               dtype=object)
+
+            # kNN on the ORIGINAL points, then indexed through idxA
+            d = haversine_km(px[:, None], py[:, None], slon[None, :], slat[None, :])
+            key = d + id_rank[None, :] * 1e-12
+            top = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+            rowi = np.arange(n)[:, None]
+            order = np.argsort(key[rowi, top], axis=1)
+            top = top[rowi, order]                      # (n, kk) station idx
+
+            # final fan-out: each aoi-expanded row repeats kk times
+            F_idx = np.repeat(idxA, kk)                  # input row per output
+            st_pick = top[idxA].ravel()                  # station per output
+            arrays = []
+            for i, f in enumerate(in_fields):
+                col = batch.column(i).take(pa.array(F_idx))
+                arrays.append(col)
+            rep_aoi = np.repeat(aoi_ids, kk)
+            rep_cat = np.repeat(aoi_cat, kk)
+            for c in cells:
+                arrays.append(pa.array(c[F_idx], type=pa.int64()))
+            arrays.append(pa.array(rep_aoi, type=pa.string()))
+            arrays.append(pa.array(rep_cat, type=pa.string()))
+            arrays.append(pa.array(ids[st_pick], type=pa.string()))
+            arrays.append(pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int32), idxA.size)))
+            arrays.append(pa.array(d[F_idx, st_pick]))
+            arrays.append(pa.array(scwv[st_pick] if scwv is not None
+                                   else np.full(st_pick.size, np.nan)))
+            yield pa.RecordBatch.from_arrays(arrays, schema=pa_out)
+
+    return points.mapInArrow(fn, out_schema)

@@ -133,3 +133,31 @@ def test_with_cells_spark(spark):
     np.testing.assert_array_equal(
         out["h3_8"].to_numpy(), geo.hexcell(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 8)
     )
+
+
+def test_enrich_pixels_matches_composed_ops(spark):
+    """The fused cells+PIP+kNN hop must be row-for-row identical to the
+    composition of with_cells -> pip_join(left) -> knn_join."""
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import constants as C, pipeline, synth
+
+    scenes = spark.createDataFrame(synth.scenes_pdf("tiny"))
+    meta = spark.createDataFrame(synth.scene_meta_pdf("tiny"))
+    emis = spark.createDataFrame(pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
+    pixels = pipeline.lst_pixels(
+        pipeline.build_enriched_with_grid(scenes, meta, emis), window=5)
+    aoi, stations = synth.aoi_pdf("tiny"), synth.stations_pdf("tiny")
+
+    fused = spatial.enrich_pixels(pixels, aoi, stations, k=2, s2_level=14, how="left")
+    composed = spatial.knn_join(
+        spatial.pip_join(spatial.with_cells(pixels, s2_level=14), aoi, how="left"),
+        stations, k=2)
+
+    key = ["image_id", "px", "py", "aoi_id", "station_rank"]
+    a = fused.toPandas().fillna("~")
+    b = composed.toPandas().fillna("~")
+    assert sorted(a.columns) == sorted(b.columns)
+    a = a[sorted(a.columns)].sort_values(key).reset_index(drop=True)
+    b = b[sorted(b.columns)].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
