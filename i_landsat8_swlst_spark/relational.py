@@ -1141,6 +1141,54 @@ def q_range_frame(spark, sf_dir):
     )
 
 
+# --- upsert / MERGE-INTO pattern (no Iceberg/Delta runtime -> anti-join + union) ------
+# The data-lake upsert: updates win over base on the key, inserts append.
+# Exactly the write path a slice re-run takes (checkpoint.py overwrite).
+
+@register(
+    "q_upsert",
+    """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 1),
+        updates AS (SELECT o_orderkey, o_totalprice * 2.0 AS o_totalprice
+                    FROM orders WHERE o_orderkey % 8 = 1)
+        SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM (SELECT b.* FROM base b ANTI JOIN updates u USING (o_orderkey)
+              UNION ALL SELECT * FROM updates)""",
+)
+def q_upsert(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    base = o.filter("o_orderkey % 4 = 1").select("o_orderkey", "o_totalprice")
+    updates = o.filter("o_orderkey % 8 = 1").select(
+        "o_orderkey", (F.col("o_totalprice") * 2.0).alias("o_totalprice"))
+    merged = base.join(updates, "o_orderkey", "left_anti").unionByName(updates)
+    return merged.select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"))
+
+
+# --- array explode with ordinality (vector-column introspection) ----------------------
+
+@register(
+    "q_vector_explode",
+    """SELECT dim,
+          CAST(count(*) AS BIGINT) AS n,
+          -- CAST v to DOUBLE explicitly: DuckDB evaluates FLOAT * 1000000.0
+          -- in FLOAT (the literal coerces down), Spark promotes to DOUBLE
+          CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micro
+       FROM (SELECT vec_id, unnest(embedding) AS v,
+                generate_subscripts(embedding, 1) - 1 AS dim
+             FROM embeddings WHERE vec_id % 10 = 2)
+       GROUP BY dim""",
+)
+def q_vector_explode(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings").filter("vec_id % 10 = 2")
+    return (
+        e.select("vec_id", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.round(F.col("v") * 1000000.0).cast("long")).alias("sum_micro"))
+    )
+
+
 # --- NULL semantics (three-valued logic; C14's relational face) -----------------------
 # get_json_object returns NULL for missing keys -> a natural NULL column over
 # events.props exercises null-safe equality, NULLIF, COALESCE and the
