@@ -221,6 +221,23 @@ def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lst_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the halo-exchange mosaic path (9-strip emit -> one shuffle
+    on the receiving tile key -> stream assemble); pytest parity vs the
+    whole-scene mosaic kernel in tests/test_halo.py."""
+    from i_landsat8_swlst_spark import pipeline
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    tiles = pipeline.lst_tiles_halo(pipeline.build_enriched(scenes, meta, emis), window=5)
+    return (
+        tiles.groupBy("scene_id")
+        .agg(F.count(F.lit(1)).alias("n_tiles"),
+             F.sum("n_valid").alias("n_valid_px"),
+             F.round(F.avg("lst_mean"), 4).alias("avg_tile_lst"))
+        .orderBy("scene_id")
+    )
+
+
 def _q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: banded-LSH near-duplicate image pairs over the phash column
     (4x16-bit bands -> equi self-join -> bit_count verify, all JVM-side);
@@ -328,6 +345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_frame_sample"] = _q_frame_sample
     q["q_audio_features"] = _q_audio_features
     q["q_media_meta"] = _q_media_meta
+    q["q_lst_halo"] = _q_lst_halo
     q["q_phash_neardup"] = _q_phash_neardup
     q["q_stream_ingest"] = _q_stream_ingest
     q["q_stream_progress"] = _q_stream_progress
