@@ -164,33 +164,40 @@ def cwv_ratio(t10: np.ndarray, t11: np.ndarray, window: int = C.DEFAULT_CWV_WIND
     nan10 = np.isnan(t10)
     nan11 = np.isnan(t11)
     has_nan = bool(nan10.any() or nan11.any())
+    h, w = t10.shape
     if has_nan:
         either = np.logical_or(nan10, nan11, out=nan10)
-        ind = np.pad(either.astype(np.float64), r, constant_values=1.0)
-        bad = _box_sum(ind, window)[r:-r or None, r:-r or None] > 0
         a10 = np.where(either, 0.0, t10)
         a11 = np.where(either, 0.0, t11)
     else:
-        # interior pixels have full windows; only the r-wide edge ring sees
-        # off-map (NULL) cells -> mask it without any box count
-        bad = np.zeros(t10.shape, dtype=bool)
-        bad[:r, :] = bad[-r:, :] = True
-        bad[:, :r] = bad[:, -r:] = True
         a10, a11 = t10, t11
 
-    # all four box sums from ONE stacked padded buffer: P[2] = P[0]^2 and
+    # every pixel whose window hangs off the tile is NULL (off-map cells are
+    # NULL in the reference) — so "bad" = edge ring OR any-NaN-in-window,
+    # where the NaN box count can use the SAME 0-padded geometry as the data
+    # planes (the old pad-with-1.0 ring marked exactly the edge-ring windows
+    # the explicit mask marks)
+    bad = np.zeros((h, w), dtype=bool)
+    bad[:r, :] = bad[-r:, :] = True
+    bad[:, :r] = bad[:, -r:] = True
+
+    # all box sums from ONE stacked padded buffer: P[2] = P[0]^2 and
     # P[3] = P[0]*P[1] on the padded planes equal padding the products
-    # (0*0 = 0), and cumsum over axis -2/-1 of a C-contiguous (4, H, W)
+    # (0*0 = 0), and cumsum over axis -2/-1 of a C-contiguous (k, H, W)
     # stack accumulates each plane in the same order as the 2-D form —
-    # bit-identical results, 4 np.pad + 8 cumsum calls -> 1 alloc + 2.
-    h, w = a10.shape
-    P = np.zeros((4, h + 2 * r + 1, w + 2 * r + 1))
+    # bit-identical results, per-plane np.pad + cumsum calls -> 1 alloc + 2.
+    # With NaNs present the indicator rides along as a 5th plane.
+    P = np.zeros((5 if has_nan else 4, h + 2 * r + 1, w + 2 * r + 1))
     P[0, r + 1 : r + 1 + h, r + 1 : r + 1 + w] = a10
     P[1, r + 1 : r + 1 + h, r + 1 : r + 1 + w] = a11
     np.multiply(P[0], P[0], out=P[2])
     np.multiply(P[0], P[1], out=P[3])
+    if has_nan:
+        P[4, r + 1 : r + 1 + h, r + 1 : r + 1 + w] = either
     box = _box_from_padded(P, window)
     s10, s11, s1010, s1011 = box[0], box[1], box[2], box[3]
+    if has_nan:
+        bad |= box[4] > 0
 
     # num = s1011 - s10*s11/n ; den = s1010 - s10*s10/n  (in-place, same
     # IEEE op order as the composed form)
