@@ -1141,6 +1141,33 @@ def q_range_frame(spark, sf_dir):
     )
 
 
+# --- scalar string functions (caption-processing family beyond regex) -----------------
+
+@register(
+    "q_string_funcs",
+    """SELECT c_custkey,
+          upper(c_mktsegment) AS seg_upper,
+          substr(c_name, 1, 8) AS name_prefix,
+          length(c_name) AS name_len,
+          replace(c_mktsegment, 'A', '_') AS seg_repl,
+          concat(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS seg_tag,
+          lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nation_pad
+       FROM customer WHERE c_custkey % 20 = 13""",
+)
+def q_string_funcs(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").filter("c_custkey % 20 = 13")
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.replace(F.col("c_mktsegment"), F.lit("A"), F.lit("_")).alias("seg_repl"),
+        F.concat(F.col("c_mktsegment"), F.lit("#"),
+                 F.col("c_nationkey").cast("string")).alias("seg_tag"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nation_pad"),
+    )
+
+
 # --- upsert / MERGE-INTO pattern (no Iceberg/Delta runtime -> anti-join + union) ------
 # The data-lake upsert: updates win over base on the key, inserts append.
 # Exactly the write path a slice re-run takes (checkpoint.py overwrite).
