@@ -73,27 +73,26 @@ def _hex_to_int_sql() -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _perm_ab(i: int) -> tuple[int, int]:
+    return 2 * i + 1, (i * 2654435761) % _P
+
+
 def _minhash_sql() -> str:
+    # all NPERM min-hashes as parallel aggregate columns over ONE scan of the
+    # hashed shingles — the earlier perms CROSS JOIN paid a NPERM x row
+    # blow-up through the aggregation exchange (measured 3x the whole query)
     x = _hex_to_int_sql()
+    mins = ", ".join(
+        f"min(({_perm_ab(i)[0]} * x + {_perm_ab(i)[1]}) % {_P}) AS mh{i}"
+        for i in range(_NPERM))
     return f"""
   WITH shingles AS ({_SHINGLES_SQL}),
   hashed AS (SELECT doc_id, {x} AS x FROM shingles),
-  perms AS (SELECT CAST(i AS BIGINT) AS perm,
-                   CAST(2 * i + 1 AS BIGINT) AS a,
-                   CAST((i * 2654435761) % {_P} AS BIGINT) AS b
-            FROM range({_NPERM}) t(i)),
-  minh AS (SELECT doc_id, perm, min((a * x + b) % {_P}) AS mh
-           FROM hashed CROSS JOIN perms GROUP BY doc_id, perm)
+  minh AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)
 """
 
 
-@register(
-    "q_minhash_signatures",
-    _minhash_sql()
-    + """SELECT doc_id, CAST(perm AS BIGINT) AS perm, CAST(mh AS BIGINT) AS minhash
-         FROM minh""",
-)
-def q_minhash_signatures(spark, sf_dir):
+def _minh_wide(spark, sf_dir):
     d = load(spark, sf_dir, "documents").filter(_SUBSET)
     sh = (
         d.select("doc_id", F.explode(F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1)))).alias("i"),
@@ -103,25 +102,36 @@ def q_minhash_signatures(spark, sf_dir):
     )
     x = F.expr(_hex_to_int_sql())
     hashed = sh.select("doc_id", x.alias("x"))
-    perms = spark.range(_NPERM).select(
-        F.col("id").alias("perm"),
-        (F.col("id") * 2 + 1).alias("a"),
-        ((F.col("id") * 2654435761) % _P).alias("b"),
-    )
-    return (
-        hashed.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "perm")
-        .agg(F.min((F.col("a") * F.col("x") + F.col("b")) % _P).alias("minhash"))
-    )
+    aggs = []
+    for i in range(_NPERM):
+        a, b = _perm_ab(i)
+        aggs.append(F.min((F.lit(a) * F.col("x") + F.lit(b)) % _P).alias(f"mh{i}"))
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+@register(
+    "q_minhash_signatures",
+    _minhash_sql()
+    + "SELECT doc_id, "
+    + ", ".join(f"CAST(mh{i} AS BIGINT) AS mh{i}" for i in range(_NPERM))
+    + " FROM minh",
+)
+def q_minhash_signatures(spark, sf_dir):
+    return _minh_wide(spark, sf_dir)
+
+
+def _band_concat_sql(b: int) -> str:
+    return " || ',' || ".join(
+        f"CAST(mh{b * _BAND + j} AS VARCHAR)" for j in range(_BAND))
 
 
 @register(
     "q_minhash_lsh_pairs",
     _minhash_sql()
     + f""",
-    bands AS (SELECT doc_id, perm // {_BAND} AS band,
-                     md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm)) AS band_key
-              FROM minh GROUP BY doc_id, band)
+    bands AS (SELECT doc_id, t.band,
+                 CASE t.band {" ".join(f"WHEN {b} THEN md5({_band_concat_sql(b)})" for b in range(_NPERM // _BAND))} END AS band_key
+              FROM minh, (SELECT unnest([{", ".join(str(b) for b in range(_NPERM // _BAND))}]) AS band) t)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(count(*) AS BIGINT) AS shared_bands
     FROM bands a JOIN bands b
@@ -129,16 +139,14 @@ def q_minhash_signatures(spark, sf_dir):
     GROUP BY 1, 2""",
 )
 def q_minhash_lsh_pairs(spark, sf_dir):
-    minh = q_minhash_signatures(spark, sf_dir)
-    bands = (
-        minh.withColumn("band", (F.col("perm") / _BAND).cast("long"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(F.array_join(F.transform(
-                F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
-                lambda s: s["minhash"].cast("string")), ",")).alias("band_key")
-        )
-    )
+    minh = _minh_wide(spark, sf_dir)
+    band_keys = [
+        F.md5(F.concat_ws(",", *[F.col(f"mh{b * _BAND + j}").cast("string")
+                                 for j in range(_BAND)]))
+        for b in range(_NPERM // _BAND)
+    ]
+    bands = minh.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "band_key"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
