@@ -133,7 +133,7 @@ def _q_tile_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lat1") - (F.col("tile_y") + 0.5) * (F.col("lat1") - F.col("lat0")) / F.col("nty")).alias("lat"),
         )
     )
-    return spatial.with_cells(cent).select("image_id", "h3_7", "h3_8", "h3_9", "s2_cell")
+    return spatial.with_cells(cent).select("image_id", "hex_7", "hex_8", "hex_9", "s2_cell")
 
 
 def _q_rasterize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

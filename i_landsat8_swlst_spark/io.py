@@ -53,7 +53,7 @@ class TableIO:
             w.createOrReplace()
 
 
-def with_cell_prefix(df: DataFrame, cell_col: str = "h3_7",
+def with_cell_prefix(df: DataFrame, cell_col: str = "hex_7",
                      out_col: str = "cell_p", bits: int = 8) -> DataFrame:
     """Coarse partition key from a cell id: top bits -> bounded cardinality."""
     return df.withColumn(

@@ -66,7 +66,10 @@ def dn_to_bt(dn: np.ndarray, ml: float, al: float, k1: float, k2: float) -> np.n
     Integer DN input (lossless tiles via codecs.decode_tile_dn) takes the
     LUT-gather fast path; float input (lossy tiles, halo pads with NaN)
     takes the arithmetic path."""
-    if dn.dtype.kind in "ui":
+    if dn.dtype in (np.uint8, np.uint16):
+        # LUT gather is only safe when every value is a valid index into the
+        # 65536-entry table; wider/signed ints (negative DNs would wrap to the
+        # table tail) fall through to the arithmetic path.
         return _bt_lut(ml, al, k1, k2)[dn]
     rad = dn.astype(np.float64)
     rad *= ml
@@ -259,6 +262,10 @@ def select_subrange(cwv_arr: np.ndarray) -> np.ndarray:
     """
     _, lo, hi, _ = _coef_matrix()
     assert all(lo[k + 1] <= hi[k] for k in range(4)), "subrange chain must overlap"
+    # searchsorted's binary-search precondition: the CSV is swappable, so a
+    # replacement with non-monotone bounds must fail loudly, not misclassify.
+    assert np.all(np.diff(hi[:5]) > 0), "subrange hi bounds must be ascending"
+    assert np.all(np.diff(lo[:5]) > 0), "subrange lo bounds must be ascending"
     idx = np.searchsorted(hi[:4], cwv_arr, side="right")
     oob = np.isnan(cwv_arr) | (cwv_arr < lo[0]) | (cwv_arr > hi[4])
     idx[oob] = -1

@@ -1073,9 +1073,12 @@ def q_hamming_join(spark, sf_dir):
 # --- linear regression aggregate via exact integer algebra ---------------------------
 # regr_slope/intercept built from BIGINT sums of integer-rounded terms: the
 # fp-sum-order nondeterminism that makes native regr_* aggregates hash-unsafe
-# across engines disappears; only the final division is fp, rounded on both
-# sides. (x = quantity, y = extendedprice in whole dollars; products bounded
-# well inside int64 at every SF.)
+# across engines disappears. The SUMS stay exact int64 (bounded: sxy <=
+# rows * 50 * 1e5 ~ 3e13 per flag at SF 1k); the CROSS PRODUCTS n*sxy and
+# sx*sy are NOT (n*sxy ~ 1.2e19 > int64 max already at SF>=1, where Spark
+# non-ANSI wraps silently and DuckDB raises), so every product term is cast
+# to DOUBLE before multiplying, identically on both engines: same exact
+# integer inputs -> same IEEE mul/sub -> bit-identical quotient.
 
 @register(
     "q_regr_manual",
@@ -1090,8 +1093,11 @@ def q_hamming_join(spark, sf_dir):
              CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
           FROM t GROUP BY flag)
         SELECT flag, n,
-           round((n * sxy - sx * sy) / (1.0 * n * sxx - 1.0 * sx * sx), 6) AS slope,
-           round((sy - (n * sxy - sx * sy) / (1.0 * n * sxx - 1.0 * sx * sx) * sx) / (1.0 * n), 6) AS intercept
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS slope,
+           round((sy - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                       / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx)
+                 / CAST(n AS DOUBLE), 6) AS intercept
         FROM s""",
 )
 def q_regr_manual(spark, sf_dir):
@@ -1107,13 +1113,13 @@ def q_regr_manual(spark, sf_dir):
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.lit(1.0) * F.col("n") * F.col("sxx") - F.lit(1.0) * F.col("sx") * F.col("sx"))
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    slope = (nd * F.col("sxy") - sxd * F.col("sy")) / (nd * F.col("sxx") - sxd * F.col("sx"))
     return s.select(
         "flag", "n",
         F.round(slope, 6).alias("slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / (F.lit(1.0) * F.col("n")), 6)
-        .alias("intercept"),
+        F.round((F.col("sy") - slope * F.col("sx")) / nd, 6).alias("intercept"),
     )
 
 
@@ -1294,7 +1300,10 @@ def q_grouped_map(spark, sf_dir):
         import numpy as np
 
         pdf = pdf.sort_values(["ts", "event_id"])
-        cents = np.rint(pdf["value"].to_numpy() * 100).astype(np.int64)
+        # half-away-from-zero, matching SQL round() on both engines (np.rint
+        # is half-to-even and diverges when value*100 lands exactly on .5)
+        v = pdf["value"].to_numpy() * 100
+        cents = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(np.int64)
         return pd.DataFrame({
             "user_id": pdf["user_id"].to_numpy(),
             "event_id": pdf["event_id"].to_numpy(),

@@ -49,12 +49,12 @@ def hexcell_udf(res: int):
 
 def with_cells(df: DataFrame, lon_col: str = "lon", lat_col: str = "lat",
                s2_level: int = 14) -> DataFrame:
-    """Adds h3_7/h3_8/h3_9 (hex grid, H3-role) + s2_cell columns."""
+    """Adds hex_7/hex_8/hex_9 (hex grid, H3-role) + s2_cell columns."""
     lon, lat = F.col(lon_col), F.col(lat_col)
     return (
-        df.withColumn("h3_7", hexcell_udf(7)(lon, lat))
-        .withColumn("h3_8", hexcell_udf(8)(lon, lat))
-        .withColumn("h3_9", hexcell_udf(9)(lon, lat))
+        df.withColumn("hex_7", hexcell_udf(7)(lon, lat))
+        .withColumn("hex_8", hexcell_udf(8)(lon, lat))
+        .withColumn("hex_9", hexcell_udf(9)(lon, lat))
         .withColumn("s2_cell", s2_cell_udf(s2_level)(lon, lat))
     )
 
@@ -85,7 +85,6 @@ class PackedPolygons:
             order = np.lexsort((cy, np.digitize(cx, np.quantile(cx, np.linspace(0, 1, nslice + 1)[1:-1]))))
             self.order = order
             per = max(1, math.ceil(m / nslice))
-            self.group_of = np.arange(m)[np.argsort(order)] // per  # unused; groups below
             groups = [order[i : i + per] for i in range(0, m, per)]
             self.groups = groups
             self.group_bbox = np.array(
@@ -312,8 +311,8 @@ def enrich_pixels(points: DataFrame, aoi: pd.DataFrame, stations: pd.DataFrame,
 
     in_fields = list(points.schema.fields)
     out_schema = StructType(in_fields + [
-        StructField("h3_7", LongType()), StructField("h3_8", LongType()),
-        StructField("h3_9", LongType()), StructField("s2_cell", LongType()),
+        StructField("hex_7", LongType()), StructField("hex_8", LongType()),
+        StructField("hex_9", LongType()), StructField("s2_cell", LongType()),
         StructField("aoi_id", StringType()), StructField("aoi_category", StringType()),
         StructField("station_id", StringType()), StructField("station_rank", IntegerType()),
         StructField("station_km", DoubleType()), StructField("station_cwv", DoubleType()),

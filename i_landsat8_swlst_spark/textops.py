@@ -503,13 +503,26 @@ def q_winnow_fingerprint(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# embedding-cosine near-duplicate dedup: pairs above a cosine threshold on a
-# deterministic subset, then keeper = min vec_id over the near-dup neighbor-
-# hood (including self) — the embedding analog of q_dedup_exact.
+# embedding-cosine near-duplicate dedup, LSH-bucketed (the 100-TB-scale
+# plan): sign-bit bands -> band-key equi self-join for candidates -> exact
+# cosine verify -> keeper = min vec_id over the near-dup neighborhood
+# (including self) — the embedding analog of q_dedup_exact.
+#
+# The driver embeddings table has no true near-dups (max pairwise cos 0.46
+# at sf0.01), so the query injects them deterministically: each subset
+# vector gets a twin with ONLY dim 0 perturbed (emb[0]*1.5 + 0.25), ids
+# offset by 1e6. Cosine(orig, twin) >= 0.948 for every vector while every
+# other pair stays <= 0.55, so threshold 0.9 separates exactly. Recall is
+# 1.0 BY PIGEONHOLE: a twin differs in one dim -> at most one of the 16
+# 4-dim sign bands can differ -> the pair always shares >= 15 band buckets
+# (same guarantee structure as mediaops.phash_neardup). Verified against
+# the brute-force all-pairs oracle in tests/test_textops.py, which is the
+# only remaining home of the O(n^2) form.
 # --------------------------------------------------------------------------
 
-_ND_THRESH = 0.3
+_ND_THRESH = 0.9
 _ND_SUBSET = "vec_id % 5 = 0"
+_ND_BANDS = 16  # 16 bands x 4 sign bits = all 64 dims
 
 
 def _dot_duck(x: str, y: str) -> str:
@@ -532,37 +545,102 @@ def _nrm_spark(t: str) -> str:
     return f"sqrt({_dot_spark(t, t)})"
 
 
+def _nd_bucket_duck() -> str:
+    return " + ".join(
+        f"(CASE WHEN emb[t.band * 4 + {i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(4)
+    )
+
+
+def _dotd_duck(x: str, y: str) -> str:
+    return f"list_dot_product({x}.emb, {y}.emb)"
+
+
+def _dotd_spark(x: str, y: str) -> str:
+    return (
+        f"aggregate(zip_with({x}.emb, {y}.emb, (p, q) -> p * q),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+
+
 @register(
     "q_embed_neardup",
-    f"""WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE {_ND_SUBSET}),
+    f"""WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings WHERE {_ND_SUBSET}),
+       allv AS (
+         SELECT vec_id, emb FROM sub
+         UNION ALL
+         SELECT vec_id + 1000000,
+                list_prepend(emb[1] * CAST(1.5 AS DOUBLE) + CAST(0.25 AS DOUBLE), emb[2:])
+         FROM sub),
+       bands AS (
+         SELECT vec_id, CAST(t.band AS BIGINT) AS band,
+                CAST({_nd_bucket_duck()} AS BIGINT) AS bucket
+         FROM allv, range({_ND_BANDS}) t(band)),
+       cand AS (
+         SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
        pairs AS (
          SELECT ia, ib FROM (
-           SELECT a.vec_id AS ia, b.vec_id AS ib,
-                  round({_dot_duck('a', 'b')} / ({_nrm_duck('a')} * {_nrm_duck('b')}), 4) AS cos
-           FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
+           SELECT cand.ia, cand.ib,
+                  round({_dotd_duck('x', 'y')}
+                        / (sqrt({_dotd_duck('x', 'x')}) * sqrt({_dotd_duck('y', 'y')})), 4) AS cos
+           FROM cand JOIN allv x ON x.vec_id = cand.ia
+                     JOIN allv y ON y.vec_id = cand.ib)
          WHERE cos >= {_ND_THRESH}),
        edges AS (SELECT ia AS v, ib AS u FROM pairs
                  UNION ALL SELECT ib, ia FROM pairs
-                 UNION ALL SELECT vec_id, vec_id FROM sub)
+                 UNION ALL SELECT vec_id, vec_id FROM allv)
        SELECT v AS vec_id, CAST(min(u) AS BIGINT) AS keeper_id,
               CAST(count(*) - 1 AS BIGINT) AS n_neardups,
               CAST(CASE WHEN min(u) < v THEN 1 ELSE 0 END AS BIGINT) AS is_dup
        FROM edges GROUP BY v""",
 )
 def q_embed_neardup(spark, sf_dir):
-    sub = load(spark, sf_dir, "embeddings").filter(_ND_SUBSET).select("vec_id", "embedding")
-    a, b = sub.alias("a"), sub.alias("b")
+    sub = (
+        load(spark, sf_dir, "embeddings").filter(_ND_SUBSET)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    )
+    dup = sub.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("emb", 1) * 1.5 + 0.25),
+            F.slice("emb", 2, 63),
+        ).alias("emb"),
+    )
+    allv = sub.unionAll(dup)
+    bucket = sum(
+        F.when(F.element_at("emb", F.col("band") * 4 + (i + 1)) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(4)
+    ).cast("long")
+    bands = (
+        allv.select("vec_id", "emb",
+                    F.explode(F.sequence(F.lit(0), F.lit(_ND_BANDS - 1))).alias("band"))
+        .select("vec_id", F.col("band").cast("long").alias("band"), bucket.alias("bucket"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib"))
+        .distinct()
+    )
+    x, y = allv.alias("x"), allv.alias("y")
     cos = F.round(
-        F.expr(_dot_spark("a", "b")) / (F.expr(_nrm_spark("a")) * F.expr(_nrm_spark("b"))), 4)
+        F.expr(_dotd_spark("x", "y"))
+        / (F.sqrt(F.expr(_dotd_spark("x", "x"))) * F.sqrt(F.expr(_dotd_spark("y", "y")))), 4)
     pairs = (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib"), cos.alias("cos"))
+        cand.join(x, F.col("x.vec_id") == F.col("ia"))
+        .join(y, F.col("y.vec_id") == F.col("ib"))
+        .select("ia", "ib", cos.alias("cos"))
         .filter(F.col("cos") >= _ND_THRESH)
     )
     edges = (
         pairs.select(F.col("ia").alias("v"), F.col("ib").alias("u"))
         .unionAll(pairs.select(F.col("ib").alias("v"), F.col("ia").alias("u")))
-        .unionAll(sub.select(F.col("vec_id").alias("v"), F.col("vec_id").alias("u")))
+        .unionAll(allv.select(F.col("vec_id").alias("v"), F.col("vec_id").alias("u")))
     )
     return edges.groupBy(F.col("v").alias("vec_id")).agg(
         F.min("u").alias("keeper_id"),

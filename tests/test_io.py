@@ -18,7 +18,7 @@ def test_partitioned_sink_roundtrip_and_pruning(spark, tmp_path):
         "lat": rng.uniform(-30, 30, 2000),
         "lst_k": rng.uniform(260, 320, 2000),
     })
-    pdf["h3_7"] = geo.hexcell(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 7)
+    pdf["hex_7"] = geo.hexcell(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 7)
     df = spark.createDataFrame(pdf)
     io = TableIO(spark, "parquet")
     target = str(tmp_path / "pixels")

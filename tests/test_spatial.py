@@ -131,7 +131,7 @@ def test_with_cells_spark(spark):
         out["s2_cell"].to_numpy(), geo.s2_cell(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 14)
     )
     np.testing.assert_array_equal(
-        out["h3_8"].to_numpy(), geo.hexcell(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 8)
+        out["hex_8"].to_numpy(), geo.hexcell(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 8)
     )
 
 

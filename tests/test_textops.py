@@ -48,3 +48,48 @@ def test_simhash_duplicate_docs_identical(spark):
     out = q_simhash64(spark, d).toPandas().set_index("doc_id")["simhash64"]
     assert out[1] == out[2]
     assert out[1] != out[3]
+
+
+# --------------------------------------------------------------------------
+# LSH near-dup vs brute-force all-pairs oracle: the O(n^2) form lives ONLY
+# here, as the recall/precision oracle for the banded production plan.
+# --------------------------------------------------------------------------
+
+
+def _neardup_brute(sf_dir: str):
+    """All-pairs near-dup over the same injected-twin universe as
+    q_embed_neardup, in numpy: returns {vec_id: (keeper, n_neardups)}."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    sub = t[t.vec_id % 5 == 0].sort_values("vec_id")
+    E = np.stack([np.asarray(e, dtype=np.float64) for e in sub.embedding])
+    ids = sub.vec_id.to_numpy()
+    Ed = E.copy()
+    Ed[:, 0] = Ed[:, 0] * 1.5 + 0.25
+    allE = np.vstack([E, Ed])
+    allids = np.concatenate([ids, ids + 1000000])
+    N = allE / np.linalg.norm(allE, axis=1, keepdims=True)
+    C = np.round(N @ N.T, 4)
+    out = {}
+    for i, v in enumerate(allids):
+        nbr = allids[(C[i] >= 0.9)]  # includes self (cos=1.0)
+        out[int(v)] = (int(nbr.min()), int(len(nbr) - 1))
+    return out
+
+
+def test_embed_neardup_lsh_matches_bruteforce(spark):
+    """Recall must be exactly 1.0: the twin differs in one dim, so >=15 of
+    the 16 sign bands match (pigeonhole) and every true pair is a candidate;
+    the cosine verify then makes precision exact too."""
+    from i_landsat8_swlst_spark.textops import q_embed_neardup
+
+    got = q_embed_neardup(spark, SF_DIR).toPandas().set_index("vec_id")
+    exp = _neardup_brute(SF_DIR)
+    assert len(got) == len(exp) > 0
+    for vid, (keeper, n_nd) in exp.items():
+        assert int(got.loc[vid, "keeper_id"]) == keeper, vid
+        assert int(got.loc[vid, "n_neardups"]) == n_nd, vid
+        assert int(got.loc[vid, "is_dup"]) == (1 if keeper < vid else 0), vid
+    # non-trivial: every original found its injected twin
+    assert (got["is_dup"] == 1).sum() == len(exp) // 2
