@@ -33,7 +33,9 @@ HEADLINE = [
     "q_window_topk",       # per-key top-k window
     "q_dedup_exact",       # training-pipeline: exact hash dedup
     "q_minhash_lsh_pairs", # training-pipeline: MinHash-LSH near-dup pairs
-    "q_embed_cosine_topk", # training-pipeline: brute-force cosine top-k
+    "q_ann_ivf",           # training-pipeline: IVF ANN top-k (the scale path;
+                           # brute-force q_embed_cosine_topk is its recall
+                           # oracle in pytest, not a headline entry)
     "q_tfidf",             # training-pipeline: term weighting
 ]
 

@@ -337,6 +337,12 @@ _NRM_DUCK = "sqrt(list_dot_product(CAST({t}.embedding AS DOUBLE[]), CAST({t}.emb
          FROM pairs) WHERE rnk <= 5""",
 )
 def q_embed_cosine_topk(spark, sf_dir):
+    """EXACT brute-force top-k: query-subset x all join, O(|Q| * n).
+
+    This is the small-scale recall oracle and exactness twin ONLY — at 100-TB
+    scale route through q_ann_ivf (coarse-quantizer candidates, equi-join
+    plan) whose recall@k floor is asserted against this form in
+    tests/test_textops.py. Not a bench headline for that reason."""
     e = load(spark, sf_dir, "embeddings")
     a = e.filter("vec_id % 50 = 0").alias("a")
     b = e.alias("b")

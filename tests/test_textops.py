@@ -93,3 +93,30 @@ def test_embed_neardup_lsh_matches_bruteforce(spark):
         assert int(got.loc[vid, "is_dup"]) == (1 if keeper < vid else 0), vid
     # non-trivial: every original found its injected twin
     assert (got["is_dup"] == 1).sum() == len(exp) // 2
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF ANN quality gate: recall@5 vs the exact brute-force top-5 over the
+    SAME query set / ranking semantics (cos rounded to 4, ties by neighbor_id
+    asc). nprobe=2 of ~n/97 centroids measured 0.64 at this scale — assert
+    the floor so a quantizer regression can't pass silently."""
+    import pyarrow.parquet as pq
+
+    from i_landsat8_swlst_spark.textops import q_ann_ivf
+
+    sf_dir = SF_DIR
+    got = q_ann_ivf(spark, sf_dir).toPandas()
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas().sort_values("vec_id")
+    E = np.stack([np.asarray(e, dtype=np.float64) for e in t.embedding])
+    ids = t.vec_id.to_numpy()
+    N = E / np.linalg.norm(E, axis=1, keepdims=True)
+    C = np.round(N @ N.T, 4)
+    recalls = []
+    for qi in np.nonzero(ids % 50 == 1)[0]:
+        order = sorted((i for i in range(len(ids)) if i != qi),
+                       key=lambda i: (-C[qi, i], ids[i]))
+        brute5 = set(ids[order[:5]].tolist())
+        ivf5 = set(got[got.query_id == ids[qi]].neighbor_id.tolist())
+        recalls.append(len(brute5 & ivf5) / 5)
+    assert len(recalls) >= 5
+    assert float(np.mean(recalls)) >= 0.6
