@@ -153,6 +153,13 @@ def cwv_ratio(t10: np.ndarray, t11: np.ndarray, window: int = C.DEFAULT_CWV_WIND
     Reference semantics: any window cell that is NULL (cloud) or off-map
     makes the output pixel NULL. Implemented as cumsum box filters plus an
     exact per-window NaN count — O(1) per pixel, window-size independent.
+
+    Shape-generic over leading batch dims: (..., h, w) inputs run each
+    (h, w) plane independently (cumsum along axis -2/-1 never mixes
+    leading-dim slices), so a stacked (k, h, w) call is bit-identical to k
+    separate 2-D calls while amortizing the numpy dispatch overhead — the
+    batched mapInArrow path in pipeline._run_tile_kernel_batch relies on
+    this.
     """
     if window % 2 != 1 or window < 3:
         raise ValueError(f"window must be odd and >= 3, got {window}")
@@ -167,7 +174,8 @@ def cwv_ratio(t10: np.ndarray, t11: np.ndarray, window: int = C.DEFAULT_CWV_WIND
     nan10 = np.isnan(t10)
     nan11 = np.isnan(t11)
     has_nan = bool(nan10.any() or nan11.any())
-    h, w = t10.shape
+    h, w = t10.shape[-2:]
+    lead = t10.shape[:-2]
     if has_nan:
         either = np.logical_or(nan10, nan11, out=nan10)
         a10 = np.where(either, 0.0, t10)
@@ -180,9 +188,11 @@ def cwv_ratio(t10: np.ndarray, t11: np.ndarray, window: int = C.DEFAULT_CWV_WIND
     # where the NaN box count can use the SAME 0-padded geometry as the data
     # planes (the old pad-with-1.0 ring marked exactly the edge-ring windows
     # the explicit mask marks)
-    bad = np.zeros((h, w), dtype=bool)
-    bad[:r, :] = bad[-r:, :] = True
-    bad[:, :r] = bad[:, -r:] = True
+    bad = np.zeros(t10.shape, dtype=bool)
+    bad[..., :r, :] = True
+    bad[..., -r:, :] = True
+    bad[..., :, :r] = True
+    bad[..., :, -r:] = True
 
     # all box sums from ONE stacked padded buffer: P[2] = P[0]^2 and
     # P[3] = P[0]*P[1] on the padded planes equal padding the products
@@ -190,13 +200,13 @@ def cwv_ratio(t10: np.ndarray, t11: np.ndarray, window: int = C.DEFAULT_CWV_WIND
     # stack accumulates each plane in the same order as the 2-D form —
     # bit-identical results, per-plane np.pad + cumsum calls -> 1 alloc + 2.
     # With NaNs present the indicator rides along as a 5th plane.
-    P = np.zeros((5 if has_nan else 4, h + 2 * r + 1, w + 2 * r + 1))
-    P[0, r + 1 : r + 1 + h, r + 1 : r + 1 + w] = a10
-    P[1, r + 1 : r + 1 + h, r + 1 : r + 1 + w] = a11
+    P = np.zeros((5 if has_nan else 4, *lead, h + 2 * r + 1, w + 2 * r + 1))
+    P[0, ..., r + 1 : r + 1 + h, r + 1 : r + 1 + w] = a10
+    P[1, ..., r + 1 : r + 1 + h, r + 1 : r + 1 + w] = a11
     np.multiply(P[0], P[0], out=P[2])
     np.multiply(P[0], P[1], out=P[3])
     if has_nan:
-        P[4, r + 1 : r + 1 + h, r + 1 : r + 1 + w] = either
+        P[4, ..., r + 1 : r + 1 + h, r + 1 : r + 1 + w] = either
     box = _box_from_padded(P, window)
     s10, s11, s1010, s1011 = box[0], box[1], box[2], box[3]
     if has_nan:

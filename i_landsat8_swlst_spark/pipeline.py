@@ -219,6 +219,59 @@ def _run_tile_kernel(row, window: int) -> dict:
     )
 
 
+# Max tiles stacked per fused-kernel call. Measured under the full 32-worker
+# bench load (sweep, best-of-2 per point): 1 -> 6.85s, 2 -> 6.94, 4 -> 6.12,
+# 8 -> 4.53, 64 -> 4.19s per pass — with every core busy, amortizing numpy
+# dispatch beats keeping the plane family cache-resident (the opposite of the
+# idle-core result), so stack the whole Arrow batch; the cap is a worker-
+# memory backstop for future larger Arrow batches (64 tiles x 128^2 float64
+# plane family ~ 43 MB/worker).
+_KERNEL_STACK = 64
+
+
+def _run_tile_kernel_batch(rows: list, window: int) -> list[dict]:
+    """Run the fused kernel over a whole Arrow batch of tile rows.
+
+    Rows are grouped by (w, h, fmt pair, MTL constants, emissivity pair,
+    QA presence); each homogeneous group is decoded into ONE (k, h, w)
+    stack and pushed through kernels.fused_lst_kernel in a single call —
+    bit-identical to the per-tile form (cwv_ratio is leading-dim generic;
+    every other stage is elementwise or a gather) while the ~86 numpy
+    dispatches per tile collapse to ~86 per group. Returns per-row result
+    dicts in input order; rows a group can't absorb (heterogeneous shapes
+    within a 1-row remainder etc.) still work — a group of one is just the
+    old path with an extra leading axis of 1.
+    """
+    groups: dict[tuple, list[int]] = {}
+    for i, row in enumerate(rows):
+        qa_bytes = getattr(row, "bytes_qa", None)
+        key = (int(row.w), int(row.h), row.fmt_b10, row.fmt_b11,
+               tuple(float(getattr(row, k)) for k in META_COLS),
+               float(row.emissivity_b10), float(row.emissivity_b11),
+               qa_bytes is not None)
+        groups.setdefault(key, []).append(i)
+    out: list[dict | None] = [None] * len(rows)
+    for (w, h, fmt10, fmt11, meta_vals, e10, e11, has_qa), gidxs in groups.items():
+        meta = dict(zip(META_COLS, meta_vals))
+        # stack depth 8: the float64 plane family for a (4, 8, h+, w+) stack
+        # stays L3-resident per worker (measured sweep: 8 beats 4/16/32/64 at
+        # 128^2 tiles by 10-25%); bigger stacks trade dispatch savings back
+        # for cache misses — the kernel is memory-bound (BENCH/BASELINE.md)
+        for s in range(0, len(gidxs), _KERNEL_STACK):
+            idxs = gidxs[s : s + _KERNEL_STACK]
+            dn10 = np.stack([codecs.decode_tile_dn(rows[i].bytes_b10, w, h, fmt10) for i in idxs])
+            dn11 = np.stack([codecs.decode_tile_dn(rows[i].bytes_b11, w, h, fmt11) for i in idxs])
+            qa = (np.stack([codecs.decode_u16le(rows[i].bytes_qa, w, h) for i in idxs])
+                  if has_qa else None)
+            r = K.fused_lst_kernel(
+                dn10, dn11, meta, e10=e10, e11=e11, window=window,
+                qa=qa, cloud_values=_CLOUD_VALUES if has_qa else None,
+            )
+            for j, i in enumerate(idxs):
+                out[i] = {k: v[j] for k, v in r.items()}
+    return out  # type: ignore[return-value]
+
+
 def lst_tiles(enriched: DataFrame, window: int = C.DEFAULT_CWV_WINDOW,
               emit_arrays: bool = True) -> DataFrame:
     """Fused raster kernel -> tile-level LST/CWV arrays + stats (C11).
@@ -232,8 +285,8 @@ def lst_tiles(enriched: DataFrame, window: int = C.DEFAULT_CWV_WINDOW,
         for batch in batches:
             cols: dict[str, list] = {f.name: [] for f in TILE_SCHEMA}
             ap = {k: v.append for k, v in cols.items()}
-            for row in _batch_rows(batch):
-                r = _run_tile_kernel(row, window)
+            rows = list(_batch_rows(batch))
+            for row, r in zip(rows, _run_tile_kernel_batch(rows, window)):
                 lst = r["lst_k"]
                 n_valid, lst_min, lst_max, lst_mean = _finite_stats(lst)
                 _, _, _, cwv_mean = _finite_stats(r["cwv"])
