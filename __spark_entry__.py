@@ -208,10 +208,30 @@ def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: tolerant decode catalog over mixed formats (undecodable
-    fmts catalogued, not failed)."""
-    from i_landsat8_swlst_spark import mediaops
+    fmts catalogued, not failed; png16 rows exercise the real-container
+    stdlib PNG codec end-to-end through the Spark surface)."""
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import codecs, mediaops, synth
 
     scenes, _, _ = _tiny_fixture(spark)
+    pdf = synth.scenes_pdf("tiny")
+    base = pdf[pdf.fmt == codecs.FMT_RAW].iloc[:4]
+    png = pd.DataFrame({
+        "image_id": (base.image_id + "/png").to_numpy(),
+        "bytes": [
+            codecs.encode_png16(codecs.decode_tile_dn(b, int(w), int(h), f))
+            for b, w, h, f in zip(base["bytes"], base.w, base.h, base.fmt)
+        ],
+        "w": base.w.to_numpy(), "h": base.h.to_numpy(),
+        "fmt": codecs.FMT_PNG,
+    })
+    jpeg = pd.DataFrame({  # no jpeg lib in this container -> catalogued, not failed
+        "image_id": ["synthetic/jpeg/0"], "bytes": [b"\xff\xd8\xff\xe0 not decodable"],
+        "w": [8], "h": [8], "fmt": ["jpeg"],
+    })
+    scenes = scenes.select("image_id", "bytes", "w", "h", "fmt").unionAll(
+        spark.createDataFrame(png)).unionAll(spark.createDataFrame(jpeg))
     return (
         mediaops.media_meta(scenes)
         .groupBy("fmt", "decoded")

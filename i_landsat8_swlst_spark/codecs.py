@@ -23,6 +23,7 @@ import numpy as np
 
 FMT_RAW = "u16le"
 FMT_DCT = "u16dct"
+FMT_PNG = "png16"  # real-container lossless path: 16-bit grayscale PNG
 
 _MAGIC = b"DCT1"
 _BLK = 8
@@ -88,15 +89,129 @@ def decode_u16dct(data: bytes, w: int, h: int) -> np.ndarray:
     return img[:h, :w]
 
 
+# --------------------------------------------------------------------------
+# PNG (real container format, pure stdlib zlib + struct + numpy).
+# Writer: 16-bit grayscale, Up filter on every scanline. Reader: any
+# non-interlaced grayscale PNG (bit depth 8 or 16, all five scanline filter
+# types) — round-trip exactness and filter coverage in tests/test_codecs.py.
+# Color / palette / Adam7 stay honestly NotImplemented (out of scope for a
+# single-band raster table, not silently wrong).
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def encode_png16(img: np.ndarray) -> bytes:
+    """16-bit grayscale PNG with the Up filter per scanline (vectorized:
+    byte-wise uint8 row diff IS the Up filter) — deterministic bytes for a
+    given input (fixed zlib level)."""
+    a = np.ascontiguousarray(np.asarray(img).astype(">u2"))
+    h, w = a.shape
+    b = a.view(np.uint8).reshape(h, w * 2)
+    filt = np.empty((h, w * 2 + 1), dtype=np.uint8)
+    filt[:, 0] = 2  # Up
+    filt[0, 1:] = b[0]  # prior scanline of row 0 is all zero -> Up == raw
+    filt[1:, 1:] = b[1:] - b[:-1]  # uint8 wraparound == mod-256 difference
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(filt.tobytes(), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reconstruct scanlines from filtered bytes -> (h, stride) uint8."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    rl = stride + 1
+    for y in range(h):
+        ft = raw[y * rl]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=y * rl + 1).copy()
+        if ft == 0:  # None
+            rec = line
+        elif ft == 2:  # Up
+            rec = line + prev
+        elif ft == 1:  # Sub: per byte lane, cumulative sum mod 256
+            lanes = line.reshape(-1, bpp).astype(np.int64)
+            rec = (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(-1)
+        elif ft == 3:  # Average: left-dependency -> sequential per pixel
+            rec = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(rec[i - bpp]) if i >= bpp else 0
+                rec[i] = (int(line[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth: sequential per pixel
+            rec = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {ft}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Grayscale PNG -> uint16 (h, w). 8-bit samples widen to uint16."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, idat, ihdr = 8, [], None
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if ctype != 0 or depth not in (8, 16):
+        raise NotImplementedError(
+            f"PNG color type {ctype}/depth {depth}: only grayscale 8/16-bit "
+            "single-band rasters are in scope")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid PNG compression/filter method")
+    bpp = depth // 8
+    stride = w * bpp
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    rec = _png_unfilter(raw, h, stride, bpp)
+    if depth == 16:
+        return rec.reshape(h, w, 2).copy().view(">u2").reshape(h, w).astype(np.uint16)
+    return rec.reshape(h, w).astype(np.uint16)
+
+
 def decode_tile(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     """Dispatch by the row's fmt column; returns float64 (h, w)."""
     if fmt == FMT_RAW:
         return decode_u16le(data, w, h)
     if fmt == FMT_DCT:
         return decode_u16dct(data, w, h)
+    if fmt == FMT_PNG:
+        img = decode_png(data)
+        if img.shape != (h, w):
+            raise ValueError(f"PNG dims {img.shape} != row dims {(h, w)}")
+        return img.astype(np.float64)
     raise NotImplementedError(
-        f"fmt={fmt!r}: real image codecs (png/jpeg) need image libs absent from "
-        "this container; plumbing is fmt-dispatched so adding one is local"
+        f"fmt={fmt!r}: jpeg/webp etc. need image libs absent from this "
+        "container; plumbing is fmt-dispatched so adding one is local"
     )
 
 
@@ -107,6 +222,11 @@ def decode_tile_dn(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     decode to float64 and take the arithmetic path."""
     if fmt == FMT_RAW:
         return np.frombuffer(data, dtype="<u2").reshape(h, w)
+    if fmt == FMT_PNG:
+        img = decode_png(data)
+        if img.shape != (h, w):
+            raise ValueError(f"PNG dims {img.shape} != row dims {(h, w)}")
+        return img  # uint16 -> BT LUT fast path
     return decode_tile(data, w, h, fmt)
 
 
@@ -115,6 +235,8 @@ def encode_tile(img: np.ndarray, fmt: str) -> bytes:
         return encode_u16le(img)
     if fmt == FMT_DCT:
         return encode_u16dct(img)
+    if fmt == FMT_PNG:
+        return encode_png16(img)
     raise NotImplementedError(f"fmt={fmt!r}")
 
 
