@@ -94,13 +94,22 @@ def _minhash_sql() -> str:
 
 def _minh_wide(spark, sf_dir):
     d = load(spark, sf_dir, "documents").filter(_SUBSET)
+    # NO .distinct() here, deliberately: min() is duplicate-insensitive, so
+    # deduping (doc_id, shingle) first cannot change any mh_i — but it IS the
+    # query's largest shuffle (every shingle row through an exchange + hash
+    # dedup before the aggregate). Dropping it leaves ONE map-side-combining
+    # aggregation as the only shuffle. The oracle keeps its DISTINCT (shared
+    # CTE with the Jaccard twin, where dedup does matter): same result by
+    # the algebra above, attested by the driver hash gate.
     sh = (
         d.select("doc_id", F.explode(F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1)))).alias("i"),
                  "text")
         .select("doc_id", F.expr("substr(text, i, 5)").alias("sh"))
-        .distinct()
     )
-    x = F.expr(_hex_to_int_sql())
+    # one conv() call == the oracle's 8-term hex fold (identical value:
+    # both parse the first 8 md5 hex digits base-16), ~10x less expression
+    # tree per row on the Spark side
+    x = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
     hashed = sh.select("doc_id", x.alias("x"))
     aggs = []
     for i in range(_NPERM):
