@@ -200,25 +200,6 @@ def _finite_stats(a: np.ndarray) -> tuple[int, float | None, float | None, float
 _CLOUD_VALUES = np.array(C.DEFAULT_CLOUD_QA_VALUES, dtype=np.float64)
 
 
-def _run_tile_kernel(row, window: int) -> dict:
-    """Decode both bands (+ optional QA cloud mask, C4) and run the fused
-    physics for one tile row."""
-    w, h = int(row.w), int(row.h)
-    dn10 = codecs.decode_tile_dn(row.bytes_b10, w, h, row.fmt_b10)
-    dn11 = codecs.decode_tile_dn(row.bytes_b11, w, h, row.fmt_b11)
-    qa = None
-    qa_bytes = getattr(row, "bytes_qa", None)
-    if qa_bytes is not None:
-        qa = codecs.decode_u16le(qa_bytes, w, h)
-    meta = {k: float(getattr(row, k)) for k in META_COLS}
-    return K.fused_lst_kernel(
-        dn10, dn11, meta,
-        e10=float(row.emissivity_b10), e11=float(row.emissivity_b11),
-        window=window,
-        qa=qa, cloud_values=_CLOUD_VALUES if qa is not None else None,
-    )
-
-
 # Max tiles stacked per fused-kernel call. Measured under the full 32-worker
 # bench load (sweep, best-of-2 per point): 1 -> 6.85s, 2 -> 6.94, 4 -> 6.12,
 # 8 -> 4.53, 64 -> 4.19s per pass — with every core busy, amortizing numpy
@@ -328,8 +309,8 @@ def lst_pixels(
         # input batch): numpy-native columns go to Arrow zero-copy, no
         # pandas detour, no per-batch concat
         for batch in batches:
-            for row in _batch_rows(batch):
-                r = _run_tile_kernel(row, window)
+            rows = list(_batch_rows(batch))
+            for row, r in zip(rows, _run_tile_kernel_batch(rows, window)):
                 w, h = int(row.w), int(row.h)
                 lst = r["lst_k"].ravel()
                 keep = np.isfinite(lst) if valid_only else np.ones(lst.size, bool)
