@@ -331,6 +331,16 @@ _NRM_SPARK = (
 _DOT_DUCK = "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
 _NRM_DUCK = "sqrt(list_dot_product(CAST({t}.embedding AS DOUBLE[]), CAST({t}.embedding AS DOUBLE[])))"
 
+# per-vector norm, computed ONCE before any join (the joined-row form
+# re-evaluates the 64-element fold per PAIR — |Q| x n times instead of n).
+# transform(e, x -> x*x) folds the same products in the same order as
+# zip_with(e, e, ...), so the value is bit-identical to the oracle's
+# list_dot_product(e, e).
+_NRM_SELF = (
+    "sqrt(aggregate(transform(CAST(embedding AS array<double>), x -> x * x),"
+    " 0D, (acc, v) -> acc + v))"
+)
+
 
 @register(
     "q_embed_cosine_topk",
@@ -352,12 +362,10 @@ def q_embed_cosine_topk(spark, sf_dir):
     scale route through q_ann_ivf (coarse-quantizer candidates, equi-join
     plan) whose recall@k floor is asserted against this form in
     tests/test_textops.py. Not a bench headline for that reason."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").withColumn("nrm", F.expr(_NRM_SELF))
     a = e.filter("vec_id % 50 = 0").alias("a")
     b = e.alias("b")
-    cos = F.round(
-        F.expr(_DOT_SPARK) / (F.expr(_NRM_SPARK.format(t="a")) * F.expr(_NRM_SPARK.format(t="b"))), 4
-    )
+    cos = F.round(F.expr(_DOT_SPARK) / (F.col("a.nrm") * F.col("b.nrm")), 4)
     pairs = a.join(b, F.col("b.vec_id") != F.col("a.vec_id")).select(
         F.col("a.vec_id").alias("query_id"),
         F.col("b.vec_id").alias("neighbor_id"),
@@ -624,7 +632,9 @@ def q_embed_neardup(spark, sf_dir):
             F.slice("emb", 2, 63),
         ).alias("emb"),
     )
-    allv = sub.unionAll(dup)
+    allv = sub.unionAll(dup).withColumn(
+        "nrm",
+        F.sqrt(F.expr("aggregate(transform(emb, x -> x * x), 0D, (acc, v) -> acc + v)")))
     bucket = sum(
         F.when(F.element_at("emb", F.col("band") * 4 + (i + 1)) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i in range(4)
@@ -643,9 +653,10 @@ def q_embed_neardup(spark, sf_dir):
         .distinct()
     )
     x, y = allv.alias("x"), allv.alias("y")
+    # norms precomputed per vector above (bit-identical: transform-square
+    # folds the same products in the same order as the zip_with self-dot)
     cos = F.round(
-        F.expr(_dotd_spark("x", "y"))
-        / (F.sqrt(F.expr(_dotd_spark("x", "x"))) * F.sqrt(F.expr(_dotd_spark("y", "y")))), 4)
+        F.expr(_dotd_spark("x", "y")) / (F.col("x.nrm") * F.col("y.nrm")), 4)
     pairs = (
         cand.join(x, F.col("x.vec_id") == F.col("ia"))
         .join(y, F.col("y.vec_id") == F.col("ib"))
@@ -705,11 +716,14 @@ _IVF_K = 5
          FROM scored) WHERE rnk <= {_IVF_K}""",
 )
 def q_ann_ivf(spark, sf_dir):
-    e = load(spark, sf_dir, "embeddings")
-    cent = e.filter(_IVF_CENT).select(F.col("vec_id").alias("cid"), "embedding")
+    # norms precomputed per VECTOR, not per joined pair (bit-identical value,
+    # |V|+|C| folds instead of |V|*|C| — the assignment stage is the cost)
+    e = load(spark, sf_dir, "embeddings").withColumn("nrm", F.expr(_NRM_SELF))
+    cent = e.filter(_IVF_CENT).select(
+        F.col("vec_id").alias("cid"), "embedding", F.col("nrm").alias("cnrm"))
     v, c = e.alias("v"), cent.alias("c")
     cosd = F.round(
-        F.expr(_dot_spark("v", "c")) / (F.expr(_nrm_spark("v")) * F.expr(_nrm_spark("c"))), 6)
+        F.expr(_dot_spark("v", "c")) / (F.col("v.nrm") * F.col("c.cnrm")), 6)
     assign0 = v.crossJoin(F.broadcast(c)).select(
         F.col("v.vec_id").alias("vec_id"), F.col("c.cid").alias("cid"), cosd.alias("cosd"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosd"), F.asc("cid"))
@@ -724,7 +738,7 @@ def q_ann_ivf(spark, sf_dir):
                 .select("qid", F.col("a.vec_id").alias("nid"))
     q, n = e.alias("q"), e.alias("n")
     cos = F.round(
-        F.expr(_dot_spark("q", "n")) / (F.expr(_nrm_spark("q")) * F.expr(_nrm_spark("n"))), 4)
+        F.expr(_dot_spark("q", "n")) / (F.col("q.nrm") * F.col("n.nrm")), 4)
     scored = (
         cand.join(q, F.col("q.vec_id") == cand.qid)
         .join(n, F.col("n.vec_id") == cand.nid)
