@@ -385,6 +385,52 @@ def _ordered(base: dict) -> dict:
     return out
 
 
+def _q_stream_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: stream-stream band-pair join (watermarked inner self-join
+    with event-time bound) -> the SAME fused LST kernel as batch; band-10
+    tiles from drop 1 pair with band-11 partners arriving in drop 2 via the
+    join state store. Batch parity in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from i_landsat8_swlst_spark import constants as C, streaming, synth
+
+    tmp = tempfile.mkdtemp(prefix="swlst_qpair_")
+    try:
+        import os
+
+        in_dir, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        os.makedirs(in_dir)
+        s0 = synth.scenes_pdf("tiny", scenes=[0])
+        b10 = s0[s0.image_id.str.contains("/B10/")]
+        b11 = s0[s0.image_id.str.contains("/B11/")]
+        half = len(b11) // 2
+        meta_pdf = synth.scene_meta_pdf("tiny")
+        emis_pdf = pd.DataFrame([e._asdict() for e in C.load_emissivities()])
+        pq.write_table(pa.Table.from_pandas(
+            pd.concat([b10, b11.iloc[:half]], ignore_index=True),
+            preserve_index=False), f"{in_dir}/d1.parquet")
+        streaming.stream_pair_lst(spark, in_dir, out, ckpt, meta_pdf, emis_pdf)
+        pq.write_table(pa.Table.from_pandas(
+            b11.iloc[half:], preserve_index=False), f"{in_dir}/d2.parquet")
+        streaming.stream_pair_lst(spark, in_dir, out, ckpt, meta_pdf, emis_pdf)
+        return (
+            spark.read.parquet(out)
+            .groupBy("scene_id")
+            .agg(F.count(F.lit(1)).alias("n_tiles"),
+                 F.sum("n_valid").alias("n_valid_px"),
+                 F.round(F.avg("lst_mean"), 4).alias("avg_tile_lst"))
+            .orderBy("scene_id")
+            .localCheckpoint()  # materialize before the temp dir vanishes
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _ordered(dict(relational.queries()))
     # rows-only (untwinned) entries go after every twinned query so they
@@ -404,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_phash_neardup"] = _q_phash_neardup
     q["q_stream_ingest"] = _q_stream_ingest
     q["q_stream_progress"] = _q_stream_progress
+    q["q_stream_pair"] = _q_stream_pair
     return q
 
 

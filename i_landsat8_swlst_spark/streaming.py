@@ -164,6 +164,85 @@ def stream_windowed_counts(
     q.awaitTermination()
 
 
+def stream_pair_lst(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    meta_pdf: pd.DataFrame,
+    emis_pdf: pd.DataFrame,
+    window: int = 5,
+    horizon: str = "30 days",
+) -> None:
+    """Stream-stream band-pair join -> fused LST kernel -> append sink.
+
+    The ingest-time analog of pipeline.pair_bands: band-10 and band-11 tiles
+    arrive in ANY order across file drops; each side is watermarked on
+    acquisition time and the inner self-join keeps unmatched tiles in the
+    state store until the partner lands (or the watermark passes) — so a
+    band-10 tile from drop 1 pairs with its band-11 partner from drop 2
+    without any batch-side bookkeeping. The join condition includes event-
+    time equality (tiles of one scene share acquisition time), which is what
+    bounds join state eviction. MTL constants and emissivities are STATIC
+    broadcast joins against the stream — the standard stream-static enrich.
+    The paired stream then runs the SAME pipeline.lst_tiles fused Arrow
+    kernel as batch (one code path for both).
+    """
+    from . import pipeline
+
+    raw = spark.readStream.schema(SCENES_SCHEMA).parquet(in_dir)
+    parsed = pipeline.parse_scenes(
+        _with_event_time(raw).withWatermark("acq_ts", horizon))
+    key = ["scene_id", "tile_x", "tile_y"]
+    b10 = parsed.filter(F.col("band") == 10).select(
+        *key,
+        F.col("acq_ts").alias("ts10"),
+        F.col("image_id").alias("image_id_b10"),
+        F.col("bytes").alias("bytes_b10"),
+        F.col("fmt").alias("fmt_b10"),
+        "w", "h",
+        F.col("caption").alias("caption_b10"),
+        "landcover",
+    )
+    b11 = parsed.filter(F.col("band") == 11).select(
+        F.col("scene_id").alias("scene_id_11"),
+        F.col("tile_x").alias("tile_x_11"),
+        F.col("tile_y").alias("tile_y_11"),
+        F.col("acq_ts").alias("ts11"),
+        F.col("image_id").alias("image_id_b11"),
+        F.col("bytes").alias("bytes_b11"),
+        F.col("fmt").alias("fmt_b11"),
+        F.col("caption").alias("caption_b11"),
+    )
+    paired = (
+        b10.join(
+            b11,
+            (F.col("scene_id") == F.col("scene_id_11"))
+            & (F.col("tile_x") == F.col("tile_x_11"))
+            & (F.col("tile_y") == F.col("tile_y_11"))
+            & (F.col("ts10") == F.col("ts11")),  # event-time bound for state eviction
+            "inner",
+        )
+        .drop("scene_id_11", "tile_x_11", "tile_y_11", "ts10", "ts11")
+    )
+    meta = spark.createDataFrame(meta_pdf)
+    emis = spark.createDataFrame(emis_pdf)
+    enriched = pipeline.with_emissivity(pipeline.with_meta(paired, meta), emis)
+    tiles = pipeline.lst_tiles(enriched, window=window, emit_arrays=False).select(
+        "image_id", "scene_id", "tile_x", "tile_y",
+        "n_valid", "lst_min", "lst_max", "lst_mean", "cwv_mean")
+    q = (
+        tiles.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("scene_id")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 PROGRESS_SCHEMA = StructType([
     StructField("scene_id", StringType()),
     StructField("band", IntegerType()),

@@ -125,3 +125,56 @@ def test_stream_scene_progress_stateful_across_drains(spark, tmp_path):
     assert fin and all(r["complete"] == "yes" for r in fin)
     # px accounting: 64 tiles x 64x64 px
     assert all(r["max(px_seen)"] == 64 * 64 * 64 for r in latest)
+
+
+def test_stream_pair_lst_joins_across_drains(spark, tmp_path):
+    """Stream-stream band-pair join: band-10 tiles from drop 1 must pair with
+    band-11 partners that only arrive in drop 2 (join state carried across
+    availableNow drains), and the paired output must match the batch
+    pipeline.lst_tiles result tile-for-tile."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from i_landsat8_swlst_spark import constants as C, pipeline, streaming, synth
+
+    in_dir, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    in_dir.mkdir()
+    s0 = synth.scenes_pdf("tiny", scenes=[0])
+    b10 = s0[s0.image_id.str.contains("/B10/")]
+    b11 = s0[s0.image_id.str.contains("/B11/")]
+    assert len(b10) == len(b11) > 0
+    half = len(b11) // 2
+    meta_pdf = synth.scene_meta_pdf("tiny")
+    emis_pdf = pd.DataFrame([e._asdict() for e in C.load_emissivities()])
+
+    # drop 1: all band-10 + half of band-11
+    pq.write_table(pa.Table.from_pandas(
+        pd.concat([b10, b11.iloc[:half]], ignore_index=True), preserve_index=False),
+        str(in_dir / "d1.parquet"))
+    streaming.stream_pair_lst(spark, str(in_dir), str(out), str(ckpt),
+                              meta_pdf, emis_pdf, window=5)
+    got1 = spark.read.parquet(str(out)).count()
+    assert got1 == half  # only the tiles whose partner has landed
+
+    # drop 2: the remaining band-11 tiles -> their band-10 partners come
+    # from drop 1 via the join state store
+    pq.write_table(pa.Table.from_pandas(
+        b11.iloc[half:], preserve_index=False), str(in_dir / "d2.parquet"))
+    streaming.stream_pair_lst(spark, str(in_dir), str(out), str(ckpt),
+                              meta_pdf, emis_pdf, window=5)
+    got = spark.read.parquet(str(out))
+    assert got.count() == len(b11)
+
+    # parity: identical tile stats to the batch path
+    scenes = spark.createDataFrame(s0)
+    meta = spark.createDataFrame(meta_pdf)
+    emis = spark.createDataFrame(emis_pdf)
+    batch = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5, emit_arrays=False)
+    cols = ["image_id", "scene_id", "tile_x", "tile_y",
+            "n_valid", "lst_min", "lst_max", "lst_mean", "cwv_mean"]
+    got_pdf = got.select(*cols).orderBy("tile_x", "tile_y").toPandas()
+    exp_pdf = batch.select(*cols).orderBy("tile_x", "tile_y").toPandas()
+    pd.testing.assert_frame_equal(
+        got_pdf.reset_index(drop=True), exp_pdf.reset_index(drop=True))
