@@ -436,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows-only (untwinned) entries go after every twinned query so they
     # never displace a hash-attestable twin from the driver's 50-entry window
     q["q_simhash64"] = q.pop("q_simhash64")
+    q["q_sketch_stats"] = q.pop("q_sketch_stats")
     q["q_lst_pipeline"] = _q_lst_pipeline
     q["q_pip_join"] = _q_pip_join
     q["q_knn_stations"] = _q_knn_stations

@@ -674,6 +674,25 @@ def q_percentile(spark, sf_dir):
     )
 
 
+# --- sketch aggregates (the 100-TB cardinality/quantile path) -------------------------
+# HLL++ distinct counts and GK-sketch percentiles are single-pass,
+# merge-able, bounded-memory — what you actually run over 10^12 rows where
+# exact distinct/percentile would shuffle the world. Sketch values are
+# engine-specific (no DuckDB twin possible); rows-only here, with the error
+# bound attested against the exact twins (q_distinct_agg / q_percentile) in
+# tests/test_textops.py::test_sketch_error_bounds.
+
+@register("q_sketch_stats", None)
+def q_sketch_stats(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", 0.02).alias("approx_supps"),
+        F.round(F.expr("approx_percentile(l_extendedprice, 0.5, 2000)"), 4).alias("ap50"),
+        F.round(F.expr("approx_percentile(l_extendedprice, 0.9, 2000)"), 4).alias("ap90"),
+    )
+
+
 # --- pivot (wide metrics report shape) ------------------------------------------------
 
 @register(

@@ -120,3 +120,27 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
         recalls.append(len(brute5 & ivf5) / 5)
     assert len(recalls) >= 5
     assert float(np.mean(recalls)) >= 0.6
+
+
+def test_sketch_error_bounds(spark):
+    """q_sketch_stats (HLL++ distinct, GK percentile) has no cross-engine
+    twin — its attestation is an error bound against the EXACT aggregates."""
+    from i_landsat8_swlst_spark.relational import load, q_sketch_stats
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = q_sketch_stats(spark, sf_dir).toPandas().set_index("l_returnflag")
+    li = load(spark, sf_dir, "lineitem")
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("parts"),
+        F.countDistinct("l_suppkey").alias("supps"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+    ).toPandas().set_index("l_returnflag")
+    assert len(got) == len(exact) > 0
+    for flag in exact.index:
+        for a, e in (("approx_parts", "parts"), ("approx_supps", "supps")):
+            rel = abs(got.loc[flag, a] - exact.loc[flag, e]) / exact.loc[flag, e]
+            assert rel < 0.05, (flag, a, rel)  # rsd 0.02 -> 5% is generous
+        for a, e in (("ap50", "p50"), ("ap90", "p90")):
+            rel = abs(got.loc[flag, a] - exact.loc[flag, e]) / exact.loc[flag, e]
+            assert rel < 0.02, (flag, a, rel)
