@@ -385,6 +385,31 @@ def _ordered(base: dict) -> dict:
     return out
 
 
+def _q_lst_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: per-pixel temporal median composite across 3 revisits of
+    one footprint (grids align exactly; clouds/NaN dropped per observation) —
+    the classic cloud-free LST product. Pandas merge/median parity in
+    tests/test_pipeline.py."""
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import constants as C, pipeline, synth
+
+    scenes = spark.createDataFrame(synth.revisit_scenes_pdf("tiny", scene=0, n_dates=3))
+    meta = spark.createDataFrame(synth.revisit_meta_pdf("tiny", scene=0, n_dates=3))
+    emis = spark.createDataFrame(pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
+    pixels = pipeline.lst_pixels(
+        pipeline.build_enriched_with_grid(scenes, meta, emis), window=5)
+    comp = pipeline.composite_pixels(pixels)
+    return (
+        comp.groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n_pixels"),
+             F.sum("n_obs").alias("n_obs_total"),
+             F.round(F.avg("lst_median"), 4).alias("avg_median_lst"),
+             F.round(F.avg(F.col("lst_hi") - F.col("lst_lo")), 4).alias("avg_spread"))
+        .orderBy("tile_x", "tile_y")
+    )
+
+
 def _q_stream_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: stream-stream band-pair join (watermarked inner self-join
     with event-time bound) -> the SAME fused LST kernel as batch; band-10
@@ -452,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_stream_ingest"] = _q_stream_ingest
     q["q_stream_progress"] = _q_stream_progress
     q["q_stream_pair"] = _q_stream_pair
+    q["q_lst_composite"] = _q_lst_composite
     return q
 
 

@@ -554,6 +554,28 @@ def lst_tiles_halo(enriched: DataFrame, window: int = C.DEFAULT_CWV_WINDOW) -> D
     return parts.mapInArrow(assemble_stream, TILE_SCHEMA)
 
 
+def composite_pixels(pixels: DataFrame,
+                     keys: tuple[str, ...] = ("tile_x", "tile_y", "px", "py"),
+                     ) -> DataFrame:
+    """Per-pixel temporal composite across revisits of one footprint — the
+    classic cloud-free LST product (median of the valid observations at each
+    pixel; clouds/NaN were already dropped by lst_pixels(valid_only=True),
+    so n_obs varies per pixel exactly like a real compositing stack).
+
+    One shuffle on the pixel key, partial counts map-side. ``percentile`` is
+    the exact aggregate; at 100 TB swap it for ``approx_percentile`` (GK
+    sketch, merge-able — q_sketch_stats attests that path's error bound).
+    """
+    return pixels.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.expr("percentile(lst_k, 0.5)").alias("lst_median"),
+        F.min("lst_k").alias("lst_lo"),
+        F.max("lst_k").alias("lst_hi"),
+        F.first("lon").alias("lon"),  # grid-aligned: identical across dates
+        F.first("lat").alias("lat"),
+    )
+
+
 def rasterize_pixels(
     pixels: DataFrame, w: int, h: int, value_col: str = "lst_k"
 ) -> DataFrame:

@@ -146,13 +146,19 @@ def gen_qa(sid: str, tx: int, ty: int, w: int, h: int) -> np.ndarray:
 
 
 def scene_rows(i: int, scale: str, ty_only: int | None = None,
-               with_qa: bool = False) -> list[dict]:
+               with_qa: bool = False, revisit: int | None = None) -> list[dict]:
     """Rows (both bands) for scene i — optionally one tile-row (the unit of
     distributed generation; keyed rngs make any split identical).
-    with_qa adds a band-0 QA row per tile (cloud mask input, C4)."""
+    with_qa adds a band-0 QA row per tile (cloud mask input, C4).
+    revisit=k derives observation k of the SAME footprint (scene id
+    ``{sid}Rk``, acquisition date +30k days, independent keyed DN field) —
+    the temporal-composite fixture."""
     n_scenes, ntx, nty, w, h, zipf = SCALES[scale]
     sid = scene_id(i)
     date = acquired_at(i).strftime("%Y-%m-%d")
+    if revisit is not None:
+        sid = f"{sid}R{revisit}"
+        date = (acquired_at(i) + timedelta(days=30 * revisit)).strftime("%Y-%m-%d")
     ntx, nty = tiles_for_scene(i, ntx, nty, zipf, n_scenes)
     rows = []
     for ty in range(nty) if ty_only is None else [ty_only]:
@@ -194,6 +200,39 @@ def scenes_pdf(scale: str = "tiny", scenes: list[int] | None = None,
     df["h"] = df["h"].astype("int32")
     df["phash"] = df["phash"].astype("int64")
     return df
+
+
+def revisit_scenes_pdf(scale: str = "tiny", scene: int = 0,
+                       n_dates: int = 3) -> pd.DataFrame:
+    """The temporal-composite fixture: the same footprint observed n_dates
+    times (scene ids {sid}R0..{sid}R{n-1}, 30-day cadence, independent
+    deterministic DN fields) — pixel grids align exactly across dates."""
+    rows: list[dict] = []
+    for k in range(n_dates):
+        rows.extend(scene_rows(scene, scale, revisit=k))
+    df = pd.DataFrame(rows)
+    df["w"] = df["w"].astype("int32")
+    df["h"] = df["h"].astype("int32")
+    df["phash"] = df["phash"].astype("int64")
+    return df
+
+
+def revisit_meta_pdf(scale: str = "tiny", scene: int = 0,
+                     n_dates: int = 3) -> pd.DataFrame:
+    """scene_meta rows for the revisit fixture (same bbox/MTL per date)."""
+    lon0, lat0, lon1, lat1 = scene_bbox(scene)
+    rows = []
+    for k in range(n_dates):
+        rows.append({
+            "scene_id": f"{scene_id(scene)}R{k}",
+            "ml_b10": C.ML_DEFAULT, "al_b10": C.AL_DEFAULT,
+            "ml_b11": C.ML_DEFAULT, "al_b11": C.AL_DEFAULT,
+            "k1_b10": C.K1_B10, "k2_b10": C.K2_B10,
+            "k1_b11": C.K1_B11, "k2_b11": C.K2_B11,
+            "lon0": lon0, "lat0": lat0, "lon1": lon1, "lat1": lat1,
+            "acquired_at": acquired_at(scene) + timedelta(days=30 * k),
+        })
+    return pd.DataFrame(rows)
 
 
 def scene_meta_pdf(scale: str = "tiny") -> pd.DataFrame:

@@ -126,3 +126,31 @@ def test_rasterize_roundtrip(tiny):
         both = np.isfinite(ra) & np.isfinite(rb)
         assert both.sum() == a[k].n_valid == b[k].n_valid
         np.testing.assert_allclose(ra[both], rb[both], rtol=1e-6)
+
+
+def test_composite_pixels_matches_pandas_median(spark):
+    """Temporal composite: per-pixel median/count/min/max across 3 revisits
+    == a pandas groupby over the SAME lst_pixels rows (tests the compositing
+    algebra; the kernel itself has its own scalar-oracle parity)."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import constants as C, pipeline, synth
+
+    scenes = spark.createDataFrame(synth.revisit_scenes_pdf("tiny", scene=0, n_dates=3))
+    meta = spark.createDataFrame(synth.revisit_meta_pdf("tiny", scene=0, n_dates=3))
+    emis = spark.createDataFrame(pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
+    pixels = pipeline.lst_pixels(
+        pipeline.build_enriched_with_grid(scenes, meta, emis), window=5)
+    got = (pipeline.composite_pixels(pixels)
+           .toPandas().set_index(["tile_x", "tile_y", "px", "py"]).sort_index())
+    raw = pixels.select("tile_x", "tile_y", "px", "py", "lst_k").toPandas()
+    exp = (raw.groupby(["tile_x", "tile_y", "px", "py"])["lst_k"]
+           .agg(n_obs="count", lst_median="median", lst_lo="min", lst_hi="max")
+           .sort_index())
+    assert len(got) == len(exp) > 0
+    assert (got["n_obs"] == exp["n_obs"]).all()
+    # pixels observed on all 3 dates must exist (grids align)
+    assert (exp["n_obs"] == 3).any()
+    for c in ("lst_median", "lst_lo", "lst_hi"):
+        np.testing.assert_allclose(got[c].to_numpy(), exp[c].to_numpy(), rtol=1e-12)
