@@ -69,3 +69,43 @@ def test_hexcell_center_distance_bound(lon, lat, res):
     c = geo.hexcell(np.array([lon]), np.array([lat]), res)
     clon, clat = geo.hexcell_center(c)
     assert np.hypot(clon[0] - lon, clat[0] - lat) <= geo.HEX_EDGE_DEG[res] * 1.0001
+
+
+@given(h=st.integers(8, 64), w=st.integers(8, 64), seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=25, deadline=None)
+def test_png16_roundtrip_any_shape(h, w, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 65536, (h, w)).astype(np.uint16)
+    np.testing.assert_array_equal(codecs.decode_png(codecs.encode_png16(img)), img)
+
+
+@given(
+    k=st.integers(1, 5), h=st.integers(8, 40), w=st.integers(8, 40),
+    win=st.sampled_from([3, 5, 7]), seed=st.integers(0, 2**31 - 1),
+    with_nan=st.booleans(),
+)
+@settings(max_examples=25, deadline=None)
+def test_stacked_kernel_bit_identical_to_per_tile(k, h, w, win, seed, with_nan):
+    """The batched mapInArrow path rests on this: a (k, h, w) stacked call of
+    the full fused kernel must be BIT-identical to k separate 2-D calls."""
+    if win >= min(h, w):
+        return
+    rng = np.random.default_rng(seed)
+    dn10 = rng.integers(5000, 45000, (k, h, w)).astype(np.uint16)
+    dn11 = rng.integers(5000, 45000, (k, h, w)).astype(np.uint16)
+    qa = None
+    cloud = None
+    if with_nan:
+        qa = np.zeros((k, h, w), dtype=np.uint16)
+        qa[rng.random((k, h, w)) < 0.05] = 1
+        cloud = np.array([1.0])
+    meta = dict(ml_b10=3.342e-4, al_b10=0.1, ml_b11=3.342e-4, al_b11=0.1,
+                k1_b10=774.8853, k2_b10=1321.0789, k1_b11=480.8883, k2_b11=1201.1442)
+    stacked = K.fused_lst_kernel(dn10, dn11, meta, 0.98, 0.97, window=win,
+                                 qa=qa, cloud_values=cloud)
+    for i in range(k):
+        single = K.fused_lst_kernel(
+            dn10[i].copy(), dn11[i].copy(), meta, 0.98, 0.97, window=win,
+            qa=None if qa is None else qa[i].copy(), cloud_values=cloud)
+        for key in stacked:
+            np.testing.assert_array_equal(stacked[key][i], single[key], err_msg=key)
