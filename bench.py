@@ -106,6 +106,29 @@ def main() -> None:
     times["q_lst_pipeline_bench"] = round(raster_sec, 3)
     shutil.rmtree(tmp, ignore_errors=True)
 
+    # --- invariant re-validation (BASELINE.md: every bench run re-checks) ---
+    # sample 64 tiles: lossy decode PSNR >= 40 dB vs the exact synthesized
+    # DNs; caption round-trips bit-exactly through parse_scenes
+    from i_landsat8_swlst_spark import codecs, synth as S
+
+    sample = S.scenes_pdf("bench", scenes=[1]).sample(n=64, random_state=7)
+    psnr_min = float("inf")
+    captions_ok = True
+    for row in sample.itertuples():
+        sid, band, tx, ty = S.parse_image_id(row.image_id)
+        t = S.gen_tile(sid, tx, ty, int(row.w), int(row.h))
+        truth = t["dn10"] if band == 10 else t["dn11"]
+        dec = codecs.decode_tile(row.bytes, int(row.w), int(row.h), row.fmt)
+        if row.fmt != codecs.FMT_RAW:
+            psnr_min = min(psnr_min, codecs.psnr(dec, truth.astype("float64")))
+        elif not (dec == truth).all():
+            psnr_min = float("-inf")  # lossless must be exact
+        date = row.caption.split("acquired=")[1].split(" ")[0]
+        lc = row.caption.split("landcover=")[1]
+        captions_ok &= row.caption == S.caption_for(sid, band, tx, ty, date, lc)
+    assert psnr_min >= 40.0, f"PSNR gate failed: {psnr_min}"
+    assert captions_ok, "caption round-trip gate failed"
+
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "total_headline_sec",
@@ -118,6 +141,9 @@ def main() -> None:
         "raster_pixels_per_sec": round(px / raster_sec, 1),
         "raster_tiles_per_sec": round(n_tiles / raster_sec, 2),
         "cpus": CPUS,
+        "invariants": {"psnr_min_db": (None if psnr_min == float("inf")
+                                       else round(psnr_min, 2)),
+                       "captions_ok": bool(captions_ok), "sampled_tiles": 64},
     }))
     spark.stop()
 
