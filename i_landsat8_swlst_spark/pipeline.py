@@ -210,6 +210,36 @@ _CLOUD_VALUES = np.array(C.DEFAULT_CLOUD_QA_VALUES, dtype=np.float64)
 _KERNEL_STACK = 64
 
 
+def _run_array_kernel_batch(items: list, window: int) -> list[dict]:
+    """Stacked fused-kernel dispatch over already-decoded arrays.
+
+    items: list of (a10, a11, meta_tuple, e10, e11, qa_or_None); rows are
+    grouped by (shape, dtype, MTL constants, emissivity pair, QA presence),
+    each group stacked into one (k, h, w) kernel call (bit-identical to
+    per-tile — see _run_tile_kernel_batch). Returns result dicts in input
+    order.
+    """
+    groups: dict[tuple, list[int]] = {}
+    for i, (a10, _a11, meta_vals, e10, e11, qa) in enumerate(items):
+        key = (a10.shape, a10.dtype.str, meta_vals, e10, e11, qa is not None)
+        groups.setdefault(key, []).append(i)
+    out: list[dict | None] = [None] * len(items)
+    for (_shape, _dt, meta_vals, e10, e11, has_qa), gidxs in groups.items():
+        meta = dict(zip(META_COLS, meta_vals))
+        for s in range(0, len(gidxs), _KERNEL_STACK):
+            idxs = gidxs[s : s + _KERNEL_STACK]
+            a10 = np.stack([items[i][0] for i in idxs])
+            a11 = np.stack([items[i][1] for i in idxs])
+            qa = np.stack([items[i][5] for i in idxs]) if has_qa else None
+            r = K.fused_lst_kernel(
+                a10, a11, meta, e10=e10, e11=e11, window=window,
+                qa=qa, cloud_values=_CLOUD_VALUES if has_qa else None,
+            )
+            for j, i in enumerate(idxs):
+                out[i] = {k: v[j] for k, v in r.items()}
+    return out  # type: ignore[return-value]
+
+
 def _run_tile_kernel_batch(rows: list, window: int) -> list[dict]:
     """Run the fused kernel over a whole Arrow batch of tile rows.
 
@@ -491,14 +521,14 @@ def lst_tiles_halo(enriched: DataFrame, window: int = C.DEFAULT_CWV_WINDOW) -> D
                   .sortWithinPartitions("scene_id", "rx", "ry")
 
     def assemble_stream(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        cols: dict[str, list] = {f.name: [] for f in TILE_SCHEMA}
-        ap = {k: v.append for k, v in cols.items()}
+        pending: list = []  # (center_row, pad10, pad11) awaiting a stacked kernel run
 
-        def flush_tile(acc: list) -> None:
+        def assemble(acc: list):
+            """Mosaic one tile's 9 strips into NaN-padded planes (no kernel)."""
             center = next((s for s in acc if s.dx == 0 and s.dy == 0
                            and s.image_id is not None), None)
             if center is None:
-                return  # halo strips for a tile outside the input (scene edge)
+                return None  # halo strips for a tile outside the input (scene edge)
             w, h = int(center.w), int(center.h)
             pad10 = np.full((h + 2 * r, w + 2 * r), np.nan)
             pad11 = np.full((h + 2 * r, w + 2 * r), np.nan)
@@ -511,25 +541,40 @@ def lst_tiles_halo(enriched: DataFrame, window: int = C.DEFAULT_CWV_WINDOW) -> D
                     np.frombuffer(s.piece10, dtype="<u2").reshape(s.ph, s.pw)
                 pad11[y0:y0 + s.ph, x0:x0 + s.pw] = \
                     np.frombuffer(s.piece11, dtype="<u2").reshape(s.ph, s.pw)
-            meta = {k: float(getattr(center, k)) for k in META_COLS}
-            res = K.fused_lst_kernel(pad10, pad11, meta,
-                                     e10=float(center.emissivity_b10),
-                                     e11=float(center.emissivity_b11), window=window)
-            lst = res["lst_k"][r:r + h, r:r + w]
-            cwv = res["cwv"][r:r + h, r:r + w]
-            n_valid, lst_min, lst_max, lst_mean = _finite_stats(lst)
-            _, _, _, cwv_mean = _finite_stats(cwv)
-            _, _, _, bt10_mean = _finite_stats(res["bt10"][r:r + h, r:r + w])
-            _, _, _, bt11_mean = _finite_stats(res["bt11"][r:r + h, r:r + w])
-            ap["image_id"](center.image_id); ap["scene_id"](center.scene_id)
-            ap["tile_x"](int(center.rx)); ap["tile_y"](int(center.ry))
-            ap["w"](w); ap["h"](h); ap["caption"](center.caption)
-            ap["lst_bytes"](lst.astype("<f4").tobytes())
-            ap["cwv_bytes"](cwv.astype("<f4").tobytes())
-            ap["n_valid"](n_valid)
-            ap["lst_min"](lst_min); ap["lst_max"](lst_max); ap["lst_mean"](lst_mean)
-            ap["cwv_mean"](cwv_mean)
-            ap["bt10_mean"](bt10_mean); ap["bt11_mean"](bt11_mean)
+            return (center, pad10, pad11)
+
+        def emit_pending() -> pa.RecordBatch:
+            # one stacked kernel family per flush (same bit-identity argument
+            # as _run_tile_kernel_batch; pads are float so BT takes the
+            # arithmetic path, stacked elementwise)
+            cols: dict[str, list] = {f.name: [] for f in TILE_SCHEMA}
+            ap = {k: v.append for k, v in cols.items()}
+            items = [
+                (p10, p11,
+                 tuple(float(getattr(c, k)) for k in META_COLS),
+                 float(c.emissivity_b10), float(c.emissivity_b11), None)
+                for c, p10, p11 in pending
+            ]
+            for (center, _p10, _p11), res in zip(
+                    pending, _run_array_kernel_batch(items, window)):
+                w, h = int(center.w), int(center.h)
+                lst = res["lst_k"][r:r + h, r:r + w]
+                cwv = res["cwv"][r:r + h, r:r + w]
+                n_valid, lst_min, lst_max, lst_mean = _finite_stats(lst)
+                _, _, _, cwv_mean = _finite_stats(cwv)
+                _, _, _, bt10_mean = _finite_stats(res["bt10"][r:r + h, r:r + w])
+                _, _, _, bt11_mean = _finite_stats(res["bt11"][r:r + h, r:r + w])
+                ap["image_id"](center.image_id); ap["scene_id"](center.scene_id)
+                ap["tile_x"](int(center.rx)); ap["tile_y"](int(center.ry))
+                ap["w"](w); ap["h"](h); ap["caption"](center.caption)
+                ap["lst_bytes"](lst.astype("<f4").tobytes())
+                ap["cwv_bytes"](cwv.astype("<f4").tobytes())
+                ap["n_valid"](n_valid)
+                ap["lst_min"](lst_min); ap["lst_max"](lst_max); ap["lst_mean"](lst_mean)
+                ap["cwv_mean"](cwv_mean)
+                ap["bt10_mean"](bt10_mean); ap["bt11_mean"](bt11_mean)
+            pending.clear()
+            return _batch_from_cols(cols, TILE_SCHEMA)
 
         cur_key = None
         acc: list = []
@@ -538,18 +583,20 @@ def lst_tiles_halo(enriched: DataFrame, window: int = C.DEFAULT_CWV_WINDOW) -> D
                 k = (s.scene_id, s.rx, s.ry)
                 if k != cur_key:
                     if acc:
-                        flush_tile(acc)
+                        t = assemble(acc)
+                        if t is not None:
+                            pending.append(t)
                         acc = []
                     cur_key = k
-                    if len(cols["image_id"]) >= 64:
-                        yield _batch_from_cols(cols, TILE_SCHEMA)
-                        cols = {f.name: [] for f in TILE_SCHEMA}
-                        ap.update({kk: v.append for kk, v in cols.items()})
+                    if len(pending) >= _KERNEL_STACK:
+                        yield emit_pending()
                 acc.append(s)
         if acc:
-            flush_tile(acc)
-        if cols["image_id"]:
-            yield _batch_from_cols(cols, TILE_SCHEMA)
+            t = assemble(acc)
+            if t is not None:
+                pending.append(t)
+        if pending:
+            yield emit_pending()
 
     return parts.mapInArrow(assemble_stream, TILE_SCHEMA)
 
