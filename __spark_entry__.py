@@ -365,13 +365,15 @@ _ATTEST_FIRST = [
     "q_embed_neardup", "q_ann_ivf", "q_tfidf",
     # changed this round -> re-attest
     "q_regr_manual", "q_grouped_map",
+    # new this round
+    "q_dedup_clusters",
 ]
 _ATTEST_LAST = [
     # attested green in r01; simplest logic, least regression risk
     "q_sort_limit", "q_null_logic", "q_set_ops", "q_intersect",
     "q_except_all", "q_distinct_agg", "q_date_math", "q_string_funcs",
     "q_json_extract", "q_histogram", "q_pivot", "q_array_agg",
-    "q_scalar_subquery",
+    "q_scalar_subquery", "q_explode_words",
 ]
 
 

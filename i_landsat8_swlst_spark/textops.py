@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from .relational import load, register
+from .relational import _REGISTRY, load, register
 
 # --------------------------------------------------------------------------
 # exact dedup: md5 grouping, keep min doc_id (hash-groupBy dedup)
@@ -165,6 +165,72 @@ def q_minhash_lsh_pairs(spark, sf_dir):
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared_bands"))
     )
+
+
+# --------------------------------------------------------------------------
+# transitive dedup clusters: connected components over the MinHash-LSH pair
+# graph. The near-dup "keeper" ops are 1-hop; real dedup needs the CLOSURE
+# (A~B, B~C => {A,B,C} one cluster, one keeper). Spark has no recursive CTE,
+# so this is the standard iterative min-label propagation: each round every
+# node takes min(own label, neighbors' labels); converges in <= diameter
+# rounds; localCheckpoint() per round truncates the growing lineage (exactly
+# how large-graph CC is run on clusters — bounded state per round, one
+# shuffle per round on the edge key). DuckDB twin: WITH RECURSIVE transitive
+# closure + min() — exact integer labels, hash-exact across engines.
+# --------------------------------------------------------------------------
+
+
+def _clusters_sql() -> str:
+    pairs_sql = _REGISTRY["q_minhash_lsh_pairs"][1]
+    return f"""WITH RECURSIVE pairsq AS ({pairs_sql}),
+  edges AS (SELECT doc_a AS v, doc_b AS u FROM pairsq
+            UNION ALL SELECT doc_b, doc_a FROM pairsq),
+  nodes AS (SELECT DISTINCT v FROM edges),
+  reach(v, u) AS (
+    SELECT v, v FROM nodes
+    UNION
+    SELECT e.v, r.u FROM edges e JOIN reach r ON r.v = e.u),
+  lab AS (SELECT v AS doc_id, CAST(min(u) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY v)
+  SELECT doc_id, cluster_id,
+         CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+  FROM lab"""
+
+
+@register("q_dedup_clusters", None)  # SQL attached below (needs pairs SQL registered first)
+def q_dedup_clusters(spark, sf_dir):
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("u"))
+        .unionAll(pairs.select(F.col("doc_b").alias("v"), F.col("doc_a").alias("u")))
+        .localCheckpoint()  # pairs are reused every round: materialize once
+    )
+    lab = edges.select("v").distinct().select("v", F.col("v").alias("label"))
+    while True:
+        neigh = (
+            edges.join(lab.select(F.col("v").alias("u"), F.col("label").alias("ulabel")), "u")
+            .groupBy("v").agg(F.min("ulabel").alias("nmin"))
+        )
+        new = (
+            lab.join(neigh, "v", "left")
+            .select("v", F.least("label", F.coalesce("nmin", F.col("label"))).alias("label"))
+            .localCheckpoint()  # truncate per-round lineage growth
+        )
+        changed = (
+            new.alias("n").join(lab.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label")).count()
+        )
+        lab = new
+        if changed == 0:
+            break
+    w = Window.partitionBy("cluster_id")
+    return (
+        lab.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
+    )
+
+
+_REGISTRY["q_dedup_clusters"] = (q_dedup_clusters, _clusters_sql())
 
 
 # --------------------------------------------------------------------------
