@@ -75,26 +75,52 @@ def run_lst_job(
     window: int = C.DEFAULT_CWV_WINDOW,
     resume: bool = True,
     fail_after: int | None = None,
+    with_qa: bool = False,
+    emissivity_class: str | None = None,
+    celsius: bool = False,
 ) -> dict:
-    """Run (or resume) the tile LST job; returns summary dict."""
+    """Run (or resume) the tile LST job; returns summary dict.
+
+    Reference-option parity ([U] i.landsat8.swlst.py options):
+    ``with_qa`` joins the band-0 QA tiles and cloud-masks (C4);
+    ``emissivity_class`` fixes one emissivity class for every pixel instead
+    of the landcover-map lookup (reference ``emissivity_class=`` vs
+    ``landcover=``); ``celsius`` emits deg C (reference ``-c``). Option
+    values are recorded in each slice manifest and participate in the
+    resume-validity check: a rerun with different options re-executes.
+    """
     if n_slices < 1:
         raise ValueError(f"n_slices must be >= 1, got {n_slices}")
     out = Path(out_dir)
     (out / "data").mkdir(parents=True, exist_ok=True)
     _manifest_dir(out_dir).mkdir(parents=True, exist_ok=True)
 
-    enriched = pipeline.build_enriched(scenes, scene_meta, emissivities).withColumn(
-        "slice", _slice_col(n_slices)
-    )
+    opts = {"window": int(window), "with_qa": bool(with_qa),
+            "emissivity_class": emissivity_class, "celsius": bool(celsius)}
+    enriched = pipeline.build_enriched(
+        scenes, scene_meta, emissivities, with_qa=with_qa)
+    if emissivity_class is not None:
+        by_class = {e.landcover_class: e for e in C.load_emissivities()}
+        if emissivity_class not in by_class:
+            raise ValueError(
+                f"unknown emissivity_class {emissivity_class!r}; "
+                f"known: {sorted(by_class)}")
+        e = by_class[emissivity_class]
+        enriched = enriched.withColumn(
+            "emissivity_b10", F.lit(float(e.emissivity_b10))
+        ).withColumn("emissivity_b11", F.lit(float(e.emissivity_b11)))
+    enriched = enriched.withColumn("slice", _slice_col(n_slices))
     fps = slice_fingerprints(enriched, n_slices)
     done = read_manifest(out_dir) if resume else {}
 
     # resume set as a real anti-join against completed manifest keys whose
-    # fingerprint still matches (lineage check)
+    # fingerprint still matches (lineage check) — and whose recorded options
+    # match this invocation
     valid_done = {
         s: rec for s, rec in done.items()
         if s in fps and rec.get("input_fingerprint") == fps[s][0]
         and rec.get("code_version") == __version__
+        and rec.get("options") == opts
     }
     all_slices = sorted(fps)
     if valid_done:
@@ -122,7 +148,7 @@ def run_lst_job(
         enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         _run_slices(spark, enriched, pending, fps, done, out, out_dir, executed,
-                    window, n_slices, fail_after)
+                    window, n_slices, fail_after, opts, celsius)
     finally:
         if len(pending) > 1:
             enriched.unpersist()
@@ -136,12 +162,13 @@ def run_lst_job(
 
 
 def _run_slices(spark, enriched, pending, fps, done, out, out_dir, executed,
-                window, n_slices, fail_after) -> None:
+                window, n_slices, fail_after, opts=None, celsius=False) -> None:
     for i, s in enumerate(pending):
         if fail_after is not None and i >= fail_after:
             raise InjectedFailure(f"injected failure before slice {s}")
         t0 = time.perf_counter()
-        slice_df = pipeline.lst_tiles(enriched.filter(F.col("slice") == s), window=window)
+        slice_df = pipeline.lst_tiles(enriched.filter(F.col("slice") == s),
+                                      window=window, celsius=celsius)
         target = out / "data" / f"slice={s}"
         # manifest metrics observed DURING the write job (no 2nd pass that
         # reads the just-written parquet back — that re-read was ~30% of
@@ -168,6 +195,7 @@ def _run_slices(spark, enriched, pending, fps, done, out, out_dir, executed,
             "wall_ms": int((time.perf_counter() - t0) * 1000),
             "attempt": done.get(s, {}).get("attempt", 0) + 1,
             "code_version": __version__,
+            "options": opts,
         }
         (_manifest_dir(out_dir) / f"slice-{s}.json").write_text(json.dumps(rec))
         executed.append(int(s))

@@ -284,13 +284,17 @@ def _run_tile_kernel_batch(rows: list, window: int) -> list[dict]:
 
 
 def lst_tiles(enriched: DataFrame, window: int = C.DEFAULT_CWV_WINDOW,
-              emit_arrays: bool = True) -> DataFrame:
+              emit_arrays: bool = True, celsius: bool = False) -> DataFrame:
     """Fused raster kernel -> tile-level LST/CWV arrays + stats (C11).
 
     emit_arrays=False keeps the byte columns empty for stats-only consumers:
     Catalyst cannot prune columns *through* a Python UDF node, so the UDF
     offers the projection control itself (3.4 GB less Arrow traffic per
-    6k-tile batch in the bench job)."""
+    6k-tile batch in the bench job).
+
+    celsius=True emits the lst arrays + stats in deg C instead of K — the
+    reference's ``-c`` flag ([U] i.landsat8.swlst.py); conversion happens in
+    the kernel (C10), not as a post-pass."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -298,7 +302,7 @@ def lst_tiles(enriched: DataFrame, window: int = C.DEFAULT_CWV_WINDOW,
             ap = {k: v.append for k, v in cols.items()}
             rows = list(_batch_rows(batch))
             for row, r in zip(rows, _run_tile_kernel_batch(rows, window)):
-                lst = r["lst_k"]
+                lst = r["lst_c"] if celsius else r["lst_k"]
                 n_valid, lst_min, lst_max, lst_mean = _finite_stats(lst)
                 _, _, _, cwv_mean = _finite_stats(r["cwv"])
                 _, _, _, bt10_mean = _finite_stats(r["bt10"])

@@ -327,7 +327,8 @@ def write_dataset(out_dir: str, scale: str = "tiny") -> None:
     pq.write_table(pa.Table.from_pandas(stations_pdf(scale), preserve_index=False), out / "cwv_stations.parquet")
 
 
-def synth_scenes_spark(spark, scale: str = "bench", scenes: list[int] | None = None):
+def synth_scenes_spark(spark, scale: str = "bench", scenes: list[int] | None = None,
+                       with_qa: bool = False):
     """Distributed generation: (scene, tile-row) keys parallelized, tile
     bytes generated executor-side via mapInPandas — the 100 TB-shaped path
     (the driver never holds pixel data; parallelism = total tile-rows, so
@@ -363,7 +364,8 @@ def synth_scenes_spark(spark, scale: str = "bench", scenes: list[int] | None = N
     def gen(batches):
         for pdf in batches:
             for i, ty in zip(pdf["scene_idx"], pdf["ty"]):
-                out = pd.DataFrame(scene_rows(int(i), scale, ty_only=int(ty)))
+                out = pd.DataFrame(scene_rows(int(i), scale, ty_only=int(ty),
+                                              with_qa=with_qa))
                 out["w"] = out["w"].astype("int32")
                 out["h"] = out["h"].astype("int32")
                 out["phash"] = out["phash"].astype("int64")

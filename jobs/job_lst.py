@@ -30,6 +30,14 @@ def main() -> None:
     ap.add_argument("--window", type=int, default=7)
     ap.add_argument("--synth-scenes", type=int, default=8)
     ap.add_argument("--no-resume", action="store_true")
+    # reference-option parity ([U] i.landsat8.swlst.py):
+    ap.add_argument("--qa", action="store_true",
+                    help="join band-0 QA tiles and cloud-mask (C4)")
+    ap.add_argument("--emissivity-class", default=None,
+                    help="fixed emissivity class instead of the landcover map "
+                         "(reference emissivity_class= option)")
+    ap.add_argument("--celsius", action="store_true",
+                    help="emit LST in deg C (reference -c flag)")
     args = ap.parse_args()
 
     import pandas as pd
@@ -42,13 +50,16 @@ def main() -> None:
         scenes = spark.read.parquet(args.scenes)
         meta = spark.read.parquet(args.scene_meta)
     else:
-        scenes = synth.synth_scenes_spark(spark, "bench", scenes=range(args.synth_scenes))
+        scenes = synth.synth_scenes_spark(spark, "bench", scenes=range(args.synth_scenes),
+                                          with_qa=args.qa)
         meta = spark.createDataFrame(synth.scene_meta_pdf("bench"))
     emis = spark.createDataFrame(pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
 
     summary = checkpoint.run_lst_job(
         spark, scenes, meta, emis, args.out,
         n_slices=args.slices, window=args.window, resume=not args.no_resume,
+        with_qa=args.qa, emissivity_class=args.emissivity_class,
+        celsius=args.celsius,
     )
     print(json.dumps(summary))
     spark.stop()

@@ -80,3 +80,53 @@ def test_lineage_mismatch_forces_recompute(spark, fixture, tmp_path_factory):
     r = checkpoint.run_lst_job(spark, scenes, meta, emis, out, n_slices=2, window=5)
     assert r["executed"] == [rec["slice"]]
     assert checkpoint.read_manifest(out)[rec["slice"]]["attempt"] == 2
+
+
+def test_job_options_celsius_emissivity_qa(spark, tmp_path_factory):
+    """Reference-option parity through the job surface: --celsius shifts the
+    LST stats by exactly -273.15; --emissivity-class changes the physics vs
+    the landcover path; differing options invalidate resume (re-execute)."""
+    import numpy as np
+
+    scenes = spark.createDataFrame(synth.scenes_pdf("tiny", scenes=[0], with_qa=True))
+    meta = spark.createDataFrame(synth.scene_meta_pdf("tiny"))
+    emis = spark.createDataFrame(pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
+
+    out_k = str(tmp_path_factory.mktemp("opt_k"))
+    out_c = str(tmp_path_factory.mktemp("opt_c"))
+    checkpoint.run_lst_job(spark, scenes, meta, emis, out_k, n_slices=2, window=5)
+    checkpoint.run_lst_job(spark, scenes, meta, emis, out_c, n_slices=2, window=5,
+                           celsius=True)
+    k = _table(spark, out_k)
+    c = _table(spark, out_c)
+    np.testing.assert_allclose(
+        c["lst_mean"].to_numpy(), k["lst_mean"].to_numpy() - 273.15, rtol=0, atol=1e-9)
+
+    # fixed emissivity class -> different LST than the landcover-map path
+    out_e = str(tmp_path_factory.mktemp("opt_e"))
+    checkpoint.run_lst_job(spark, scenes, meta, emis, out_e, n_slices=2, window=5,
+                           emissivity_class="Waterbodies")
+    e = _table(spark, out_e)
+    assert not np.allclose(e["lst_mean"].to_numpy(), k["lst_mean"].to_numpy())
+
+    # unknown class fails loudly
+    with pytest.raises(ValueError, match="unknown emissivity_class"):
+        checkpoint.run_lst_job(spark, scenes, meta, emis, out_e, n_slices=2,
+                               emissivity_class="nope")
+
+    # QA path: cloud-masked pixels reduce n_valid vs the no-QA run
+    out_q = str(tmp_path_factory.mktemp("opt_q"))
+    checkpoint.run_lst_job(spark, scenes, meta, emis, out_q, n_slices=2, window=5,
+                           with_qa=True)
+    q = _table(spark, out_q)
+    assert q["n_valid"].sum() < k["n_valid"].sum()
+
+    # differing options invalidate resume: rerunning out_k with celsius=True
+    # must re-execute every slice, not skip
+    r = checkpoint.run_lst_job(spark, scenes, meta, emis, out_k, n_slices=2,
+                               window=5, celsius=True)
+    assert r["skipped"] == [] and len(r["executed"]) >= 1
+    # and the same options again IS a no-op resume
+    r2 = checkpoint.run_lst_job(spark, scenes, meta, emis, out_k, n_slices=2,
+                                window=5, celsius=True)
+    assert r2["executed"] == [] and r2["skipped"] == r["executed"]
