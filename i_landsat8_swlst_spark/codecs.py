@@ -24,6 +24,9 @@ import numpy as np
 FMT_RAW = "u16le"
 FMT_DCT = "u16dct"
 FMT_PNG = "png16"  # real-container lossless path: 16-bit grayscale PNG
+FMT_BT = "f32bt"   # pixels ARE brightness temperatures in Kelvin (float32 LE)
+                   # — the reference's direct t10=/t11= input path; the kernel
+                   # skips C2+C3 for these tiles
 
 _MAGIC = b"DCT1"
 _BLK = 8
@@ -50,6 +53,14 @@ def encode_u16le(img: np.ndarray) -> bytes:
 
 def decode_u16le(data: bytes, w: int, h: int) -> np.ndarray:
     return np.frombuffer(data, dtype="<u2").reshape(h, w).astype(np.float64)
+
+
+def encode_f32bt(bt: np.ndarray) -> bytes:
+    return np.ascontiguousarray(bt.astype("<f4")).tobytes()
+
+
+def decode_f32bt(data: bytes, w: int, h: int) -> np.ndarray:
+    return np.frombuffer(data, dtype="<f4").reshape(h, w).astype(np.float64)
 
 
 def _blockify(img: np.ndarray) -> tuple[np.ndarray, int, int]:
@@ -209,6 +220,8 @@ def decode_tile(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         if img.shape != (h, w):
             raise ValueError(f"PNG dims {img.shape} != row dims {(h, w)}")
         return img.astype(np.float64)
+    if fmt == FMT_BT:
+        return decode_f32bt(data, w, h)
     raise NotImplementedError(
         f"fmt={fmt!r}: jpeg/webp etc. need image libs absent from this "
         "container; plumbing is fmt-dispatched so adding one is local"
@@ -237,6 +250,8 @@ def encode_tile(img: np.ndarray, fmt: str) -> bytes:
         return encode_u16dct(img)
     if fmt == FMT_PNG:
         return encode_png16(img)
+    if fmt == FMT_BT:
+        return encode_f32bt(img)
     raise NotImplementedError(f"fmt={fmt!r}")
 
 

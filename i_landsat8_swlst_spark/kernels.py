@@ -395,13 +395,21 @@ def fused_lst_kernel(
     window: int = C.DEFAULT_CWV_WINDOW,
     qa: np.ndarray | None = None,
     cloud_values: np.ndarray | None = None,
+    bt_input: bool = False,
 ) -> dict:
     """Whole physics pipeline for one tile; returns dict of float64 arrays.
 
     meta keys: ml_b10 al_b10 ml_b11 al_b11 k1_b10 k2_b10 k1_b11 k2_b11.
+    bt_input=True: inputs are already brightness temperatures in Kelvin
+    (the reference's ``t10=``/``t11=`` option path vs DN bands + MTL) —
+    C2+C3 are skipped, everything downstream is identical.
     """
-    t10 = dn_to_bt(dn10, meta["ml_b10"], meta["al_b10"], meta["k1_b10"], meta["k2_b10"])
-    t11 = dn_to_bt(dn11, meta["ml_b11"], meta["al_b11"], meta["k1_b11"], meta["k2_b11"])
+    if bt_input:
+        t10 = np.asarray(dn10, dtype=np.float64)
+        t11 = np.asarray(dn11, dtype=np.float64)
+    else:
+        t10 = dn_to_bt(dn10, meta["ml_b10"], meta["al_b10"], meta["k1_b10"], meta["k2_b10"])
+        t11 = dn_to_bt(dn11, meta["ml_b11"], meta["al_b11"], meta["k1_b11"], meta["k2_b11"])
     if qa is not None and cloud_values is not None:
         t10 = apply_cloud_mask(t10, qa, cloud_values)
         t11 = apply_cloud_mask(t11, qa, cloud_values)

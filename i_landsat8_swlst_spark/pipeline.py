@@ -268,6 +268,9 @@ def _run_tile_kernel_batch(rows: list, window: int) -> list[dict]:
         # stays L3-resident per worker (measured sweep: 8 beats 4/16/32/64 at
         # 128^2 tiles by 10-25%); bigger stacks trade dispatch savings back
         # for cache misses — the kernel is memory-bound (BENCH/BASELINE.md)
+        bt_in = fmt10 == codecs.FMT_BT
+        if bt_in != (fmt11 == codecs.FMT_BT):
+            raise ValueError(f"mixed DN/BT band pair: fmt_b10={fmt10!r} fmt_b11={fmt11!r}")
         for s in range(0, len(gidxs), _KERNEL_STACK):
             idxs = gidxs[s : s + _KERNEL_STACK]
             dn10 = np.stack([codecs.decode_tile_dn(rows[i].bytes_b10, w, h, fmt10) for i in idxs])
@@ -277,6 +280,7 @@ def _run_tile_kernel_batch(rows: list, window: int) -> list[dict]:
             r = K.fused_lst_kernel(
                 dn10, dn11, meta, e10=e10, e11=e11, window=window,
                 qa=qa, cloud_values=_CLOUD_VALUES if has_qa else None,
+                bt_input=bt_in,
             )
             for j, i in enumerate(idxs):
                 out[i] = {k: v[j] for k, v in r.items()}

@@ -154,3 +154,53 @@ def test_composite_pixels_matches_pandas_median(spark):
     assert (exp["n_obs"] == 3).any()
     for c in ("lst_median", "lst_lo", "lst_hi"):
         np.testing.assert_allclose(got[c].to_numpy(), exp[c].to_numpy(), rtol=1e-12)
+
+
+def test_bt_direct_input_path(spark):
+    """The reference's t10=/t11= option: tiles whose pixels ARE brightness
+    temperatures (fmt=f32bt) skip C2+C3 and match the direct kernel exactly;
+    vs the DN path the difference is bounded by DN quantization."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import codecs, constants as C, kernels as K, pipeline, synth
+
+    sid, w, h = "LC08_00000", 32, 32
+    rows = []
+    bts = {}
+    for tx in range(2):
+        t = synth.gen_tile(sid, tx, 0, w, h)
+        meta = dict(ml_b10=C.ML_DEFAULT, al_b10=C.AL_DEFAULT, ml_b11=C.ML_DEFAULT,
+                    al_b11=C.AL_DEFAULT, k1_b10=C.K1_B10, k2_b10=C.K2_B10,
+                    k1_b11=C.K1_B11, k2_b11=C.K2_B11)
+        bt10 = K.dn_to_bt(t["dn10"], C.ML_DEFAULT, C.AL_DEFAULT, C.K1_B10, C.K2_B10)
+        bt11 = K.dn_to_bt(t["dn11"], C.ML_DEFAULT, C.AL_DEFAULT, C.K1_B11, C.K2_B11)
+        bts[tx] = (bt10, bt11, meta)
+        for band, bt in ((10, bt10), (11, bt11)):
+            rows.append({
+                "image_id": synth.image_id(sid, band, tx, 0),
+                "bytes": codecs.encode_f32bt(bt),
+                "w": np.int32(w), "h": np.int32(h), "fmt": codecs.FMT_BT,
+                "caption": synth.caption_for(sid, band, tx, 0, "2024-01-01", "Forest"),
+                "phash": np.int64(0),
+            })
+    scenes = spark.createDataFrame(pd.DataFrame(rows))
+    meta_df = spark.createDataFrame(synth.scene_meta_pdf("tiny"))
+    emis = spark.createDataFrame(pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
+    tiles = (pipeline.lst_tiles(pipeline.build_enriched(scenes, meta_df, emis), window=5)
+             .orderBy("tile_x").toPandas())
+    assert len(tiles) == 2
+    for tx in range(2):
+        bt10, bt11, meta = bts[tx]
+        # the stored tiles are float32-rounded BT: the exact oracle is the
+        # kernel on the SAME f32-rounded values with bt_input=True
+        f10 = bt10.astype("<f4").astype(np.float64)
+        f11 = bt11.astype("<f4").astype(np.float64)
+        e = next(x for x in C.load_emissivities() if x.landcover_class == "Forest")
+        ref = K.fused_lst_kernel(f10, f11, meta, e.emissivity_b10, e.emissivity_b11,
+                                 window=5, bt_input=True)
+        lst = ref["lst_k"]
+        got = tiles[tiles.tile_x == tx].iloc[0]
+        finite = lst[np.isfinite(lst)]
+        assert got["n_valid"] == finite.size
+        np.testing.assert_allclose(got["lst_mean"], finite.mean(), rtol=0, atol=1e-9)
