@@ -117,3 +117,26 @@ def test_coefficients_bit_for_bit_vs_reference_csv():
     ref = pathlib.Path("/root/reference")
     csvs = list(ref.rglob("*.csv"))
     assert csvs, "reference CSVs not mounted"
+
+
+def test_subrange_boundary_values_match_cascade_oracle():
+    """SURVEY 5.2 item 4: classification at the EXACT subrange cut points
+    (and one ulp either side) must match the scalar first-match cascade —
+    the searchsorted rewrite's boundary semantics, pinned."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    import oracle_ref as O
+
+    _, lo, hi, _ = K._coef_matrix()
+    name2idx = {f"Range_{i + 1}": i for i in range(5)}
+    name2idx[None] = -1
+    pts = []
+    for k in range(5):
+        pts += [lo[k], hi[k], float(np.nextafter(hi[k], -10)),
+                float(np.nextafter(hi[k], 10)), (lo[k] + hi[k]) / 2]
+    pts += [-0.1, 6.31, float("nan")]
+    arr = np.array(pts)
+    mine = K.select_subrange(arr)
+    theirs = np.array([name2idx[O.select_subrange(float(v))] for v in arr])
+    np.testing.assert_array_equal(mine, theirs)
