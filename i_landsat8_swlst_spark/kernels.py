@@ -100,44 +100,20 @@ def apply_cloud_mask(x: np.ndarray, qa: np.ndarray, cloud_values: np.ndarray) ->
 # ---------------------------------------------------------------------------
 
 
-def _box_sum(a: np.ndarray, win: int) -> np.ndarray:
-    """Sum of a over each win x win window centered per pixel.
-
-    O(1) per pixel via 2-D cumsum. Input must already be NaN-free
-    (caller handles NaN bookkeeping separately). Second cumsum and the
-    final inclusion-exclusion run in-place: the kernel is memory-bound
-    at high core counts (BENCH/BASELINE.md), so every saved full-array
-    pass is throughput.
-    """
-    r = win // 2
-    h, w = a.shape
-    p = np.zeros((h + 2 * r + 1, w + 2 * r + 1))
-    p[r + 1 : r + 1 + h, r + 1 : r + 1 + w] = a
-    return _box_from_padded(p, win)
-
-
 def _box_from_padded(p: np.ndarray, win: int) -> np.ndarray:
-    """Inclusion-exclusion over the 2-D cumsum of an already zero-padded
-    plane (same layout _box_sum builds). Split out so cwv_ratio can stack
-    its four planes into one (4, H, W) buffer: one alloc + two cumsum calls
-    replace four np.pad calls (whose Python-side setup dominates at small
-    tile sizes) — values bit-identical, op order unchanged."""
+    """win x win box sums per pixel: inclusion-exclusion over the 2-D cumsum
+    of an already zero-padded plane family — O(1) per pixel via cumsum, and
+    cwv_ratio stacks all its planes into one (k, H, W) buffer so one alloc +
+    two cumsum calls replace per-plane np.pad/cumsum (whose Python-side
+    setup dominates at small tile sizes); values bit-identical, op order
+    unchanged. In-place second cumsum + inclusion-exclusion: the kernel is
+    memory-bound at high core counts (BENCH/BASELINE.md)."""
     cs = p.cumsum(axis=-2)
     np.cumsum(cs, axis=-1, out=cs)
     out = cs[..., win:, win:] - cs[..., :-win, win:]
     out -= cs[..., win:, :-win]
     out += cs[..., :-win, :-win]
     return out
-
-
-def _window_nan_count(a: np.ndarray, win: int) -> np.ndarray:
-    """Count of NULL cells per window; off-edge cells count as NULL,
-    matching GRASS neighborhood modifiers reading off-map -> NULL
-    ([U] column_water_vapor.py mapcalc ti[r,c] semantics)."""
-    r = win // 2
-    ind = np.pad(np.isnan(a).astype(np.float64), r, constant_values=1.0)
-    full = _box_sum(ind, win)  # shape = a.shape + 2r
-    return full[r : full.shape[0] - r, r : full.shape[1] - r]
 
 
 # ---------------------------------------------------------------------------

@@ -140,3 +140,18 @@ def test_subrange_boundary_values_match_cascade_oracle():
     mine = K.select_subrange(arr)
     theirs = np.array([name2idx[O.select_subrange(float(v))] for v in arr])
     np.testing.assert_array_equal(mine, theirs)
+
+
+def test_fused_dn_to_bt_equals_composed_stages():
+    """C2+C3: the fused dn_to_bt (and its LUT fast path) must be bit-identical
+    to the composed public stages radiance_to_bt(dn_to_radiance(...))."""
+    rng = np.random.default_rng(5)
+    dn = rng.integers(1, 65536, (64, 64)).astype(np.uint16)
+    composed = K.radiance_to_bt(
+        K.dn_to_radiance(dn.astype(np.float64), C.ML_DEFAULT, C.AL_DEFAULT),
+        C.K1_B10, C.K2_B10)
+    via_lut = K.dn_to_bt(dn, C.ML_DEFAULT, C.AL_DEFAULT, C.K1_B10, C.K2_B10)
+    via_arith = K.dn_to_bt(dn.astype(np.float64), C.ML_DEFAULT, C.AL_DEFAULT,
+                           C.K1_B10, C.K2_B10)
+    np.testing.assert_array_equal(via_lut, composed)
+    np.testing.assert_array_equal(via_arith, composed)
