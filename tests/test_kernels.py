@@ -123,10 +123,7 @@ def test_subrange_boundary_values_match_cascade_oracle():
     """SURVEY 5.2 item 4: classification at the EXACT subrange cut points
     (and one ulp either side) must match the scalar first-match cascade —
     the searchsorted rewrite's boundary semantics, pinned."""
-    import sys
-
-    sys.path.insert(0, "tests")
-    import oracle_ref as O
+    import oracle_ref as O  # conftest puts tests/ on sys.path
 
     _, lo, hi, _ = K._coef_matrix()
     name2idx = {f"Range_{i + 1}": i for i in range(5)}
