@@ -115,12 +115,16 @@ def run_lst_job(
 
     # resume set as a real anti-join against completed manifest keys whose
     # fingerprint still matches (lineage check) — and whose recorded options
-    # match this invocation
+    # match this invocation. Manifests written before the options record
+    # existed mean "ran with the defaults": treat a missing key as the
+    # defaults dict so old checkpoints aren't silently re-executed wholesale.
+    default_opts = {"window": int(C.DEFAULT_CWV_WINDOW), "with_qa": False,
+                    "emissivity_class": None, "celsius": False}
     valid_done = {
         s: rec for s, rec in done.items()
         if s in fps and rec.get("input_fingerprint") == fps[s][0]
         and rec.get("code_version") == __version__
-        and rec.get("options") == opts
+        and rec.get("options", default_opts) == opts
     }
     all_slices = sorted(fps)
     if valid_done:

@@ -213,18 +213,18 @@ _KERNEL_STACK = 64
 def _run_array_kernel_batch(items: list, window: int) -> list[dict]:
     """Stacked fused-kernel dispatch over already-decoded arrays.
 
-    items: list of (a10, a11, meta_tuple, e10, e11, qa_or_None); rows are
-    grouped by (shape, dtype, MTL constants, emissivity pair, QA presence),
-    each group stacked into one (k, h, w) kernel call (bit-identical to
-    per-tile — see _run_tile_kernel_batch). Returns result dicts in input
-    order.
+    items: list of (a10, a11, meta_tuple, e10, e11, qa_or_None, bt_input);
+    rows are grouped by (shape, dtype, MTL constants, emissivity pair, QA
+    presence, bt_input), each group stacked into one (k, h, w) kernel call
+    (bit-identical to per-tile — see _run_tile_kernel_batch). Returns result
+    dicts in input order.
     """
     groups: dict[tuple, list[int]] = {}
-    for i, (a10, _a11, meta_vals, e10, e11, qa) in enumerate(items):
-        key = (a10.shape, a10.dtype.str, meta_vals, e10, e11, qa is not None)
+    for i, (a10, _a11, meta_vals, e10, e11, qa, bt_in) in enumerate(items):
+        key = (a10.shape, a10.dtype.str, meta_vals, e10, e11, qa is not None, bt_in)
         groups.setdefault(key, []).append(i)
     out: list[dict | None] = [None] * len(items)
-    for (_shape, _dt, meta_vals, e10, e11, has_qa), gidxs in groups.items():
+    for (_shape, _dt, meta_vals, e10, e11, has_qa, bt_in), gidxs in groups.items():
         meta = dict(zip(META_COLS, meta_vals))
         for s in range(0, len(gidxs), _KERNEL_STACK):
             idxs = gidxs[s : s + _KERNEL_STACK]
@@ -234,6 +234,7 @@ def _run_array_kernel_batch(items: list, window: int) -> list[dict]:
             r = K.fused_lst_kernel(
                 a10, a11, meta, e10=e10, e11=e11, window=window,
                 qa=qa, cloud_values=_CLOUD_VALUES if has_qa else None,
+                bt_input=bt_in,
             )
             for j, i in enumerate(idxs):
                 out[i] = {k: v[j] for k, v in r.items()}
@@ -264,10 +265,6 @@ def _run_tile_kernel_batch(rows: list, window: int) -> list[dict]:
     out: list[dict | None] = [None] * len(rows)
     for (w, h, fmt10, fmt11, meta_vals, e10, e11, has_qa), gidxs in groups.items():
         meta = dict(zip(META_COLS, meta_vals))
-        # stack depth 8: the float64 plane family for a (4, 8, h+, w+) stack
-        # stays L3-resident per worker (measured sweep: 8 beats 4/16/32/64 at
-        # 128^2 tiles by 10-25%); bigger stacks trade dispatch savings back
-        # for cache misses — the kernel is memory-bound (BENCH/BASELINE.md)
         bt_in = fmt10 == codecs.FMT_BT
         if bt_in != (fmt11 == codecs.FMT_BT):
             raise ValueError(f"mixed DN/BT band pair: fmt_b10={fmt10!r} fmt_b11={fmt11!r}")
@@ -464,10 +461,11 @@ def lst_tiles_halo(enriched: DataFrame, window: int = C.DEFAULT_CWV_WINDOW) -> D
         StructField("ry", IntegerType()),
         StructField("dx", IntegerType()),        # where the piece sits
         StructField("dy", IntegerType()),
-        StructField("piece10", BinaryType()),    # uint16 LE DN pieces
+        StructField("piece10", BinaryType()),    # u16le DN pieces (f32le when bt=1)
         StructField("piece11", BinaryType()),
         StructField("pw", IntegerType()),
         StructField("ph", IntegerType()),
+        StructField("bt", IntegerType()),        # 1 = pieces are Kelvin BT f32le
         # center-only passthrough (None on strips)
         StructField("image_id", StringType()),
         StructField("caption", StringType()),
@@ -485,9 +483,20 @@ def lst_tiles_halo(enriched: DataFrame, window: int = C.DEFAULT_CWV_WINDOW) -> D
             ap = {k: v.append for k, v in cols.items()}
             for row in _batch_rows(batch):
                 w, h = int(row.w), int(row.h)
-                raw = row.fmt_b10 == codecs.FMT_RAW and row.fmt_b11 == codecs.FMT_RAW
-                dn10 = np.asarray(codecs.decode_tile_dn(row.bytes_b10, w, h, row.fmt_b10), dtype="<u2")
-                dn11 = np.asarray(codecs.decode_tile_dn(row.bytes_b11, w, h, row.fmt_b11), dtype="<u2")
+                bt_in = row.fmt_b10 == codecs.FMT_BT
+                if bt_in != (row.fmt_b11 == codecs.FMT_BT):
+                    raise ValueError(
+                        f"mixed DN/BT band pair: fmt_b10={row.fmt_b10!r} "
+                        f"fmt_b11={row.fmt_b11!r}")
+                # BT tiles carry float Kelvin: pieces travel as f32le and the
+                # bt flag tells assembly to skip DN->BT (same contract as the
+                # batch path's bt_input)
+                piece_dt = "<f4" if bt_in else "<u2"
+                # u16le and f32bt whole-tile center pieces ARE the stored payload
+                passthrough = (row.fmt_b10 == codecs.FMT_RAW
+                               and row.fmt_b11 == codecs.FMT_RAW) or bt_in
+                dn10 = np.asarray(codecs.decode_tile_dn(row.bytes_b10, w, h, row.fmt_b10), dtype=piece_dt)
+                dn11 = np.asarray(codecs.decode_tile_dn(row.bytes_b11, w, h, row.fmt_b11), dtype=piece_dt)
                 meta = {k: float(getattr(row, k)) for k in META_COLS}
                 for dx in (-1, 0, 1):
                     for dy in (-1, 0, 1):
@@ -495,8 +504,7 @@ def lst_tiles_halo(enriched: DataFrame, window: int = C.DEFAULT_CWV_WINDOW) -> D
                         if rx < 0 or ry < 0:
                             continue
                         center = dx == 0 and dy == 0
-                        if center and raw:
-                            # the whole-tile piece IS the stored u16le payload
+                        if center and passthrough:
                             b10, b11, pw, ph = row.bytes_b10, row.bytes_b11, w, h
                         else:
                             # slice of THIS tile that tile (rx, ry) needs
@@ -509,6 +517,7 @@ def lst_tiles_halo(enriched: DataFrame, window: int = C.DEFAULT_CWV_WINDOW) -> D
                         ap["dx"](dx); ap["dy"](dy)
                         ap["piece10"](b10); ap["piece11"](b11)
                         ap["pw"](pw); ap["ph"](ph)
+                        ap["bt"](1 if bt_in else 0)
                         ap["image_id"](row.image_id_b10 if center else None)
                         ap["caption"](row.caption_b10 if center else None)
                         ap["w"](w); ap["h"](h)
@@ -529,7 +538,7 @@ def lst_tiles_halo(enriched: DataFrame, window: int = C.DEFAULT_CWV_WINDOW) -> D
                   .sortWithinPartitions("scene_id", "rx", "ry")
 
     def assemble_stream(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        pending: list = []  # (center_row, pad10, pad11) awaiting a stacked kernel run
+        pending: list = []  # (center_row, pad10, pad11, bt_input) awaiting a stacked kernel run
 
         def assemble(acc: list):
             """Mosaic one tile's 9 strips into NaN-padded planes (no kernel)."""
@@ -545,11 +554,12 @@ def lst_tiles_halo(enriched: DataFrame, window: int = C.DEFAULT_CWV_WINDOW) -> D
                 # left neighbor, so it lands on the padded-left strip, etc.
                 x0 = 0 if s.dx == 1 else (r + w if s.dx == -1 else r)
                 y0 = 0 if s.dy == 1 else (r + h if s.dy == -1 else r)
+                dt = "<f4" if s.bt else "<u2"
                 pad10[y0:y0 + s.ph, x0:x0 + s.pw] = \
-                    np.frombuffer(s.piece10, dtype="<u2").reshape(s.ph, s.pw)
+                    np.frombuffer(s.piece10, dtype=dt).reshape(s.ph, s.pw)
                 pad11[y0:y0 + s.ph, x0:x0 + s.pw] = \
-                    np.frombuffer(s.piece11, dtype="<u2").reshape(s.ph, s.pw)
-            return (center, pad10, pad11)
+                    np.frombuffer(s.piece11, dtype=dt).reshape(s.ph, s.pw)
+            return (center, pad10, pad11, bool(center.bt))
 
         def emit_pending() -> pa.RecordBatch:
             # one stacked kernel family per flush (same bit-identity argument
@@ -560,10 +570,10 @@ def lst_tiles_halo(enriched: DataFrame, window: int = C.DEFAULT_CWV_WINDOW) -> D
             items = [
                 (p10, p11,
                  tuple(float(getattr(c, k)) for k in META_COLS),
-                 float(c.emissivity_b10), float(c.emissivity_b11), None)
-                for c, p10, p11 in pending
+                 float(c.emissivity_b10), float(c.emissivity_b11), None, bt_in)
+                for c, p10, p11, bt_in in pending
             ]
-            for (center, _p10, _p11), res in zip(
+            for (center, _p10, _p11, _bt), res in zip(
                     pending, _run_array_kernel_batch(items, window)):
                 w, h = int(center.w), int(center.h)
                 lst = res["lst_k"][r:r + h, r:r + w]
@@ -610,12 +620,18 @@ def lst_tiles_halo(enriched: DataFrame, window: int = C.DEFAULT_CWV_WINDOW) -> D
 
 
 def composite_pixels(pixels: DataFrame,
-                     keys: tuple[str, ...] = ("tile_x", "tile_y", "px", "py"),
+                     keys: tuple[str, ...] = ("tile_x", "tile_y", "px", "py",
+                                              "lon", "lat"),
                      ) -> DataFrame:
     """Per-pixel temporal composite across revisits of one footprint — the
     classic cloud-free LST product (median of the valid observations at each
     pixel; clouds/NaN were already dropped by lst_pixels(valid_only=True),
     so n_obs varies per pixel exactly like a real compositing stack).
+
+    lon/lat are part of the default key: revisits of one footprint are
+    grid-aligned (bit-identical centroids), while same-index pixels from a
+    DIFFERENT footprint have different centroids and land in their own
+    groups instead of silently merging into one composite.
 
     One shuffle on the pixel key, partial counts map-side. ``percentile`` is
     the exact aggregate; at 100 TB swap it for ``approx_percentile`` (GK
@@ -626,8 +642,6 @@ def composite_pixels(pixels: DataFrame,
         F.expr("percentile(lst_k, 0.5)").alias("lst_median"),
         F.min("lst_k").alias("lst_lo"),
         F.max("lst_k").alias("lst_hi"),
-        F.first("lon").alias("lon"),  # grid-aligned: identical across dates
-        F.first("lat").alias("lat"),
     )
 
 

@@ -130,3 +130,26 @@ def test_job_options_celsius_emissivity_qa(spark, tmp_path_factory):
     r2 = checkpoint.run_lst_job(spark, scenes, meta, emis, out_k, n_slices=2,
                                 window=5, celsius=True)
     assert r2["executed"] == [] and r2["skipped"] == r["executed"]
+
+
+def test_pre_options_manifest_resumes_under_defaults(spark, fixture, tmp_path_factory):
+    """ADVICE r2: manifests written before the 'options' record existed mean
+    "ran with the defaults" — a default-options resume must skip them, while
+    a non-default rerun still recomputes."""
+    scenes, meta, emis = fixture
+    out = str(tmp_path_factory.mktemp("preopts"))
+    r1 = checkpoint.run_lst_job(spark, scenes, meta, emis, out, n_slices=4)
+    assert len(r1["executed"]) == 4
+
+    # simulate a legacy manifest: drop the options key
+    for f in (Path(out) / "_manifest").glob("slice-*.json"):
+        rec = json.loads(f.read_text())
+        rec.pop("options")
+        f.write_text(json.dumps(rec))
+
+    r2 = checkpoint.run_lst_job(spark, scenes, meta, emis, out, n_slices=4)
+    assert len(r2["skipped"]) == 4 and not r2["executed"]
+
+    r3 = checkpoint.run_lst_job(spark, scenes, meta, emis, out, n_slices=4,
+                                celsius=True)
+    assert len(r3["executed"]) == 4 and not r3["skipped"]

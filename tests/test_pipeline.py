@@ -204,3 +204,31 @@ def test_bt_direct_input_path(spark):
         finite = lst[np.isfinite(lst)]
         assert got["n_valid"] == finite.size
         np.testing.assert_allclose(got["lst_mean"], finite.mean(), rtol=0, atol=1e-9)
+
+
+def test_composite_two_footprints_never_merge(spark):
+    """ADVICE r2: same-index pixels from two DIFFERENT footprints must land
+    in separate composite groups (lon/lat are part of the default key), not
+    silently merge into one composite."""
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import constants as C, pipeline, synth
+
+    scenes = spark.createDataFrame(pd.concat(
+        [synth.revisit_scenes_pdf("tiny", scene=s, n_dates=2) for s in (0, 1)],
+        ignore_index=True))
+    meta = spark.createDataFrame(pd.concat(
+        [synth.revisit_meta_pdf("tiny", scene=s, n_dates=2) for s in (0, 1)],
+        ignore_index=True))
+    emis = spark.createDataFrame(pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
+    pixels = pipeline.lst_pixels(
+        pipeline.build_enriched_with_grid(scenes, meta, emis), window=5)
+    comp = pipeline.composite_pixels(pixels).toPandas()
+    # no group can span footprints: max multiplicity == dates per footprint
+    assert comp["n_obs"].max() <= 2
+    # both footprints contribute, and their centroid sets are disjoint
+    per = pixels.select("scene_id", "lon", "lat").toPandas()
+    s0 = set(map(tuple, per[per.scene_id.str.startswith("LC08_00000")][["lon", "lat"]].to_numpy()))
+    s1 = set(map(tuple, per[per.scene_id.str.startswith("LC08_00001")][["lon", "lat"]].to_numpy()))
+    assert s0 and s1 and not (s0 & s1)
+    assert len(comp) == len(s0) + len(s1)
