@@ -353,27 +353,29 @@ def _q_stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-# Driver evidence (CORRECTNESS_r01.json): exactly the FIRST 50 dict entries
-# got correctness rows. Order therefore decides attestation coverage: the 13
-# twins added late in round 1 (no hard-signal row yet) + the queries changed
-# this round go first; simple twins already attested green in r01 go last.
+# Driver evidence: exactly the FIRST 50 dict entries get correctness rows
+# each round, so order decides attestation coverage. ROTATION INVARIANT
+# (VERDICT r2 item 2): no twin's newest driver row may be more than 1 round
+# old. Mechanically, each round:
+#   _ATTEST_FIRST := last round's _ATTEST_LAST (their rows are now the
+#                    oldest) + every twin changed or added this round;
+#   _ATTEST_LAST  := (n_twins - 50) stable, unchanged twins that DID get a
+#                    row this round (they can safely sit out the next one).
 _ATTEST_FIRST = [
-    # round-1 twins with no CORRECTNESS row yet (VERDICT "What's missing" #1)
-    "q_minhash_lsh_pairs", "q_ngram_jaccard", "q_token_stats", "q_lang_id",
-    "q_quality_score", "q_fingerprint", "q_embed_cosine_topk",
-    "q_ann_lsh_buckets", "q_bpe_tokens", "q_winnow_fingerprint",
-    "q_embed_neardup", "q_ann_ivf", "q_tfidf",
-    # changed this round -> re-attest
-    "q_regr_manual", "q_grouped_map",
-    # new this round
-    "q_dedup_clusters",
-]
-_ATTEST_LAST = [
-    # attested green in r01; simplest logic, least regression risk
+    # demoted in r02 (newest row is r01) -> re-attest first in r03
     "q_sort_limit", "q_null_logic", "q_set_ops", "q_intersect",
     "q_except_all", "q_distinct_agg", "q_date_math", "q_string_funcs",
     "q_json_extract", "q_histogram", "q_pivot", "q_array_agg",
     "q_scalar_subquery", "q_explode_words",
+    # changed this round -> re-attest (df-capped candidates; md5-fold twin)
+    "q_ngram_jaccard", "q_simhash64",
+]
+_ATTEST_LAST = [
+    # green in r02, unchanged this round; 65 twins - 50 window = 15 demoted
+    "q_token_stats", "q_lang_id", "q_quality_score", "q_fingerprint",
+    "q_bpe_tokens", "q_winnow_fingerprint", "q_tfidf", "q_regr_manual",
+    "q_grouped_map", "q_agg_stats", "q_rollup", "q_cube", "q_percentile",
+    "q_semi_join", "q_anti_join",
 ]
 
 
@@ -462,7 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _ordered(dict(relational.queries()))
     # rows-only (untwinned) entries go after every twinned query so they
     # never displace a hash-attestable twin from the driver's 50-entry window
-    q["q_simhash64"] = q.pop("q_simhash64")
+    # (q_simhash64 left the rows-only set in r3: its md5-fold form is twinned)
     q["q_sketch_stats"] = q.pop("q_sketch_stats")
     q["q_lst_pipeline"] = _q_lst_pipeline
     q["q_pip_join"] = _q_pip_join

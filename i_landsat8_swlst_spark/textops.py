@@ -234,13 +234,28 @@ _REGISTRY["q_dedup_clusters"] = (q_dedup_clusters, _clusters_sql())
 
 
 # --------------------------------------------------------------------------
-# n-gram Jaccard near-dup pairs (exact set overlap, integer counts)
+# n-gram Jaccard near-dup pairs (exact set overlap, integer counts).
+#
+# Candidate generation is an equi self-join on the shingle key — the classic
+# inverted-index shape. Its 100-TB failure mode is a stop-word-like shingle
+# present in ~every document: that one key joins quadratically. The standard
+# fix (plagiarism/near-dup systems) is a DOCUMENT-FREQUENCY CAP: a shingle
+# appearing in more than _DF_CAP docs carries no near-dup signal (it is
+# corpus-common background) and is dropped BEFORE the self-join, bounding
+# any key's fan-out to _DF_CAP^2 pairs. Jaccard is then computed over the
+# capped shingle sets on BOTH sides (sizes and intersections), which keeps
+# the DuckDB twin exact. tests/test_textops.py injects an adversarial
+# every-doc shingle and asserts it produces zero candidate pairs.
 # --------------------------------------------------------------------------
 
+_DF_CAP = 64
 
-@register(
-    "q_ngram_jaccard",
-    f"""WITH shingles AS ({_SHINGLES_SQL}),
+
+def _ngram_jaccard_sql(docs_sql: str = _SHINGLES_SQL, df_cap: int = _DF_CAP) -> str:
+    return f"""WITH all_sh AS ({docs_sql}),
+       df AS (SELECT sh, count(*) AS df FROM all_sh GROUP BY sh),
+       shingles AS (SELECT s.doc_id, s.sh FROM all_sh s
+                    JOIN df ON df.sh = s.sh WHERE df.df <= {df_cap}),
        sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
                  FROM shingles a JOIN shingles b
@@ -250,20 +265,28 @@ _REGISTRY["q_dedup_clusters"] = (q_dedup_clusters, _clusters_sql())
               round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
        FROM inter JOIN sizes sa ON sa.doc_id = doc_a
        JOIN sizes sb ON sb.doc_id = doc_b
-       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.08""",
-)
-def q_ngram_jaccard(spark, sf_dir):
-    d = load(spark, sf_dir, "documents").filter(_SUBSET)
+       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.08"""
+
+
+def ngram_jaccard_pairs(docs, df_cap: int = _DF_CAP, threshold: float = 0.08):
+    """Near-dup pairs by exact Jaccard over df-capped 5-gram shingle sets.
+
+    docs: DataFrame(doc_id, text). One shuffle family on the shingle key
+    (df agg + kept join + self-join share the partitioning), then one on
+    the pair key; no key can fan out past df_cap^2 candidate rows.
+    """
     sh = (
-        d.select("doc_id",
-                 F.explode(F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1)))).alias("i"),
-                 "text")
+        docs.select("doc_id",
+                    F.explode(F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1)))).alias("i"),
+                    "text")
         .select("doc_id", F.expr("substr(text, i, 5)").alias("sh"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    df = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    kept = sh.join(df.filter(F.col("df") <= df_cap), "sh").select("doc_id", "sh")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = kept.alias("a")
+    b = kept.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -275,9 +298,14 @@ def q_ngram_jaccard(spark, sf_dir):
     return (
         inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(jac >= 0.08)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register("q_ngram_jaccard", _ngram_jaccard_sql())
+def q_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents").filter(_SUBSET))
 
 
 # --------------------------------------------------------------------------
@@ -441,25 +469,71 @@ def q_embed_cosine_topk(spark, sf_dir):
     return pairs.withColumn("rnk", F.row_number().over(w)).filter("rnk <= 5").drop("rnk")
 
 
-# 64-bit SimHash over whitespace tokens. Rows-only: Spark's xxhash64 has no
-# DuckDB equivalent (md5-per-bit in SQL would be a 64-way blowup); the
-# numpy parity oracle lives in tests/test_textops.py.
-@register("q_simhash64", None)
+# 64-bit SimHash over whitespace tokens. The 64 bits come from md5(token)
+# split into two exact 32-bit halves (hex chars 1-8 and 9-16) — the same
+# cross-engine md5 fold MinHash uses, so the whole operator is hash-exact
+# in DuckDB and fully twinned (was rows-only while it used Spark-specific
+# xxhash64). Bit 63 folds in as +MIN_LONG: both engines raise on 1<<63 but
+# two's-complement addition of the sign bit is exact and overflow-free.
+
+_MIN_LONG = -9223372036854775808
+
+
+def _md5_half_sql(var: str, start: int) -> str:
+    """Exact integer value of 8 hex chars of column ``var`` (no conv() in
+    DuckDB — same per-char fold as the MinHash twin)."""
+    terms = []
+    for k in range(start, start + 8):
+        c = f"substr({var}, {k}, 1)"
+        terms.append(f"CAST({_HEXV.format(c=c)} AS BIGINT) * {16 ** (8 - (k - start + 1))}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN ({'h1' if j < 32 else 'h2'} >> {j % 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(64))
+    val = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(63))
+    val += f" + (CASE WHEN b63 > 0 THEN CAST({_MIN_LONG} AS BIGINT) ELSE 0 END)"
+    return f"""WITH toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       ),
+       h AS (SELECT doc_id, md5(tok) AS m FROM toks),
+       x AS (SELECT doc_id, {_md5_half_sql('m', 1)} AS h1,
+                    {_md5_half_sql('m', 9)} AS h2 FROM h),
+       s AS (SELECT doc_id, {sums} FROM x GROUP BY doc_id)
+       SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CAST({val} AS BIGINT) AS simhash64 FROM s"""
+
+
+@register("q_simhash64", _simhash_sql())
 def q_simhash64(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    toks = toks.withColumn("h", F.xxhash64("tok"))
-    # per bit j: sum(+1/-1), sign -> bit j
+    m = F.md5("tok")
+    x = toks.select(
+        "doc_id",
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    # per bit j: sum(+1/-1) over tokens, sign -> bit j; ONE map-side-combining
+    # aggregation is the only shuffle (64 parallel sum columns)
     bits = [
-        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")
+        F.sum(
+            F.when(F.shiftright(F.col("h1" if j < 32 else "h2"), j % 32)
+                   .bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
         for j in range(64)
     ]
-    agg = toks.groupBy("doc_id").agg(*bits)
+    agg = x.groupBy("doc_id").agg(*bits)
     sim = None
-    for j in range(64):
-        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, j) if j else bit
-        sim = term if sim is None else sim.bitwiseOR(term)
+    for j in range(63):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    sim = sim + F.when(F.col("b63") > 0, F.lit(_MIN_LONG)).otherwise(F.lit(0).cast("long"))
     return agg.select("doc_id", sim.alias("simhash64"))
 
 

@@ -1,6 +1,8 @@
-"""SimHash parity: rebuild the 64-bit simhash in numpy from Spark's own
-token hashes (checks the bit aggregation independent of the hash fn), plus
-behavioral properties (duplicate -> identical hash)."""
+"""SimHash parity: rebuild the 64-bit simhash in pure Python (hashlib.md5 —
+fully independent of both engines), plus behavioral properties
+(duplicate -> identical hash)."""
+
+import hashlib
 
 import numpy as np
 import pandas as pd
@@ -24,16 +26,23 @@ def _numpy_simhash(hashes: np.ndarray) -> int:
     return int(out.view(np.int64) if hasattr(out, "view") else out)
 
 
-def test_simhash_matches_numpy_rebuild(spark):
+def _md5_token_hash(tok: str) -> int:
+    """The operator's 64-bit token hash: md5 hex chars 1-8 -> bits 0..31,
+    chars 9-16 -> bits 32..63 (exactly q_simhash64's h1/h2 split)."""
+    m = hashlib.md5(tok.encode()).hexdigest()
+    return int(m[:8], 16) | (int(m[8:16], 16) << 32)
+
+
+def test_simhash_matches_pure_python_rebuild(spark):
     got = q_simhash64(spark, SF_DIR).filter("doc_id < 8").toPandas().set_index("doc_id")
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter("doc_id < 8")
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    th = toks.select("doc_id", F.xxhash64("tok").alias("h")).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    docs = docs[docs.doc_id < 8]
     assert len(got) > 0
-    for doc_id, grp in th.groupby("doc_id"):
-        exp = _numpy_simhash(grp["h"].to_numpy())
-        exp_signed = np.uint64(exp).astype(np.int64) if exp >= 0 else exp
-        assert int(got.loc[doc_id, "simhash64"]) == int(np.int64(np.uint64(exp))), doc_id
+    for _, row in docs.iterrows():
+        hashes = np.array([_md5_token_hash(t) for t in row.text.split(" ")],
+                          dtype=np.uint64)
+        exp = _numpy_simhash(hashes)
+        assert int(got.loc[row.doc_id, "simhash64"]) == int(np.int64(np.uint64(exp))), row.doc_id
 
 
 def test_simhash_duplicate_docs_identical(spark):
@@ -144,3 +153,36 @@ def test_sketch_error_bounds(spark):
         for a, e in (("ap50", "p50"), ("ap90", "p90")):
             rel = abs(got.loc[flag, a] - exact.loc[flag, e]) / exact.loc[flag, e]
             assert rel < 0.02, (flag, a, rel)
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard df cap: the scale guard against inverted-index hot keys
+# --------------------------------------------------------------------------
+
+
+def test_ngram_jaccard_df_cap_kills_hot_shingle(spark):
+    """An adversarial shingle present in EVERY doc (the 100-TB hot-key blowup)
+    must be dropped by the df cap: otherwise-disjoint docs sharing only that
+    shingle produce ZERO candidate pairs, while true near-dups still pair."""
+    from i_landsat8_swlst_spark.textops import ngram_jaccard_pairs
+
+    # 20 docs, pairwise-disjoint shingles except those covering " COMMON"
+    # (each doc body is a run of its own letter: every shingle touching the
+    # body carries that letter and is unique to the doc)
+    rows = [{"doc_id": i, "text": chr(97 + i) * 12 + " COMMON"}
+            for i in range(20)]
+    # plus one true near-dup pair (same text -> jaccard 1.0)
+    rows += [{"doc_id": 100, "text": "the exact same document body here"},
+             {"doc_id": 101, "text": "the exact same document body here"}]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+
+    got = ngram_jaccard_pairs(docs, df_cap=8).toPandas()
+    pairs = set(map(tuple, got[["doc_a", "doc_b"]].to_numpy()))
+    assert (100, 101) in pairs
+    # no pair among the 20 hot-shingle-only docs survives
+    assert not any(a < 100 and b < 100 for a, b in pairs)
+    assert float(got.set_index(["doc_a", "doc_b"]).loc[(100, 101), "jaccard"]) == 1.0
+
+    # without the cap the hot key would explode: 20*19/2 candidate pairs
+    uncapped = ngram_jaccard_pairs(docs, df_cap=10**9, threshold=0.0).toPandas()
+    assert (uncapped[["doc_a", "doc_b"]].lt(100).all(axis=1)).sum() == 190
