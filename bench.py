@@ -97,12 +97,22 @@ def main() -> None:
     # passes (this VM's wall clock is noisy, BENCH/BASELINE.md protocol)
     _materialize(pipeline.lst_tiles(
         pipeline.build_enriched(scenes, meta, emis), window=C.DEFAULT_CWV_WINDOW))
+    # interleaved emit/stats passes (same steal weather for both arms —
+    # BENCH/KERNEL_SWEEP.md protocol): the emit arm is the production shape
+    # (headline); the stats arm isolates kernel cost from the ~3.2 GB of
+    # LST+CWV f32 Arrow emission (VERDICT r2 item 3)
     raster_sec = float("inf")
+    raster_stats_sec = float("inf")
     for _ in range(3):  # best-of-3: host steal waves swing identical passes 3x
         t0 = time.perf_counter()
         _materialize(pipeline.lst_tiles(
             pipeline.build_enriched(scenes, meta, emis), window=C.DEFAULT_CWV_WINDOW))
         raster_sec = min(raster_sec, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _materialize(pipeline.lst_tiles(
+            pipeline.build_enriched(scenes, meta, emis), window=C.DEFAULT_CWV_WINDOW,
+            emit_arrays=False))
+        raster_stats_sec = min(raster_stats_sec, time.perf_counter() - t0)
     times["q_lst_pipeline_bench"] = round(raster_sec, 3)
     shutil.rmtree(tmp, ignore_errors=True)
 
@@ -140,6 +150,8 @@ def main() -> None:
         "raster_pixels": int(px),
         "raster_pixels_per_sec": round(px / raster_sec, 1),
         "raster_tiles_per_sec": round(n_tiles / raster_sec, 2),
+        "raster_stats_only_sec": round(raster_stats_sec, 3),
+        "raster_stats_only_pixels_per_sec": round(px / raster_stats_sec, 1),
         "cpus": CPUS,
         "invariants": {"psnr_min_db": (None if psnr_min == float("inf")
                                        else round(psnr_min, 2)),

@@ -200,14 +200,17 @@ def _finite_stats(a: np.ndarray) -> tuple[int, float | None, float | None, float
 _CLOUD_VALUES = np.array(C.DEFAULT_CLOUD_QA_VALUES, dtype=np.float64)
 
 
-# Max tiles stacked per fused-kernel call. Measured under the full 32-worker
-# bench load (sweep, best-of-2 per point): 1 -> 6.85s, 2 -> 6.94, 4 -> 6.12,
-# 8 -> 4.53, 64 -> 4.19s per pass — with every core busy, amortizing numpy
-# dispatch beats keeping the plane family cache-resident (the opposite of the
-# idle-core result), so stack the whole Arrow batch; the cap is a worker-
-# memory backstop for future larger Arrow batches (64 tiles x 128^2 float64
-# plane family ~ 43 MB/worker).
-_KERNEL_STACK = 64
+# Max tiles stacked per fused-kernel call. Round-3 interleaved A/B
+# (jobs/bench_kernel_sweep.py: ALL arms round-robin in ONE process, 5
+# passes/arm, 32 workers, sf0.1-scale input — the only protocol that puts
+# every arm in the same host-steal weather): per-arm minima
+# stack1 4.56s / stack4 4.42s / stack8 4.65s / stack16 4.69s / stack64 4.83s
+# (88.3 / 91.1 / 86.5 / 85.9 / 83.4 Mpx/s) — the arms sit within 9%, so the
+# earlier cross-session swings (5.1s -> 8.2s -> 13.6s for ONE config) were
+# environmental steal, not tuning. 4 wins on both min and median: enough
+# stacking to amortize numpy dispatch while the (4, 4, h, w) float64 plane
+# family stays cache-resident per worker. Full table: BENCH/KERNEL_SWEEP.md.
+_KERNEL_STACK = 4
 
 
 def _run_array_kernel_batch(items: list, window: int) -> list[dict]:
@@ -241,7 +244,8 @@ def _run_array_kernel_batch(items: list, window: int) -> list[dict]:
     return out  # type: ignore[return-value]
 
 
-def _run_tile_kernel_batch(rows: list, window: int) -> list[dict]:
+def _run_tile_kernel_batch(rows: list, window: int,
+                           stack: int | None = None) -> list[dict]:
     """Run the fused kernel over a whole Arrow batch of tile rows.
 
     Rows are grouped by (w, h, fmt pair, MTL constants, emissivity pair,
@@ -254,6 +258,7 @@ def _run_tile_kernel_batch(rows: list, window: int) -> list[dict]:
     within a 1-row remainder etc.) still work — a group of one is just the
     old path with an extra leading axis of 1.
     """
+    stack = _KERNEL_STACK if stack is None else stack
     groups: dict[tuple, list[int]] = {}
     for i, row in enumerate(rows):
         qa_bytes = getattr(row, "bytes_qa", None)
@@ -268,8 +273,8 @@ def _run_tile_kernel_batch(rows: list, window: int) -> list[dict]:
         bt_in = fmt10 == codecs.FMT_BT
         if bt_in != (fmt11 == codecs.FMT_BT):
             raise ValueError(f"mixed DN/BT band pair: fmt_b10={fmt10!r} fmt_b11={fmt11!r}")
-        for s in range(0, len(gidxs), _KERNEL_STACK):
-            idxs = gidxs[s : s + _KERNEL_STACK]
+        for s in range(0, len(gidxs), stack):
+            idxs = gidxs[s : s + stack]
             dn10 = np.stack([codecs.decode_tile_dn(rows[i].bytes_b10, w, h, fmt10) for i in idxs])
             dn11 = np.stack([codecs.decode_tile_dn(rows[i].bytes_b11, w, h, fmt11) for i in idxs])
             qa = (np.stack([codecs.decode_u16le(rows[i].bytes_qa, w, h) for i in idxs])
@@ -285,7 +290,8 @@ def _run_tile_kernel_batch(rows: list, window: int) -> list[dict]:
 
 
 def lst_tiles(enriched: DataFrame, window: int = C.DEFAULT_CWV_WINDOW,
-              emit_arrays: bool = True, celsius: bool = False) -> DataFrame:
+              emit_arrays: bool = True, celsius: bool = False,
+              kernel_stack: int | None = None) -> DataFrame:
     """Fused raster kernel -> tile-level LST/CWV arrays + stats (C11).
 
     emit_arrays=False keeps the byte columns empty for stats-only consumers:
@@ -302,7 +308,8 @@ def lst_tiles(enriched: DataFrame, window: int = C.DEFAULT_CWV_WINDOW,
             cols: dict[str, list] = {f.name: [] for f in TILE_SCHEMA}
             ap = {k: v.append for k, v in cols.items()}
             rows = list(_batch_rows(batch))
-            for row, r in zip(rows, _run_tile_kernel_batch(rows, window)):
+            for row, r in zip(rows, _run_tile_kernel_batch(rows, window,
+                                                           stack=kernel_stack)):
                 lst = r["lst_c"] if celsius else r["lst_k"]
                 n_valid, lst_min, lst_max, lst_mean = _finite_stats(lst)
                 _, _, _, cwv_mean = _finite_stats(r["cwv"])

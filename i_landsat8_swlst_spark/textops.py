@@ -197,6 +197,21 @@ def _clusters_sql() -> str:
   FROM lab"""
 
 
+def _cc_round(edges, lab):
+    """One min-label-propagation round: each node takes min(own label,
+    neighbors' labels). Exactly the per-round plan q_dedup_clusters loops;
+    factored out so tests/test_plans.py can gate its exchange count (the
+    whole iterative job's cost is rounds x this plan)."""
+    neigh = (
+        edges.join(lab.select(F.col("v").alias("u"), F.col("label").alias("ulabel")), "u")
+        .groupBy("v").agg(F.min("ulabel").alias("nmin"))
+    )
+    return (
+        lab.join(neigh, "v", "left")
+        .select("v", F.least("label", F.coalesce("nmin", F.col("label"))).alias("label"))
+    )
+
+
 @register("q_dedup_clusters", None)  # SQL attached below (needs pairs SQL registered first)
 def q_dedup_clusters(spark, sf_dir):
     pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
@@ -207,15 +222,7 @@ def q_dedup_clusters(spark, sf_dir):
     )
     lab = edges.select("v").distinct().select("v", F.col("v").alias("label"))
     while True:
-        neigh = (
-            edges.join(lab.select(F.col("v").alias("u"), F.col("label").alias("ulabel")), "u")
-            .groupBy("v").agg(F.min("ulabel").alias("nmin"))
-        )
-        new = (
-            lab.join(neigh, "v", "left")
-            .select("v", F.least("label", F.coalesce("nmin", F.col("label"))).alias("label"))
-            .localCheckpoint()  # truncate per-round lineage growth
-        )
+        new = _cc_round(edges, lab).localCheckpoint()  # truncate lineage growth
         changed = (
             new.alias("n").join(lab.alias("o"), "v")
             .filter(F.col("n.label") != F.col("o.label")).count()

@@ -13,6 +13,7 @@ tests pin the plan shapes the round-1 verdict audited:
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from i_landsat8_swlst_spark import textops
 
@@ -60,3 +61,72 @@ def test_hamming_join_is_equi(spark):
     plan = _plan(relational.queries()["q_hamming_join"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan
+
+
+def test_ngram_jaccard_candidates_are_equi(spark):
+    plan = _plan(textops.q_ngram_jaccard(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan  # df-capped shingle equi self-join
+
+
+def test_dedup_clusters_round_is_bounded(spark):
+    """The iterative CC job costs rounds x one propagation plan: that plan
+    must stay one edge-join + one aggregate + one label-rejoin — at most 4
+    hash exchanges (edges, labels, aggregate, rejoin), never a nested loop.
+    A regression here multiplies by the round count at 100 TB."""
+    import pandas as pd
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"v": [1, 2, 2, 3], "u": [2, 1, 3, 2]}))
+    lab = edges.select("v").distinct().select("v", F.col("v").alias("label"))
+    plan = _plan(textops._cc_round(edges, lab))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex <= 4, f"CC round plan grew to {n_ex} hash exchanges"
+
+
+def test_bucketed_band_pair_join_is_shuffle_free(spark, tmp_path):
+    """The documented 100-TB table layout: both band tables bucketed+sorted
+    on (scene_id, tile_x, tile_y) make the pair join a zero-exchange
+    sort-merge join (BENCH/BASELINE.md measured 0.91 scaling efficiency on
+    exactly this layout). Gate the plan so a regression can't silently
+    reintroduce the shuffle."""
+    import re
+
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import constants as C, pipeline, synth
+
+    scenes = spark.createDataFrame(synth.scenes_pdf("tiny", scenes=[0]))
+    meta = spark.createDataFrame(synth.scene_meta_pdf("tiny"))
+    emis = spark.createDataFrame(pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
+    parsed = pipeline.parse_scenes(scenes)
+    key = ["scene_id", "tile_x", "tile_y"]
+    b10 = parsed.filter("band = 10").select(
+        *key, F.col("image_id").alias("image_id_b10"),
+        F.col("bytes").alias("bytes_b10"), F.col("fmt").alias("fmt_b10"),
+        "w", "h", F.col("caption").alias("caption_b10"), "landcover")
+    b11 = parsed.filter("band = 11").select(
+        *key, F.col("image_id").alias("image_id_b11"),
+        F.col("bytes").alias("bytes_b11"), F.col("fmt").alias("fmt_b11"),
+        F.col("caption").alias("caption_b11"))
+    for name, df in (("plans_b10_bkt", b10), ("plans_b11_bkt", b11)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (df.write.bucketBy(8, *key).sortBy(*key)
+         .mode("overwrite").format("parquet").saveAsTable(name))
+    try:
+        paired = spark.table("plans_b10_bkt").join(
+            spark.table("plans_b11_bkt"), on=key, how="inner")
+        tiles = pipeline.lst_tiles(
+            pipeline.with_emissivity(pipeline.with_meta(paired, meta), emis),
+            window=5)
+        plan = _plan(tiles)
+        # broadcasts of the tiny dims are fine; a shuffle prints as
+        # "Exchange hashpartitioning(...)"
+        assert not re.search(r"(?<!Broadcast)Exchange\s+\w*[Pp]artitioning", plan), plan
+        assert tiles.count() > 0  # the zero-shuffle plan actually executes
+    finally:
+        for name in ("plans_b10_bkt", "plans_b11_bkt"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
