@@ -78,6 +78,7 @@ def run_lst_job(
     with_qa: bool = False,
     emissivity_class: str | None = None,
     celsius: bool = False,
+    slice_batch: int = 8,
 ) -> dict:
     """Run (or resume) the tile LST job; returns summary dict.
 
@@ -144,15 +145,15 @@ def run_lst_job(
     # (measured 16x wall at 16 slices). Persist the joined-but-undecoded
     # frame once: each slice job then reads the cache and runs the kernel
     # on only its rows — scan/join 1x, kernel 1x total. MEMORY_AND_DISK
-    # spills tile bytes on real clusters; the 100 TB alternative is batching
-    # pending slices into one dynamic-partition-overwrite write.
+    # spills tile bytes on real clusters.
     if len(pending) > 1:
         from pyspark import StorageLevel
 
         enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        _run_slices(spark, enriched, pending, fps, done, out, out_dir, executed,
-                    window, n_slices, fail_after, opts, celsius)
+        _run_slice_groups(spark, enriched, pending, fps, done, out, out_dir,
+                          executed, window, n_slices, fail_after, opts, celsius,
+                          max(1, int(slice_batch)))
     finally:
         if len(pending) > 1:
             enriched.unpersist()
@@ -165,44 +166,71 @@ def run_lst_job(
     }
 
 
-def _run_slices(spark, enriched, pending, fps, done, out, out_dir, executed,
-                window, n_slices, fail_after, opts=None, celsius=False) -> None:
-    for i, s in enumerate(pending):
-        if fail_after is not None and i >= fail_after:
-            raise InjectedFailure(f"injected failure before slice {s}")
-        t0 = time.perf_counter()
-        slice_df = pipeline.lst_tiles(enriched.filter(F.col("slice") == s),
-                                      window=window, celsius=celsius)
-        target = out / "data" / f"slice={s}"
-        # manifest metrics observed DURING the write job (no 2nd pass that
-        # reads the just-written parquet back — that re-read was ~30% of
-        # slice wall at bench scale)
-        from pyspark.sql import Observation
+def _run_slice_groups(spark, enriched, pending, fps, done, out, out_dir,
+                      executed, window, n_slices, fail_after, opts, celsius,
+                      slice_batch) -> None:
+    """Execute pending slices in groups of ``slice_batch`` — ONE dynamic-
+    partition-overwrite write job per group.
 
-        obs = Observation(f"slice-{s}")
-        slice_df = slice_df.observe(
-            obs,
-            F.count(F.lit(1)).alias("rows"),
-            F.sum("n_valid").alias("valid_px"),
-            F.sum(F.col("w").cast("long") * F.col("h")).alias("pixels"),
-        )
-        slice_df.write.mode("overwrite").parquet(str(target))
-        stats = obs.get
-        rec = {
-            "slice": int(s),
-            "status": "done",
-            "input_fingerprint": fps[s][0],
-            "input_rows": fps[s][1],
-            "rows_out": int(stats["rows"]),
-            "pixels": int(stats["pixels"] or 0),
-            "valid_px": int(stats["valid_px"] or 0),
-            "wall_ms": int((time.perf_counter() - t0) * 1000),
-            "attempt": done.get(s, {}).get("attempt", 0) + 1,
-            "code_version": __version__,
-            "options": opts,
-        }
-        (_manifest_dir(out_dir) / f"slice-{s}.json").write_text(json.dumps(rec))
-        executed.append(int(s))
+    Round-2 profiling: one-write-job-per-slice ran the kernel over 1/n_slices
+    of the rows per job, leaving most cores idle between tiny tasks — the
+    durable job sat ~4-10x below the in-memory pipeline. Batching restores
+    full-width kernel passes while keeping bounded re-execution: a crash
+    mid-group loses at most ``slice_batch`` slices of work (manifests are
+    still per-slice, written only after the group's write commits; dynamic
+    partition overwrite keeps per-slice output dirs idempotent).
+
+    Per-slice metrics come from a column-pruned read of the just-written
+    parquet (slice/n_valid/w/h only — the array bytes are never read), which
+    is footer-cheap, unlike the full-row re-read round 1 measured at ~30% of
+    slice wall.
+    """
+    todo = pending if fail_after is None else pending[: max(0, fail_after)]
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for g0 in range(0, len(todo), slice_batch):
+            group = [int(s) for s in todo[g0 : g0 + slice_batch]]
+            t0 = time.perf_counter()
+            gdf = pipeline.lst_tiles(
+                enriched.filter(F.col("slice").isin(group)),
+                window=window, celsius=celsius,
+            ).withColumn("slice", _slice_col(n_slices))
+            gdf.write.mode("overwrite").partitionBy("slice").parquet(str(out / "data"))
+            wall_ms = int((time.perf_counter() - t0) * 1000)
+            stats = (
+                spark.read.parquet(str(out / "data"))
+                .filter(F.col("slice").isin(group))
+                .groupBy("slice")
+                .agg(F.count(F.lit(1)).alias("rows"),
+                     F.sum("n_valid").alias("valid_px"),
+                     F.sum(F.col("w").cast("long") * F.col("h")).alias("pixels"))
+                .collect()
+            )
+            by_slice = {int(r["slice"]): r for r in stats}
+            for s in group:
+                r = by_slice.get(s)
+                rec = {
+                    "slice": s,
+                    "status": "done",
+                    "input_fingerprint": fps[s][0],
+                    "input_rows": fps[s][1],
+                    "rows_out": int(r["rows"]) if r else 0,
+                    "pixels": int(r["pixels"]) if r else 0,
+                    "valid_px": int(r["valid_px"]) if r else 0,
+                    "wall_ms": wall_ms,       # the group's write wall
+                    "group": group,           # slices sharing that write job
+                    "attempt": done.get(s, {}).get("attempt", 0) + 1,
+                    "code_version": __version__,
+                    "options": opts,
+                }
+                (_manifest_dir(out_dir) / f"slice-{s}.json").write_text(json.dumps(rec))
+                executed.append(s)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    if fail_after is not None and fail_after < len(pending):
+        raise InjectedFailure(
+            f"injected failure before slice {pending[fail_after]}")
 
 
 def read_result(spark: SparkSession, out_dir: str) -> DataFrame:

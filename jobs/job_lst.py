@@ -38,6 +38,9 @@ def main() -> None:
                          "(reference emissivity_class= option)")
     ap.add_argument("--celsius", action="store_true",
                     help="emit LST in deg C (reference -c flag)")
+    ap.add_argument("--slice-batch", type=int, default=8,
+                    help="slices per write job (full-width kernel passes; "
+                         "a crash loses at most this many slices of work)")
     args = ap.parse_args()
 
     import pandas as pd
@@ -59,7 +62,7 @@ def main() -> None:
         spark, scenes, meta, emis, args.out,
         n_slices=args.slices, window=args.window, resume=not args.no_resume,
         with_qa=args.qa, emissivity_class=args.emissivity_class,
-        celsius=args.celsius,
+        celsius=args.celsius, slice_batch=args.slice_batch,
     )
     print(json.dumps(summary))
     spark.stop()
