@@ -369,13 +369,15 @@ _ATTEST_FIRST = [
     "q_scalar_subquery", "q_explode_words",
     # changed this round -> re-attest (df-capped candidates; md5-fold twin)
     "q_ngram_jaccard", "q_simhash64",
+    # new twins this round (entropy + repetition quality signals)
+    "q_char_entropy", "q_repetition_ratio",
 ]
 _ATTEST_LAST = [
-    # green in r02, unchanged this round; 65 twins - 50 window = 15 demoted
+    # green in r02, unchanged this round; 67 twins - 50 window = 17 demoted
     "q_token_stats", "q_lang_id", "q_quality_score", "q_fingerprint",
     "q_bpe_tokens", "q_winnow_fingerprint", "q_tfidf", "q_regr_manual",
     "q_grouped_map", "q_agg_stats", "q_rollup", "q_cube", "q_percentile",
-    "q_semi_join", "q_anti_join",
+    "q_semi_join", "q_anti_join", "q_caption_roundtrip", "q_salted_agg",
 ]
 
 

@@ -416,6 +416,100 @@ def q_fingerprint(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# character-entropy quality signal (perplexity proxy): low-entropy docs are
+# boilerplate/repetitive junk; the classic cheap pre-filter before model-
+# based scoring. H = (ln n - (1/n) * sum_ch c*ln c) / ln 2 bits/char.
+# Cross-engine exactness: the per-char partial sums fold SEQUENTIALLY over
+# the char-sorted count list (sort_array+aggregate in Spark, list(ORDER BY)+
+# list_reduce in DuckDB) — same IEEE op order, bit-identical doubles (the
+# same technique as the cosine twin's explicit fold).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_char_entropy",
+    """WITH chars AS (
+         SELECT doc_id, substr(text, CAST(i AS INT) + 1, 1) AS ch
+         FROM (SELECT doc_id, text,
+                      unnest(range(0, length(text))) AS i FROM documents) src
+       ),
+       cnt AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+       folded AS (
+         SELECT doc_id,
+                CAST(sum(c) AS BIGINT) AS n_chars2,
+                CAST(count(*) AS BIGINT) AS alphabet,
+                list_reduce(list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                                 ORDER BY ch),
+                            (x, y) -> x + y) AS s
+         FROM cnt GROUP BY doc_id)
+       SELECT doc_id, n_chars2 AS n_chars, alphabet,
+              round((ln(CAST(n_chars2 AS DOUBLE)) - s / n_chars2) / ln(2.0), 6)
+                AS entropy_bits
+       FROM folded""",
+)
+def q_char_entropy(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    chars = (
+        d.select("doc_id",
+                 F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+                 "text")
+        .select("doc_id", F.expr("substr(text, i, 1)").alias("ch"))
+    )
+    cnt = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    folded = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars"),
+        F.count(F.lit(1)).alias("alphabet"),
+        F.expr("""aggregate(
+            transform(sort_array(collect_list(struct(ch, c))),
+                      p -> CAST(p.c AS DOUBLE) * ln(CAST(p.c AS DOUBLE))),
+            0D, (acc, v) -> acc + v)""").alias("s"),
+    )
+    ent = (F.log(F.col("n_chars").cast("double")) - F.col("s") / F.col("n_chars")) / F.log(F.lit(2.0))
+    return folded.select("doc_id", "n_chars", "alphabet",
+                         F.round(ent, 6).alias("entropy_bits"))
+
+
+# --------------------------------------------------------------------------
+# repetition-ratio quality signal: share of the document taken by its single
+# most frequent token — the standard cheap repetition/boilerplate filter.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_repetition_ratio",
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       ),
+       cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+       agg AS (SELECT doc_id,
+                      CAST(sum(c) AS BIGINT) AS n_tok,
+                      CAST(max(c) AS BIGINT) AS top_tok_n,
+                      CAST(count(*) AS BIGINT) AS vocab
+               FROM cnt GROUP BY doc_id)
+       SELECT doc_id, n_tok, top_tok_n, vocab,
+              round(CAST(top_tok_n AS DOUBLE) / n_tok, 6) AS rep_ratio,
+              CASE WHEN CAST(top_tok_n AS DOUBLE) / n_tok > 0.2
+                   THEN 1 ELSE 0 END AS is_repetitive
+       FROM agg""",
+)
+def q_repetition_ratio(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tok"),
+        F.max("c").alias("top_tok_n"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    ratio = F.col("top_tok_n").cast("double") / F.col("n_tok")
+    return agg.select(
+        "doc_id", "n_tok", "top_tok_n", "vocab",
+        F.round(ratio, 6).alias("rep_ratio"),
+        F.when(ratio > 0.2, 1).otherwise(0).alias("is_repetitive"),
+    )
+
+
+# --------------------------------------------------------------------------
 # embedding similarity search
 # --------------------------------------------------------------------------
 
