@@ -65,3 +65,23 @@ def write_pixels_sink(io: TableIO, pixels_with_cells: DataFrame, target: str) ->
     """LST pixel-row sink partitioned by cell prefix (SURVEY.md §2.2 sinks)."""
     df = with_cell_prefix(pixels_with_cells)
     io.write(df, target, partition_by=["cell_p"])
+
+
+def write_spatial_sorted(io: TableIO, df: DataFrame, target: str,
+                         cell_col: str = "s2_cell", files: int = 16) -> None:
+    """Spatial-locality layout: range-repartition + sort rows by the S2 cell
+    id before writing.
+
+    S2 ids order cells along a Hilbert curve, so sorting by the id clusters
+    spatially-near pixels into the same files and row groups; each file then
+    covers a DISJOINT id range and carries tight parquet min/max stats on
+    ``cell_col``. A bbox query expressed as S2 id ranges
+    (``cell_col BETWEEN lo AND hi``) is pushed to the scan and skips whole
+    files/row groups — at 100 TB this is the difference between a full scan
+    and touching only the covering's files (Iceberg gives the same effect
+    from its manifest-level column bounds; the layout choice carries over
+    unchanged). tests/test_io.py proves the disjointness + pruning on the
+    written footers and the executed plan."""
+    out = df.repartitionByRange(files, F.col(cell_col)) \
+            .sortWithinPartitions(cell_col)
+    io.write(out, target)

@@ -40,3 +40,57 @@ def test_partitioned_sink_roundtrip_and_pruning(spark, tmp_path):
 def test_iceberg_backend_gated(spark):
     with pytest.raises(NotImplementedError, match="Iceberg runtime jar"):
         TableIO(spark, "iceberg", catalog="c")
+
+
+def test_spatial_sorted_layout_prunes_s2_ranges(spark, tmp_path):
+    """write_spatial_sorted: files cover DISJOINT s2_cell ranges (verified on
+    the written parquet footers), a bbox-as-id-range filter is pushed to the
+    scan, and most files are statically prunable for a narrow range."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from i_landsat8_swlst_spark import geo
+    from i_landsat8_swlst_spark.io import TableIO, write_spatial_sorted
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({
+        "pid": range(4000),
+        "lon": rng.uniform(-30, 30, 4000),
+        "lat": rng.uniform(-30, 30, 4000),
+        "lst_k": rng.uniform(260, 320, 4000),
+    })
+    pdf["s2_cell"] = geo.s2_cell(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), level=12)
+    df = spark.createDataFrame(pdf)
+    io = TableIO(spark, "parquet")
+    target = str(tmp_path / "spatial")
+    write_spatial_sorted(io, df, target, files=8)
+
+    # 1) per-file id ranges are disjoint (the structural pruning guarantee)
+    import pathlib
+    spans = []
+    for f in sorted(pathlib.Path(target).glob("*.parquet")):
+        md = pq.read_metadata(str(f))
+        col = next(i for i in range(md.num_columns)
+                   if md.row_group(0).column(i).path_in_schema == "s2_cell")
+        mins, maxs = [], []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(col).statistics
+            mins.append(st.min); maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    assert len(spans) >= 4
+    assert all(spans[i][1] <= spans[i + 1][0] for i in range(len(spans) - 1))
+
+    # 2) a narrow id-range query: pushed filters + identical results + most
+    #    files statically out of range
+    back = io.read(target)
+    sub = pdf[(pdf.lon.between(-5, 5)) & (pdf.lat.between(-5, 5))]
+    lo, hi = int(sub.s2_cell.min()), int(sub.s2_cell.max())
+    q = back.filter((F.col("s2_cell") >= lo) & (F.col("s2_cell") <= hi))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(s2_cell" in plan
+    exp = set(pdf[(pdf.s2_cell >= lo) & (pdf.s2_cell <= hi)].pid)
+    assert set(r.pid for r in q.select("pid").collect()) == exp
+    prunable = sum(1 for mn, mx in spans if mx < lo or mn > hi)
+    assert prunable >= 1, spans
