@@ -95,6 +95,25 @@ def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pip_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: DISTRIBUTED point-in-polygon join (hex-cell equi join +
+    exact ray-cast verify, NO polygon broadcast) — the scale path when the
+    AOI layer outgrows a broadcast; row-for-row parity vs the broadcast
+    R-tree pip_join in tests/test_spatial.py."""
+    from i_landsat8_swlst_spark import pipeline, spatial, synth
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    pixels = pipeline.lst_pixels(
+        pipeline.build_enriched_with_grid(scenes, meta, emis), window=5
+    ).select("scene_id", "tile_x", "tile_y", "px", "py", "lon", "lat", "lst_k")
+    joined = spatial.pip_join_cells(pixels, synth.aoi_pdf("tiny"), res=8)
+    return (
+        joined.groupBy("aoi_id", "aoi_category")
+        .agg(F.count(F.lit(1)).alias("n_pixels"), F.round(F.avg("lst_k"), 4).alias("avg_lst"))
+        .orderBy("aoi_id")
+    )
+
+
 def _q_knn_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: kNN join of tile centroids to CWV stations (broadcast +
     vectorized haversine); brute-force parity in tests/test_spatial.py."""
@@ -470,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_sketch_stats"] = q.pop("q_sketch_stats")
     q["q_lst_pipeline"] = _q_lst_pipeline
     q["q_pip_join"] = _q_pip_join
+    q["q_pip_cells"] = _q_pip_cells
     q["q_knn_stations"] = _q_knn_stations
     q["q_tile_assignments"] = _q_tile_assignments
     q["q_rasterize_roundtrip"] = _q_rasterize_roundtrip

@@ -230,6 +230,35 @@ def hexcell_center(cell) -> tuple[np.ndarray, np.ndarray]:
     return lon, lat
 
 
+def hex_cover_bbox(lon0: float, lat0: float, lon1: float, lat1: float,
+                   res: int) -> np.ndarray:
+    """All hex cells at ``res`` that any point inside the bbox can round to.
+
+    A point rounds to the cell whose center is nearest in axial space, and
+    that center lies within one circumradius of the point — so covering the
+    bbox padded by 2x the edge length (plus one index of slack on each
+    axis) is a guaranteed superset. Supersets are the contract: the caller
+    (pip_join_cells) exact-verifies every candidate, so over-covering costs
+    candidates, never correctness.
+    """
+    if res not in HEX_EDGE_DEG:
+        raise ValueError(f"res must be one of {sorted(HEX_EDGE_DEG)}")
+    size = HEX_EDGE_DEG[res]
+    pad = 2.0 * size
+    lo0, la0, lo1, la1 = lon0 - pad, lat0 - pad, lon1 + pad, lat1 + pad
+    r_lo = int(np.floor(la0 / (1.5 * size))) - 1
+    r_hi = int(np.ceil(la1 / (1.5 * size))) + 1
+    cells = []
+    for r in range(r_lo, r_hi + 1):
+        # center lon = sqrt(3) * size * (q + r/2)
+        q_lo = int(np.floor(lo0 / (_SQRT3 * size) - r / 2.0)) - 1
+        q_hi = int(np.ceil(lo1 / (_SQRT3 * size) - r / 2.0)) + 1
+        q = np.arange(q_lo, q_hi + 1, dtype=np.int64)
+        rr = np.full(q.size, r, dtype=np.int64)
+        cells.append((np.int64(res) << 56) | ((q + (1 << 27)) << 28) | (rr + (1 << 27)))
+    return np.concatenate(cells) if cells else np.zeros(0, dtype=np.int64)
+
+
 def _hex_round(qf: np.ndarray, rf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Cube-coordinate rounding (standard hex-grid algorithm)."""
     sf = -qf - rf

@@ -22,7 +22,9 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import LongType, StructField, StructType, StringType, DoubleType, IntegerType
+from pyspark.sql.types import (
+    ArrayType, DoubleType, IntegerType, LongType, StringType, StructField, StructType,
+)
 
 from . import geo
 
@@ -210,6 +212,99 @@ def pip_join(points: DataFrame, aoi: pd.DataFrame, lon_col: str = "lon",
             yield matched
 
     return points.mapInPandas(fn, out_schema)
+
+
+def aoi_cells_df(spark, aoi: pd.DataFrame, res: int = 8) -> DataFrame:
+    """AOI polygons exploded to their covering hex cells at ``res``.
+
+    One row per (polygon, covering cell); the ring travels inline as two
+    array<double> columns so the verify stage needs no second join (the
+    standard space-for-shuffle trade — rings are tens of vertices). The
+    covering runs as a distributed mapInPandas over the polygon table, so
+    it scales with the AOI layer, not the driver.
+    """
+    rows = []
+    for _, row in aoi.iterrows():
+        ring = np.array([[p["lon"], p["lat"]] for p in row["ring"]], dtype=np.float64)
+        if not np.allclose(ring[0], ring[-1]):
+            ring = np.vstack([ring, ring[:1]])
+        rows.append({
+            "aoi_id": row["aoi_id"],
+            "aoi_category": row.get("category"),
+            "ring_x": ring[:, 0].tolist(),
+            "ring_y": ring[:, 1].tolist(),
+        })
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    out_schema = StructType([
+        StructField("cell", LongType()),
+        StructField("aoi_id", StringType()),
+        StructField("aoi_category", StringType()),
+        StructField("ring_x", ArrayType(DoubleType())),
+        StructField("ring_y", ArrayType(DoubleType())),
+    ])
+
+    def cover(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                rx = np.asarray(row["ring_x"], dtype=np.float64)
+                ry = np.asarray(row["ring_y"], dtype=np.float64)
+                cells = geo.hex_cover_bbox(float(rx.min()), float(ry.min()),
+                                           float(rx.max()), float(ry.max()), res)
+                out.append(pd.DataFrame({
+                    "cell": cells,
+                    "aoi_id": row["aoi_id"],
+                    "aoi_category": row["aoi_category"],
+                    "ring_x": [row["ring_x"]] * len(cells),
+                    "ring_y": [row["ring_y"]] * len(cells),
+                }))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return sdf.mapInPandas(cover, out_schema)
+
+
+def pip_join_cells(points: DataFrame, aoi: pd.DataFrame, res: int = 8,
+                   lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Distributed point-in-polygon join — NO broadcast of the polygon side.
+
+    The scale path when the AOI layer outgrows a broadcast (millions of
+    polygons at 100 TB): polygons explode into covering hex cells
+    (aoi_cells_df), points encode to the same cell, candidates come from a
+    plain EQUI join on the cell key (hash-partitionable; AQE/salting apply
+    like any other hot-key join), and a vectorized ray-cast verifies every
+    candidate pair exactly. Inner-join semantics, one row per
+    (point, containing polygon) — row-for-row identical to the broadcast
+    ``pip_join`` (pytest parity in tests/test_spatial.py); compose a
+    left_anti join on the caller's point key for left semantics.
+    """
+    spark = points.sparkSession
+    cover = aoi_cells_df(spark, aoi, res=res)
+    pts = points.withColumn("cell", hexcell_udf(res)(F.col(lon_col), F.col(lat_col)))
+    cand = pts.join(cover, on="cell", how="inner").drop("cell")
+
+    out_schema = StructType(points.schema.fields + [
+        StructField("aoi_id", StringType()),
+        StructField("aoi_category", StringType()),
+    ])
+    point_cols = [f.name for f in points.schema.fields]
+
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            px = pdf[lon_col].to_numpy(np.float64)
+            py = pdf[lat_col].to_numpy(np.float64)
+            for aoi_id, idx in pdf.groupby("aoi_id").indices.items():
+                ring = np.column_stack((
+                    np.asarray(pdf["ring_x"].iloc[idx[0]], dtype=np.float64),
+                    np.asarray(pdf["ring_y"].iloc[idx[0]], dtype=np.float64),
+                ))
+                keep[idx] = points_in_ring(px[idx], py[idx], ring)
+            yield pdf.loc[keep, point_cols + ["aoi_id", "aoi_category"]]
+
+    return cand.mapInPandas(verify, out_schema)
 
 
 # --------------------------------------------------------------------------

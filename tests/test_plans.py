@@ -130,3 +130,22 @@ def test_bucketed_band_pair_join_is_shuffle_free(spark, tmp_path):
     finally:
         for name in ("plans_b10_bkt", "plans_b11_bkt"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_pip_join_cells_candidates_are_equi(spark):
+    """The distributed PIP's candidate stage must be an equi join on the
+    cell key — never a nested loop (that is the broadcast path's job)."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import synth
+    from i_landsat8_swlst_spark.spatial import pip_join_cells
+
+    rng = np.random.default_rng(3)
+    pts = spark.createDataFrame(pd.DataFrame({
+        "pid": range(200),
+        "lon": rng.uniform(-10, 10, 200), "lat": rng.uniform(-10, 10, 200)}))
+    plan = _plan(pip_join_cells(pts, synth.aoi_pdf("tiny"), res=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan

@@ -161,3 +161,53 @@ def test_enrich_pixels_matches_composed_ops(spark):
     a = a[sorted(a.columns)].sort_values(key).reset_index(drop=True)
     b = b[sorted(b.columns)].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_pip_join_cells_matches_broadcast_pip(spark):
+    """The distributed (cell-equi-join) PIP must be row-for-row identical to
+    the broadcast R-tree pip_join on the same points x polygons — same exact
+    ray-cast, different candidate generation."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import synth
+    from i_landsat8_swlst_spark.spatial import pip_join, pip_join_cells
+
+    rng = np.random.default_rng(21)
+    aoi = synth.aoi_pdf("tiny")
+    # points sprayed over the AOI bounding region incl. outside-all-polygons
+    allv = [p for ring in aoi["ring"] for p in ring]
+    lons = np.array([p["lon"] for p in allv]); lats = np.array([p["lat"] for p in allv])
+    pts = pd.DataFrame({
+        "pid": range(3000),
+        "lon": rng.uniform(lons.min() - 0.3, lons.max() + 0.3, 3000),
+        "lat": rng.uniform(lats.min() - 0.3, lats.max() + 0.3, 3000),
+    })
+    points = spark.createDataFrame(pts)
+
+    a = pip_join(points, aoi, how="inner").select("pid", "aoi_id").toPandas()
+    for res in (7, 8):
+        b = pip_join_cells(points, aoi, res=res).select("pid", "aoi_id").toPandas()
+        sa = set(map(tuple, a.to_numpy()))
+        sb = set(map(tuple, b.to_numpy()))
+        assert sa == sb, (res, len(sa), len(sb),
+                          list(sa - sb)[:3], list(sb - sa)[:3])
+    assert len(a) > 0 and a["aoi_id"].nunique() > 1
+
+
+def test_hex_cover_bbox_is_superset_of_point_cells(spark):
+    """Every cell any bbox point rounds to must appear in the bbox cover
+    (the guarantee pip_join_cells candidates rely on)."""
+    import numpy as np
+
+    from i_landsat8_swlst_spark import geo
+
+    rng = np.random.default_rng(5)
+    for res in (7, 8, 9):
+        lon0, lat0 = rng.uniform(-40, 40), rng.uniform(-40, 40)
+        lon1, lat1 = lon0 + rng.uniform(0.05, 1.2), lat0 + rng.uniform(0.05, 1.2)
+        cover = set(geo.hex_cover_bbox(lon0, lat0, lon1, lat1, res).tolist())
+        px = rng.uniform(lon0, lon1, 5000)
+        py = rng.uniform(lat0, lat1, 5000)
+        cells = set(geo.hexcell(px, py, res).tolist())
+        assert cells <= cover, (res, len(cells - cover))
