@@ -136,6 +136,39 @@ def _q_knn_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("station_cwv", 4).alias("station_cwv"))
 
 
+def _q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: DISTRIBUTED kNN join (7-cell station registration -> equi
+    join -> Catalyst haversine + window rank, NO broadcast) with per-point
+    exactness certificate; certified-row parity vs brute force in
+    tests/test_spatial.py."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark.spatial import knn_join_cells
+
+    rng = np.random.default_rng(17)
+    stations = pd.DataFrame({
+        "station_id": [f"s{i:05d}" for i in range(3000)],
+        "lon": rng.uniform(10.0, 10.3, 3000),
+        "lat": rng.uniform(40.0, 40.3, 3000),
+        "cwv_obs": rng.uniform(0, 6.3, 3000),
+    })
+    pts = pd.DataFrame({
+        "pid": range(200),
+        "lon": rng.uniform(10.05, 10.25, 200),
+        "lat": rng.uniform(40.05, 40.25, 200),
+    })
+    out = knn_join_cells(spark.createDataFrame(pts), stations, k=3, res=7,
+                         key_cols=["pid"])
+    return (
+        out.groupBy("knn_certified")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.countDistinct("pid").alias("n_points"),
+             F.round(F.avg("station_km"), 4).alias("avg_km"))
+        .orderBy("knn_certified")
+    )
+
+
 def _q_tile_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: batched cell-encode (hex 7/8/9 + S2) of tile centroids —
     the tile_assignments output table (FIXTURES.md §7)."""
@@ -491,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_pip_join"] = _q_pip_join
     q["q_pip_cells"] = _q_pip_cells
     q["q_knn_stations"] = _q_knn_stations
+    q["q_knn_cells"] = _q_knn_cells
     q["q_tile_assignments"] = _q_tile_assignments
     q["q_rasterize_roundtrip"] = _q_rasterize_roundtrip
     q["q_full_spatial"] = _q_full_spatial

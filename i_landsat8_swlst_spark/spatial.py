@@ -373,6 +373,85 @@ def knn_join(points: DataFrame, stations: pd.DataFrame, k: int = 3,
     return points.mapInPandas(fn, out_schema)
 
 
+def knn_join_cells(points: DataFrame, stations: pd.DataFrame, k: int = 3,
+                   res: int = 7, key_cols: list[str] | None = None,
+                   lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Distributed kNN join — NO station broadcast (the scale path when the
+    station table outgrows a broadcast).
+
+    Every station registers under its own hex cell plus its 6 axial
+    neighbors (pure JVM bit arithmetic on the packed cell id: q±1 is
+    cell±2^28, r±1 is cell±1); every point probes its single cell, so each
+    (point, station-in-1-ring) pair surfaces exactly once from a plain EQUI
+    join on the cell key. Haversine + per-point rank run entirely in
+    Catalyst (one window on the point key).
+
+    Exactness certificate (``knn_certified``): the axial lattice spacing is
+    sqrt(3)*size in degree space and ring-2 cell centers are >= 3*size away,
+    so any station OUTSIDE the 1-ring is farther than
+    ``(3*size - 2*circumradius) = size`` degrees from the point — at least
+    ``size * 110 * cos(|lat| + 3*size)`` km. When the k-th candidate
+    distance is below that bound (and >= k candidates exist), the candidate
+    top-k IS the global top-k; rows failing the bound are emitted with
+    ``knn_certified = false`` (re-run those points at a coarser res or via
+    the broadcast ``knn_join``). Parity vs brute force on certified rows in
+    tests/test_spatial.py.
+    """
+    if key_cols is None:
+        raise ValueError("knn_join_cells needs key_cols identifying a point row")
+    spark = points.sparkSession
+    size = geo.HEX_EDGE_DEG[res]
+    st = spark.createDataFrame(
+        stations[["station_id", "lon", "lat"]
+                 + (["cwv_obs"] if "cwv_obs" in stations else [])]
+    ).withColumnRenamed("lon", "s_lon").withColumnRenamed("lat", "s_lat")
+    st = st.withColumn("own_cell", hexcell_udf(res)(F.col("s_lon"), F.col("s_lat")))
+    Q = F.lit(1 << 28)
+    one = F.lit(1)
+    c = F.col("own_cell")
+    st_cells = st.withColumn(
+        "cell",
+        F.explode(F.array(c, c + Q, c - Q, c + one, c - one, c + Q - one, c - Q + one)),
+    ).drop("own_cell")
+
+    pts = points.withColumn("cell", hexcell_udf(res)(F.col(lon_col), F.col(lat_col)))
+    cand = pts.join(st_cells, on="cell", how="inner").drop("cell")
+
+    p = math.pi / 180.0
+    dlat = (F.col("s_lat") - F.col(lat_col)) * p / 2.0
+    dlon = (F.col("s_lon") - F.col(lon_col)) * p / 2.0
+    a = F.sin(dlat) ** 2 + F.cos(F.col(lat_col) * p) * F.cos(F.col("s_lat") * p) * F.sin(dlon) ** 2
+    km = 2.0 * EARTH_R_KM * F.asin(F.sqrt(F.least(F.greatest(a, F.lit(0.0)), F.lit(1.0))))
+    cand = cand.withColumn("station_km", km)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy("station_km", "station_id")
+    wall = Window.partitionBy(*key_cols)
+    ranked = (
+        cand.withColumn("station_rank", F.row_number().over(w).cast("int"))
+        .withColumn("n_cand", F.count(F.lit(1)).over(wall))
+        .filter(F.col("station_rank") <= k)
+    )
+    bound_km = (
+        F.lit(size * 110.0)
+        * F.cos((F.abs(F.col(lat_col)) + 3.0 * size) * p)
+    )
+    wk = Window.partitionBy(*key_cols)
+    out = ranked.withColumn(
+        "knn_certified",
+        (F.col("n_cand") >= k) & (F.max("station_km").over(wk) < bound_km),
+    )
+    cols = ([f.name for f in points.schema.fields]
+            + ["station_id", "station_rank", "station_km"]
+            + (["cwv_obs"] if "cwv_obs" in stations else [])
+            + ["knn_certified"])
+    if "cwv_obs" in stations:
+        out = out.withColumnRenamed("cwv_obs", "station_cwv")
+        cols = [("station_cwv" if x == "cwv_obs" else x) for x in cols]
+    return out.select(*cols)
+
+
 # --------------------------------------------------------------------------
 # fused pixel enrichment: cells + PIP + kNN in ONE Python hop
 # --------------------------------------------------------------------------

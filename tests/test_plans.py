@@ -149,3 +149,25 @@ def test_pip_join_cells_candidates_are_equi(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan
+
+
+def test_knn_join_cells_is_equi(spark):
+    """The distributed kNN candidate stage is an equi join on the cell key;
+    the only window is the per-point rank."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark.spatial import knn_join_cells
+
+    rng = np.random.default_rng(4)
+    stations = pd.DataFrame({
+        "station_id": [f"s{i}" for i in range(50)],
+        "lon": rng.uniform(0, 1, 50), "lat": rng.uniform(0, 1, 50),
+        "cwv_obs": rng.uniform(0, 6, 50)})
+    pts = spark.createDataFrame(pd.DataFrame({
+        "pid": range(100),
+        "lon": rng.uniform(0, 1, 100), "lat": rng.uniform(0, 1, 100)}))
+    plan = _plan(knn_join_cells(pts, stations, k=2, res=7, key_cols=["pid"]))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan

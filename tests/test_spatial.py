@@ -211,3 +211,43 @@ def test_hex_cover_bbox_is_superset_of_point_cells(spark):
         py = rng.uniform(lat0, lat1, 5000)
         cells = set(geo.hexcell(px, py, res).tolist())
         assert cells <= cover, (res, len(cells - cover))
+
+
+def test_knn_join_cells_certified_matches_bruteforce(spark):
+    """Distributed kNN (cell-registration equi join): every certified point's
+    ranked station list must equal the exact brute-force top-k; the dense
+    fixture certifies the vast majority of points."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark.spatial import haversine_km, knn_join_cells
+
+    rng = np.random.default_rng(33)
+    stations = pd.DataFrame({
+        "station_id": [f"s{i:05d}" for i in range(4000)],
+        "lon": rng.uniform(10.0, 10.3, 4000),
+        "lat": rng.uniform(40.0, 40.3, 4000),
+        "cwv_obs": rng.uniform(0, 6.3, 4000),
+    })
+    pts = pd.DataFrame({
+        "pid": range(300),
+        "lon": rng.uniform(10.05, 10.25, 300),
+        "lat": rng.uniform(40.05, 40.25, 300),
+    })
+    out = knn_join_cells(spark.createDataFrame(pts), stations, k=3, res=7,
+                         key_cols=["pid"]).toPandas()
+    assert set(out.columns) >= {"pid", "station_id", "station_rank",
+                                "station_km", "station_cwv", "knn_certified"}
+    # each (point, station) pair surfaces exactly once
+    assert not out.duplicated(["pid", "station_id"]).any()
+
+    d = haversine_km(pts.lon.to_numpy()[:, None], pts.lat.to_numpy()[:, None],
+                     stations.lon.to_numpy()[None, :], stations.lat.to_numpy()[None, :])
+    certified = out[out.knn_certified]
+    assert certified.pid.nunique() >= 0.8 * len(pts)
+    for pid, grp in certified.groupby("pid"):
+        grp = grp.sort_values("station_rank")
+        brute = np.argsort(d[pid] + np.arange(len(stations)) * 1e-12)[:3]
+        assert list(grp.station_id) == list(stations.station_id.iloc[brute]), pid
+        np.testing.assert_allclose(grp.station_km.to_numpy(),
+                                   np.sort(d[pid])[:3], rtol=1e-9)
