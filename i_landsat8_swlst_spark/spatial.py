@@ -463,6 +463,12 @@ def enrich_pixels(points: DataFrame, aoi: pd.DataFrame, stations: pd.DataFrame,
     """Cell-encode + broadcast R-tree PIP + kNN stations in a single
     mapInArrow pass.
 
+    Broadcast is the right physical strategy while the vector sides fit one
+    executor (the fixture regime); when the AOI/station layers outgrow a
+    broadcast, swap in the distributed variants — ``pip_join_cells`` /
+    ``knn_join_cells`` (cell-key equi joins, no broadcast, same row
+    semantics; parity-tested against these paths).
+
     The composable ops (with_cells, pip_join, knn_join) each pay a full
     JVM<->Python serialization of every pixel column; chained on the
     north-star flow that is 3 extra round trips of ~20 columns per pixel.
