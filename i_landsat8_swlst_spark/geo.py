@@ -187,6 +187,122 @@ def s2_cell_center(cell) -> tuple[np.ndarray, np.ndarray]:
     return np.degrees(np.arctan2(y, x)), np.degrees(np.arcsin(np.clip(z, -1, 1)))
 
 
+def _s2_cell_id_at(face: int, i0: int, j0: int, size: int) -> int:
+    """Cell id for the cell covering leaf-ij [i0, i0+size) x [j0, j0+size)."""
+    level = MAX_LEVEL - int(size).bit_length() + 1
+    leaf = s2_cell_from_face_ij(np.array([face]), np.array([i0 + size // 2]),
+                                np.array([j0 + size // 2]))[0]
+    u = np.uint64(leaf)
+    lsb = np.uint64(1) << np.uint64(2 * (MAX_LEVEL - level))
+    return int(np.int64((u & ~(lsb - np.uint64(1))) | lsb))
+
+
+def _s2_cell_lonlat_bbox(face: int, i0: int, j0: int, size: int,
+                         samples: int = 9) -> tuple[float, float, float, float, float]:
+    """Conservative lon/lat bbox of a cell from boundary samples.
+
+    Returns (lon_min, lat_min, lon_max, lat_max, pad): the true cell is
+    inside the bbox expanded by ``pad`` (pad = the largest gap between
+    adjacent boundary samples — the curve between two samples cannot wander
+    farther than their separation). A bbox spanning > 180 deg of longitude
+    (pole / antimeridian cell) reports pad = inf -> "intersects anything".
+    """
+    ts = np.linspace(0.0, 1.0, samples)
+    edge_i = np.concatenate([ts, ts, np.zeros(samples), np.ones(samples)])
+    edge_j = np.concatenate([np.zeros(samples), np.ones(samples), ts, ts])
+    s = st_to_uv((i0 + edge_i * size) / (1 << MAX_LEVEL))
+    t = st_to_uv((j0 + edge_j * size) / (1 << MAX_LEVEL))
+    x, y, z = face_uv_to_xyz(np.full(edge_i.shape, face), s, t)
+    lon = np.degrees(np.arctan2(y, x))
+    lat = np.degrees(np.arcsin(np.clip(z, -1, 1)))
+    lon_min, lon_max = float(lon.min()), float(lon.max())
+    lat_min, lat_max = float(lat.min()), float(lat.max())
+    if lon_max - lon_min > 180.0:  # antimeridian / pole: don't reason locally
+        return lon_min, lat_min, lon_max, lat_max, float("inf")
+    # largest adjacent-sample gap along any edge bounds the curve deviation
+    gaps = []
+    for e in range(4):
+        sl = slice(e * samples, (e + 1) * samples)
+        gaps.append(np.hypot(np.diff(lon[sl]), np.diff(lat[sl])).max())
+    return lon_min, lat_min, lon_max, lat_max, float(max(gaps))
+
+
+def s2_cover_bbox(lon0: float, lat0: float, lon1: float, lat1: float,
+                  level: int = 10, max_cells: int = 512) -> list[int]:
+    """S2 cell covering of a lon/lat rectangle (guaranteed superset).
+
+    Breadth-first descent from the 6 face cells: a cell whose conservative
+    bbox (boundary samples + curvature pad, _s2_cell_lonlat_bbox) misses the
+    rect is dropped; a cell whose padded bbox lies fully INSIDE the rect is
+    kept whole (multi-level covering, like the reference S2RegionCoverer);
+    otherwise it subdivides until ``level`` — or until the covering would
+    exceed ``max_cells``, at which point the remaining frontier is emitted
+    at its current (coarser) level. Supersets are the contract — callers
+    push the ranges to the scan and re-apply the exact lon/lat predicate as
+    the residual filter, so a coarser cover costs false-positive rows, never
+    correctness.
+
+    The rect must not cross the antimeridian (lon0 <= lon1).
+    """
+    if not (lon0 <= lon1 and lat0 <= lat1):
+        raise ValueError("need lon0 <= lon1 and lat0 <= lat1 (no antimeridian wrap)")
+    out: list[int] = []
+    frontier = [(f, 0, 0, 1 << MAX_LEVEL) for f in range(6)]
+    while frontier:
+        split: list[tuple[int, int, int, int]] = []
+        for face, i0, j0, size in frontier:
+            lvl = MAX_LEVEL - size.bit_length() + 1
+            if lvl >= 3:  # coarser cells: just descend (pole/wrap geometry)
+                lo_x, lo_y, hi_x, hi_y, pad = _s2_cell_lonlat_bbox(face, i0, j0, size)
+                if pad != float("inf"):
+                    if (lo_x - pad > lon1 or hi_x + pad < lon0
+                            or lo_y - pad > lat1 or hi_y + pad < lat0):
+                        continue  # definitely disjoint
+                    if (lo_x - pad >= lon0 and hi_x + pad <= lon1
+                            and lo_y - pad >= lat0 and hi_y + pad <= lat1):
+                        out.append(_s2_cell_id_at(face, i0, j0, size))
+                        continue  # definitely contained: keep whole
+            if lvl >= level:
+                out.append(_s2_cell_id_at(face, i0, j0, size))
+            else:
+                split.append((face, i0, j0, size))
+        if not split:
+            break
+        lvl = MAX_LEVEL - split[0][3].bit_length() + 1
+        if lvl >= 3 and len(out) + 4 * len(split) > max_cells:
+            out += [_s2_cell_id_at(*c) for c in split]  # budget: stay coarse
+            break
+        frontier = []
+        for face, i0, j0, size in split:
+            h = size // 2
+            frontier += [(face, i0, j0, h), (face, i0 + h, j0, h),
+                         (face, i0, j0 + h, h), (face, i0 + h, j0 + h, h)]
+    return sorted(out)
+
+
+def s2_ranges(cells: list[int]) -> list[tuple[int, int]]:
+    """Covering cells (any mix of levels) -> merged sorted [lo, hi] id
+    ranges. Any cell id at the SAME or DEEPER level that is spatially inside
+    a covering cell falls inside its range — the pushdown predicate for
+    tables laid out by io.write_spatial_sorted."""
+    spans = []
+    for c in cells:
+        u = np.uint64(np.int64(c))
+        lsb = np.uint64(u & (~u + np.uint64(1)))
+        spans.append((int(np.int64(u - lsb + np.uint64(1))),
+                      int(np.int64(u + lsb - np.uint64(1)))))
+    spans.sort()
+    merged = [spans[0]]
+    for lo, hi in spans[1:]:
+        # adjacent sibling ranges sit 2 apart (the gap id is a coarser-level
+        # cell that cannot appear in a fixed-deeper-level table) — merge it
+        if lo <= merged[-1][1] + 2:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
 # --------------------------------------------------------------------------
 # Hex grid (H3-role), axial coordinates over lon/lat degrees
 # --------------------------------------------------------------------------

@@ -67,6 +67,19 @@ def write_pixels_sink(io: TableIO, pixels_with_cells: DataFrame, target: str) ->
     io.write(df, target, partition_by=["cell_p"])
 
 
+def s2_range_predicate(ranges: list[tuple[int, int]], cell_col: str = "s2_cell"):
+    """OR-of-BETWEENs Column for an S2 covering's id ranges (geo.s2_ranges).
+
+    Each range is a plain comparable predicate, so the whole disjunction is
+    pushed to the parquet scan and prunes row groups/files laid out by
+    write_spatial_sorted. Callers re-apply the exact lon/lat predicate as
+    the residual filter (the covering is a superset by contract)."""
+    import functools
+
+    conds = [(F.col(cell_col) >= lo) & (F.col(cell_col) <= hi) for lo, hi in ranges]
+    return functools.reduce(lambda a, b: a | b, conds)
+
+
 def write_spatial_sorted(io: TableIO, df: DataFrame, target: str,
                          cell_col: str = "s2_cell", files: int = 16) -> None:
     """Spatial-locality layout: range-repartition + sort rows by the S2 cell

@@ -97,3 +97,37 @@ def test_hexcell_roundtrip_and_res():
     n7 = len(np.unique(geo.hexcell(lon, lat, 7)))
     n9 = len(np.unique(geo.hexcell(lon, lat, 9)))
     assert n9 >= n7
+
+
+def test_s2_cover_bbox_superset_and_budget():
+    """Every bbox point's cell id (same or deeper level) must land inside the
+    covering's merged id ranges; the covering respects max_cells."""
+    import numpy as np
+
+    from i_landsat8_swlst_spark import geo
+
+    rng = np.random.default_rng(7)
+    for _ in range(6):
+        lon0 = rng.uniform(-170, 160); lat0 = rng.uniform(-80, 70)
+        lon1 = lon0 + rng.uniform(0.1, 8); lat1 = lat0 + rng.uniform(0.1, 8)
+        for L in (8, 10, 12):
+            cells = geo.s2_cover_bbox(lon0, lat0, lon1, lat1, level=L)
+            assert 0 < len(cells) <= 512 + 3  # budget (+frontier slack)
+            ranges = geo.s2_ranges(cells)
+            assert all(ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1))
+            px = rng.uniform(lon0, lon1, 2000)
+            py = rng.uniform(lat0, lat1, 2000)
+            ids = geo.s2_cell(px, py, level=max(L, 12))
+            ok = np.zeros(len(ids), dtype=bool)
+            for lo, hi in ranges:
+                ok |= (ids >= lo) & (ids <= hi)
+            assert ok.all(), (lon0, lat0, lon1, lat1, L, int((~ok).sum()))
+
+
+def test_s2_cover_bbox_rejects_antimeridian_wrap():
+    import pytest
+
+    from i_landsat8_swlst_spark import geo
+
+    with pytest.raises(ValueError):
+        geo.s2_cover_bbox(170.0, 10.0, -170.0, 20.0, level=8)

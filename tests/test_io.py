@@ -94,3 +94,43 @@ def test_spatial_sorted_layout_prunes_s2_ranges(spark, tmp_path):
     assert set(r.pid for r in q.select("pid").collect()) == exp
     prunable = sum(1 for mn, mx in spans if mx < lo or mn > hi)
     assert prunable >= 1, spans
+
+
+def test_s2_cover_query_through_spatial_layout(spark, tmp_path):
+    """End to end: bbox -> s2_cover_bbox ranges -> pushed-down range
+    predicate on the spatial-sorted table -> residual lon/lat filter ==
+    exact bbox result."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import geo
+    from i_landsat8_swlst_spark.io import (
+        TableIO, s2_range_predicate, write_spatial_sorted,
+    )
+
+    rng = np.random.default_rng(19)
+    pdf = pd.DataFrame({
+        "pid": range(5000),
+        "lon": rng.uniform(0, 30, 5000),
+        "lat": rng.uniform(30, 60, 5000),
+        "lst_k": rng.uniform(260, 320, 5000),
+    })
+    pdf["s2_cell"] = geo.s2_cell(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), level=12)
+    io = TableIO(spark, "parquet")
+    target = str(tmp_path / "cover")
+    write_spatial_sorted(io, spark.createDataFrame(pdf), target, files=8)
+
+    bbox = (10.0, 40.0, 12.0, 42.0)
+    ranges = geo.s2_ranges(geo.s2_cover_bbox(*bbox, level=10))
+    back = io.read(target)
+    coarse = back.filter(s2_range_predicate(ranges))
+    plan = coarse._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "s2_cell" in plan
+    exact = coarse.filter(
+        (F.col("lon") >= bbox[0]) & (F.col("lon") <= bbox[2])
+        & (F.col("lat") >= bbox[1]) & (F.col("lat") <= bbox[3]))
+    exp = pdf[(pdf.lon.between(bbox[0], bbox[2])) & (pdf.lat.between(bbox[1], bbox[3]))]
+    assert set(r.pid for r in exact.select("pid").collect()) == set(exp.pid)
+    # the coarse prefilter admits a superset but FAR less than the table
+    n_coarse = coarse.count()
+    assert len(exp) <= n_coarse < len(pdf) * 0.2
