@@ -210,6 +210,16 @@ def _run_slice_groups(spark, enriched, pending, fps, done, out, out_dir,
             by_slice = {int(r["slice"]): r for r in stats}
             for s in group:
                 r = by_slice.get(s)
+                if r is None and fps[s][1] > 0:
+                    # A slice with input rows MUST appear in the post-write
+                    # stats (lst_tiles emits one row per input tile). Missing
+                    # means the write dropped it (e.g. a slice-column
+                    # recomputation bug) — recording rows_out=0/done would
+                    # mask the loss and resume would skip it forever.
+                    raise RuntimeError(
+                        f"slice {s} ({fps[s][1]} input rows) missing from "
+                        f"post-write stats of group {group}; refusing to "
+                        "record an empty 'done' manifest")
                 rec = {
                     "slice": s,
                     "status": "done",

@@ -553,6 +553,17 @@ def lst_tiles_halo(enriched: DataFrame, window: int = C.DEFAULT_CWV_WINDOW) -> D
                            and s.image_id is not None), None)
             if center is None:
                 return None  # halo strips for a tile outside the input (scene edge)
+            for s in acc:
+                # cross-tile analog of the per-tile mixed DN/BT guard in
+                # emit_strips: a neighbor strip whose bt flag differs from
+                # the center would mosaic raw DN counts into a Kelvin plane
+                # (or vice versa), silently corrupting CWV/LST at borders.
+                if bool(s.bt) != bool(center.bt):
+                    raise ValueError(
+                        f"mixed DN/BT strips for tile "
+                        f"({center.scene_id}, {center.rx}, {center.ry}): "
+                        f"center bt={bool(center.bt)} but strip from "
+                        f"d=({s.dx},{s.dy}) has bt={bool(s.bt)}")
             w, h = int(center.w), int(center.h)
             pad10 = np.full((h + 2 * r, w + 2 * r), np.nan)
             pad11 = np.full((h + 2 * r, w + 2 * r), np.nan)

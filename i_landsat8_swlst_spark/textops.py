@@ -431,7 +431,8 @@ def q_fingerprint(spark, sf_dir):
     """WITH chars AS (
          SELECT doc_id, substr(text, CAST(i AS INT) + 1, 1) AS ch
          FROM (SELECT doc_id, text,
-                      unnest(range(0, length(text))) AS i FROM documents) src
+                      unnest(range(0, length(text))) AS i FROM documents
+               WHERE length(text) > 0) src
        ),
        cnt AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
        folded AS (
@@ -450,9 +451,13 @@ def q_fingerprint(spark, sf_dir):
 def q_char_entropy(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     chars = (
-        d.select("doc_id",
-                 F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
-                 "text")
+        # length > 0 guard: Spark's sequence(1, 0) yields the DESCENDING
+        # [1, 0] (two rows) while DuckDB's range(0, 0) yields none — empty
+        # docs must be excluded identically on both engines.
+        d.filter(F.length("text") > 0)
+        .select("doc_id",
+                F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+                "text")
         .select("doc_id", F.expr("substr(text, i, 1)").alias("ch"))
     )
     cnt = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))

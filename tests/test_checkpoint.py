@@ -153,3 +153,26 @@ def test_pre_options_manifest_resumes_under_defaults(spark, fixture, tmp_path_fa
     r3 = checkpoint.run_lst_job(spark, scenes, meta, emis, out, n_slices=4,
                                 celsius=True)
     assert len(r3["executed"]) == 4 and not r3["skipped"]
+
+
+def test_missing_slice_in_stats_raises(spark, fixture, tmp_path_factory, monkeypatch):
+    """ADVICE r3 (low): if a written group's stats read is missing a slice
+    that HAD input rows, the job must raise instead of recording an empty
+    'done' manifest that resume would skip forever. Simulated by a doctored
+    lst_tiles that silently drops one slice's rows (a stand-in for a
+    slice-column recomputation bug)."""
+    scenes, meta, emis = fixture
+    out = str(tmp_path_factory.mktemp("missing_slice"))
+    real = checkpoint.pipeline.lst_tiles
+
+    def dropping(enriched, window=C.DEFAULT_CWV_WINDOW, celsius=False):
+        from pyspark.sql import functions as F
+        df = real(enriched, window=window, celsius=celsius)
+        return df.filter(checkpoint._slice_col(4) != 0)
+
+    monkeypatch.setattr(checkpoint.pipeline, "lst_tiles", dropping)
+    with pytest.raises(RuntimeError, match="missing from post-write stats"):
+        checkpoint.run_lst_job(spark, scenes, meta, emis, out, n_slices=4,
+                               window=5)
+    # the dropped slice must NOT have a 'done' manifest
+    assert 0 not in checkpoint.read_manifest(out)

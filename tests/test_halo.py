@@ -188,3 +188,29 @@ def test_halo_mixed_dn_bt_pair_raises(spark):
         pipeline.build_enriched(scenes, meta_df, emis), window=WINDOW)
     with pytest.raises(Exception, match="mixed DN/BT band pair"):
         halo.collect()
+
+
+def test_halo_cross_tile_mixed_bt_raises(spark):
+    """ADVICE r3 (low): a scene mixing f32bt tiles with DN tiles must fail
+    loudly in halo ASSEMBLY — each tile's own band pair is consistent (the
+    per-tile guard passes) but a neighbor strip of the other semantics would
+    silently mosaic DN counts into a Kelvin plane at the border."""
+    sid, w, h = "LC08_00000", 32, 32
+    rows, *_ = _bt_scene_rows(sid, 1, 1, w, h)   # tile (0,0): f32bt pair
+    t = synth.gen_tile(sid, 1, 0, w, h)          # tile (1,0): raw-DN pair
+    for band, dn in ((10, t["dn10"]), (11, t["dn11"])):
+        rows.append({
+            "image_id": synth.image_id(sid, band, 1, 0),
+            "bytes": codecs.encode_tile(dn, codecs.FMT_RAW),
+            "w": np.int32(w), "h": np.int32(h), "fmt": codecs.FMT_RAW,
+            "caption": synth.caption_for(sid, band, 1, 0, "2024-01-01",
+                                         t["landcover"]),
+            "phash": np.int64(0),
+        })
+    scenes = spark.createDataFrame(pd.DataFrame(rows))
+    meta_df = spark.createDataFrame(synth.scene_meta_pdf("tiny"))
+    emis = spark.createDataFrame(pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
+    halo = pipeline.lst_tiles_halo(
+        pipeline.build_enriched(scenes, meta_df, emis), window=WINDOW)
+    with pytest.raises(Exception, match="mixed DN/BT strips"):
+        halo.collect()

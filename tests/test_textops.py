@@ -186,3 +186,35 @@ def test_ngram_jaccard_df_cap_kills_hot_shingle(spark):
     # without the cap the hot key would explode: 20*19/2 candidate pairs
     uncapped = ngram_jaccard_pairs(docs, df_cap=10**9, threshold=0.0).toPandas()
     assert (uncapped[["doc_a", "doc_b"]].lt(100).all(axis=1)).sum() == 190
+
+
+# --------------------------------------------------------------------------
+# q_char_entropy empty-doc guard (ADVICE r3): Spark's sequence(1, 0) yields
+# the DESCENDING [1, 0] while DuckDB's range(0, 0) yields nothing — without
+# the length>0 filter the engines diverge on an empty document.
+# --------------------------------------------------------------------------
+
+
+def test_char_entropy_empty_doc_matches_duckdb(spark, tmp_path):
+    import duckdb
+
+    from i_landsat8_swlst_spark.relational import oracle_sql, queries
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["aabb", "", "zzzz"],
+        "lang_hint": ["en"] * 3,
+        "source": ["synth"] * 3,
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got = queries()["q_char_entropy"](spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.sql(oracle_sql()["q_char_entropy"]).df()
+    # the empty doc appears on NEITHER side
+    assert sorted(got["doc_id"]) == sorted(exp["doc_id"]) == [1, 3]
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    e = exp.sort_values("doc_id").reset_index(drop=True)
+    for c in ["n_chars", "alphabet", "entropy_bits"]:
+        assert list(g[c].astype(float)) == list(e[c].astype(float)), c
