@@ -7,11 +7,21 @@ observations". No shapely/rtree/h3 libs exist (SURVEY.md §0) — everything
 here is numpy + Arrow-batched UDFs; per-row Python is banned
 (BASELINE.json:15).
 
-Scale shape: the vector side (AOIs, stations) is small-and-broadcast; the
-raster side streams through mapInPandas. The R-tree is a 2-level STR packing
-(leaf groups of ~sqrt(m) polygons): point batches prune against group bboxes
-first, then member bboxes, then exact vectorized ray-casting — the classic
-broadcast-spatial-join plan (cf. Raptor, PAPERS.md).
+Scale shape, two regimes:
+
+- broadcast (pip_join / knn_join / enrich_pixels): the vector side (AOIs,
+  stations) fits one executor; the raster side streams through mapInPandas.
+  The R-tree is a 2-level STR packing (leaf groups of ~sqrt(m) polygons):
+  point batches prune against group bboxes first, then member bboxes, then
+  exact vectorized ray-casting — the classic broadcast-spatial-join plan
+  (cf. Raptor, PAPERS.md).
+- distributed (pip_join_cells / knn_join_cells / knn_join_cells_exact): the
+  vector side is a parquet-backed Spark DataFrame that never transits the
+  driver; candidates come from bare cell-key equi joins (ring vertex arrays
+  are never duplicated across a shuffle — BENCH/SPATIAL_SHUFFLE.md measures
+  the r3->r4 delta), verification is exact (salted-cogroup numpy ray-cast
+  or Catalyst HOF ray-cast; Catalyst haversine + window rank for kNN), and
+  kNN exactness escalates automatically until 100%% certified.
 """
 
 from __future__ import annotations
@@ -214,15 +224,36 @@ def pip_join(points: DataFrame, aoi: pd.DataFrame, lon_col: str = "lon",
     return points.mapInPandas(fn, out_schema)
 
 
-def aoi_cells_df(spark, aoi: pd.DataFrame, res: int = 8) -> DataFrame:
-    """AOI polygons exploded to their covering hex cells at ``res``.
+def aoi_rings_df(spark, aoi) -> DataFrame:
+    """Normalize the AOI side to ``(aoi_id, aoi_category, ring_x, ring_y)``
+    — one row per polygon, rings as two closed array<double> columns.
 
-    One row per (polygon, covering cell); the ring travels inline as two
-    array<double> columns so the verify stage needs no second join (the
-    standard space-for-shuffle trade — rings are tens of vertices). The
-    covering runs as a distributed mapInPandas over the polygon table, so
-    it scales with the AOI layer, not the driver.
+    Accepts either a Spark DataFrame (the scale path: parquet-backed, the
+    polygon layer NEVER materializes on the driver) in the fixture schema
+    (``ring: array<struct<lon,lat>>``) or already-flat ``ring_x/ring_y``
+    columns — the flatten + ring-closure run entirely in Catalyst; or a
+    pandas DataFrame (compat path: the caller already holds it driver-side).
     """
+    if isinstance(aoi, DataFrame):
+        cols = set(aoi.columns)
+        cat = (F.col("category") if "category" in cols
+               else F.col("aoi_category") if "aoi_category" in cols
+               else F.lit(None).cast("string"))
+        if "ring_x" in cols and "ring_y" in cols:
+            rx, ry = F.col("ring_x"), F.col("ring_y")
+        else:
+            rx = F.transform("ring", lambda p: p["lon"])
+            ry = F.transform("ring", lambda p: p["lat"])
+        closed = (F.element_at(rx, 1) == F.element_at(rx, -1)) & \
+                 (F.element_at(ry, 1) == F.element_at(ry, -1))
+        return aoi.select(
+            F.col("aoi_id"),
+            cat.alias("aoi_category"),
+            F.when(closed, rx).otherwise(F.concat(rx, F.array(F.element_at(rx, 1))))
+             .cast("array<double>").alias("ring_x"),
+            F.when(closed, ry).otherwise(F.concat(ry, F.array(F.element_at(ry, 1))))
+             .cast("array<double>").alias("ring_y"),
+        )
     rows = []
     for _, row in aoi.iterrows():
         ring = np.array([[p["lon"], p["lat"]] for p in row["ring"]], dtype=np.float64)
@@ -234,13 +265,26 @@ def aoi_cells_df(spark, aoi: pd.DataFrame, res: int = 8) -> DataFrame:
             "ring_x": ring[:, 0].tolist(),
             "ring_y": ring[:, 1].tolist(),
         })
-    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def aoi_cells_df(spark, aoi, res: int = 8) -> DataFrame:
+    """AOI polygons exploded to their covering hex cells at ``res`` —
+    ``(cell, aoi_id, aoi_category)``, one row per (polygon, covering cell).
+
+    Rings are deliberately NOT carried (round-3 shipped them inline per
+    covering cell, which duplicated every vertex array per candidate row
+    through the shuffle — the 100-TB bandwidth amplifier flagged in
+    VERDICT r3); the verify stage re-attaches them once per polygon via a
+    bare aoi_id equi join. The covering runs as a distributed mapInPandas
+    over the polygon table, so it scales with the AOI layer, not the driver.
+    """
+    rings = aoi if isinstance(aoi, DataFrame) and "ring_x" in aoi.columns \
+        else aoi_rings_df(spark, aoi)
     out_schema = StructType([
         StructField("cell", LongType()),
         StructField("aoi_id", StringType()),
         StructField("aoi_category", StringType()),
-        StructField("ring_x", ArrayType(DoubleType())),
-        StructField("ring_y", ArrayType(DoubleType())),
     ])
 
     def cover(batches):
@@ -255,56 +299,137 @@ def aoi_cells_df(spark, aoi: pd.DataFrame, res: int = 8) -> DataFrame:
                     "cell": cells,
                     "aoi_id": row["aoi_id"],
                     "aoi_category": row["aoi_category"],
-                    "ring_x": [row["ring_x"]] * len(cells),
-                    "ring_y": [row["ring_y"]] * len(cells),
                 }))
             if out:
                 yield pd.concat(out, ignore_index=True)
 
-    return sdf.mapInPandas(cover, out_schema)
+    return rings.mapInPandas(cover, out_schema)
 
 
-def pip_join_cells(points: DataFrame, aoi: pd.DataFrame, res: int = 8,
-                   lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+def _pip_inside_expr(lon_col: str, lat_col: str) -> F.Column:
+    """Catalyst even-odd ray cast + boundary test over (ring_x, ring_y).
+
+    Op-for-op mirror of the numpy ``points_in_ring`` kernel (same IEEE
+    order: ``x0 + ((py-y0)*(x1-x0))/(y1-y0)``, same clip/eps), evaluated
+    entirely JVM-side via higher-order functions — the ring arrays never
+    cross the Arrow boundary to Python. ``nullif`` guards the two divisions
+    for ANSI mode: a horizontal edge fails the straddle test anyway, so the
+    null comparison is dropped by ``filter`` exactly like numpy's masked
+    inf/nan lanes.
+    """
+    px, py = f"`{lon_col}`", f"`{lat_col}`"
+    edges = "sequence(0, size(ring_x) - 2)"
+    crossing = f"""
+      pmod(size(filter({edges}, i ->
+        ((ring_y[i] > {py}) != (ring_y[i+1] > {py}))
+        AND ({px} < ring_x[i] + (({py} - ring_y[i]) * (ring_x[i+1] - ring_x[i]))
+                                / nullif(ring_y[i+1] - ring_y[i], 0D))
+      )), 2) = 1"""
+    on_edge = f"""
+      exists(
+        transform(
+          transform({edges}, i -> named_struct(
+              'x0', ring_x[i], 'y0', ring_y[i],
+              'dx', ring_x[i+1] - ring_x[i], 'dy', ring_y[i+1] - ring_y[i])),
+          e -> named_struct(
+              't', least(greatest(
+                     (({px} - e.x0) * e.dx + ({py} - e.y0) * e.dy)
+                     / (CASE WHEN e.dx * e.dx + e.dy * e.dy = 0D THEN 1D
+                             ELSE e.dx * e.dx + e.dy * e.dy END), 0D), 1D),
+              'x0', e.x0, 'y0', e.y0, 'dx', e.dx, 'dy', e.dy)),
+        g -> ({px} - (g.x0 + g.t * g.dx)) * ({px} - (g.x0 + g.t * g.dx))
+           + ({py} - (g.y0 + g.t * g.dy)) * ({py} - (g.y0 + g.t * g.dy))
+           <= 1.0E-12D)"""
+    return F.expr(f"({crossing}) OR ({on_edge})")
+
+
+def pip_join_cells(points: DataFrame, aoi, res: int = 8,
+                   lon_col: str = "lon", lat_col: str = "lat",
+                   verify: str = "cogroup", salt: int = 16) -> DataFrame:
     """Distributed point-in-polygon join — NO broadcast of the polygon side.
 
     The scale path when the AOI layer outgrows a broadcast (millions of
     polygons at 100 TB): polygons explode into covering hex cells
     (aoi_cells_df), points encode to the same cell, candidates come from a
     plain EQUI join on the cell key (hash-partitionable; AQE/salting apply
-    like any other hot-key join), and a vectorized ray-cast verifies every
-    candidate pair exactly. Inner-join semantics, one row per
-    (point, containing polygon) — row-for-row identical to the broadcast
-    ``pip_join`` (pytest parity in tests/test_spatial.py); compose a
-    left_anti join on the caller's point key for left semantics.
+    like any other hot-key join), and an exact ray-cast verifies every
+    candidate pair. ``aoi`` may be a Spark DataFrame (parquet-backed, the
+    fixture ``ring`` schema or flat ``ring_x/ring_y``) — the polygon layer
+    never touches the driver — or a pandas DataFrame (compat).
+
+    Scale shape (reworked per VERDICT r3): candidates shuffle BARE —
+    ``(point cols, aoi_id)`` only; ring vertex arrays are never duplicated
+    across a shuffle. Two verify strategies (both row-identical to the
+    broadcast ``pip_join``; BENCH/SPATIAL_SHUFFLE.md measures the trade):
+
+    - ``verify="cogroup"`` (default): candidates cogroup with the ring
+      table on (aoi_id, salt) via applyInPandas — each ring crosses the
+      Arrow boundary once per salt bucket (not once per candidate row) and
+      the vectorized numpy ray-cast verifies the whole group. ``salt``
+      spreads a hot polygon's candidates over ``salt`` tasks (the grouped
+      analog of skew-join salting), bounding per-task memory.
+    - ``verify="jvm"``: rings attach by a second bare aoi_id equi join and
+      the ray-cast runs entirely in Catalyst (_pip_inside_expr) — zero
+      Python in the verify. Interpreted higher-order functions cost ~10x
+      numpy per (candidate x edge) on many-vertex rings, so this wins only
+      for small rings or when a cluster bans Python workers.
+
+    Inner-join semantics, one row per (point, containing polygon) —
+    row-for-row identical to the broadcast ``pip_join`` (pytest parity in
+    tests/test_spatial.py); compose a left_anti join on the caller's point
+    key for left semantics.
     """
     spark = points.sparkSession
-    cover = aoi_cells_df(spark, aoi, res=res)
+    rings = aoi_rings_df(spark, aoi)
+    cover = aoi_cells_df(spark, rings, res=res)
     pts = points.withColumn("cell", hexcell_udf(res)(F.col(lon_col), F.col(lat_col)))
     cand = pts.join(cover, on="cell", how="inner").drop("cell")
+    point_cols = [f.name for f in points.schema.fields]
 
+    if verify == "jvm":
+        cand = cand.join(rings.select("aoi_id", "ring_x", "ring_y"), on="aoi_id")
+        return (
+            cand.filter(_pip_inside_expr(lon_col, lat_col))
+            .select(*point_cols, "aoi_id", "aoi_category")
+        )
+    if verify != "cogroup":
+        raise ValueError(f"verify must be 'cogroup' or 'jvm', got {verify!r}")
+
+    out_cols = point_cols + ["aoi_id", "aoi_category"]
     out_schema = StructType(points.schema.fields + [
         StructField("aoi_id", StringType()),
         StructField("aoi_category", StringType()),
     ])
-    point_cols = [f.name for f in points.schema.fields]
+    cand = cand.withColumn(
+        "_pip_salt",
+        F.pmod(F.xxhash64(F.col(lon_col), F.col(lat_col)), F.lit(salt)).cast("int"))
+    rs = (rings.select("aoi_id", "ring_x", "ring_y")
+          .withColumn("_pip_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+          .withColumn("_pip_salt", F.col("_pip_salt").cast("int")))
 
-    def verify(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            keep = np.zeros(len(pdf), dtype=bool)
-            px = pdf[lon_col].to_numpy(np.float64)
-            py = pdf[lat_col].to_numpy(np.float64)
-            for aoi_id, idx in pdf.groupby("aoi_id").indices.items():
-                ring = np.column_stack((
-                    np.asarray(pdf["ring_x"].iloc[idx[0]], dtype=np.float64),
-                    np.asarray(pdf["ring_y"].iloc[idx[0]], dtype=np.float64),
-                ))
-                keep[idx] = points_in_ring(px[idx], py[idx], ring)
-            yield pdf.loc[keep, point_cols + ["aoi_id", "aoi_category"]]
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left) or not len(right):
+            return left.loc[[], out_cols] if len(left) else \
+                pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
+        ring = np.column_stack((
+            np.asarray(right["ring_x"].iloc[0], dtype=np.float64),
+            np.asarray(right["ring_y"].iloc[0], dtype=np.float64),
+        ))
+        px = left[lon_col].to_numpy(np.float64)
+        py = left[lat_col].to_numpy(np.float64)
+        keep = np.zeros(len(left), dtype=bool)
+        # block the (n x edges) broadcast to ~32 MB of doubles
+        step = max(1, 4_000_000 // max(1, ring.shape[0] - 1))
+        for i0 in range(0, len(left), step):
+            sl = slice(i0, i0 + step)
+            keep[sl] = points_in_ring(px[sl], py[sl], ring)
+        return left.loc[keep, out_cols]
 
-    return cand.mapInPandas(verify, out_schema)
+    return (
+        cand.groupBy("aoi_id", "_pip_salt")
+        .cogroup(rs.groupBy("aoi_id", "_pip_salt"))
+        .applyInPandas(fn, out_schema)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -373,38 +498,85 @@ def knn_join(points: DataFrame, stations: pd.DataFrame, k: int = 3,
     return points.mapInPandas(fn, out_schema)
 
 
-def knn_join_cells(points: DataFrame, stations: pd.DataFrame, k: int = 3,
+def _stations_df(spark, stations) -> tuple[DataFrame, bool]:
+    """Normalize the station side to a Spark DataFrame
+    ``(station_id, s_lon, s_lat[, cwv_obs])``.
+
+    A Spark DataFrame input (the scale path: parquet-backed, never
+    driver-resident) passes through with column renames only; a pandas
+    DataFrame (compat) goes through createDataFrame.
+    """
+    if isinstance(stations, DataFrame):
+        has_cwv = "cwv_obs" in stations.columns
+        st = stations.select(
+            "station_id",
+            F.col("lon").alias("s_lon"), F.col("lat").alias("s_lat"),
+            *(["cwv_obs"] if has_cwv else []))
+        return st, has_cwv
+    has_cwv = "cwv_obs" in stations
+    st = spark.createDataFrame(
+        stations[["station_id", "lon", "lat"] + (["cwv_obs"] if has_cwv else [])]
+    ).withColumnRenamed("lon", "s_lon").withColumnRenamed("lat", "s_lat")
+    return st, has_cwv
+
+
+def _haversine_col(lon_col: str, lat_col: str) -> F.Column:
+    p = math.pi / 180.0
+    dlat = (F.col("s_lat") - F.col(lat_col)) * p / 2.0
+    dlon = (F.col("s_lon") - F.col(lon_col)) * p / 2.0
+    a = F.sin(dlat) ** 2 + F.cos(F.col(lat_col) * p) * F.cos(F.col("s_lat") * p) * F.sin(dlon) ** 2
+    return 2.0 * EARTH_R_KM * F.asin(F.sqrt(F.least(F.greatest(a, F.lit(0.0)), F.lit(1.0))))
+
+
+def _knn_bound_km(lat_col: str, size: float, ring: int) -> F.Column:
+    """Lower bound (km) on the distance to any station OUTSIDE the hex
+    ``ring``-neighborhood of the point's cell.
+
+    Axial hex centers at grid distance d are >= 1.5*size*d apart in degree
+    space (tight along the (2,-1) direction; d along an axis gives
+    sqrt(3)*size*d). A station outside the ring is in a cell at grid
+    distance >= ring+1, so its degree distance is at least
+    ``1.5*size*(ring+1) - 2*circumradius = size*(1.5*ring - 0.5)``
+    (circumradius = edge = size). Converted at 110 km/deg with the latitude
+    contraction taken at the farthest reachable latitude.
+    """
+    p = math.pi / 180.0
+    deg = size * (1.5 * ring - 0.5)
+    return F.lit(deg * 110.0) * F.cos(
+        (F.abs(F.col(lat_col)) + 1.5 * (ring + 1) * size) * p)
+
+
+def knn_join_cells(points: DataFrame, stations, k: int = 3,
                    res: int = 7, key_cols: list[str] | None = None,
                    lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
     """Distributed kNN join — NO station broadcast (the scale path when the
-    station table outgrows a broadcast).
+    station table outgrows a broadcast). ``stations`` may be a Spark
+    DataFrame (parquet-backed, never driver-resident) or pandas (compat).
 
     Every station registers under its own hex cell plus its 6 axial
     neighbors (pure JVM bit arithmetic on the packed cell id: q±1 is
     cell±2^28, r±1 is cell±1); every point probes its single cell, so each
     (point, station-in-1-ring) pair surfaces exactly once from a plain EQUI
-    join on the cell key. Haversine + per-point rank run entirely in
-    Catalyst (one window on the point key).
+    join on the cell key. The join is LEFT from the point side: a point
+    whose 1-ring holds NO station is emitted once with NULL station columns
+    and ``knn_certified = false`` (ADVICE r3: silently dropping such points
+    left the recovery path unable to find them). Haversine + per-point rank
+    run entirely in Catalyst (one window on the point key).
 
-    Exactness certificate (``knn_certified``): the axial lattice spacing is
-    sqrt(3)*size in degree space and ring-2 cell centers are >= 3*size away,
-    so any station OUTSIDE the 1-ring is farther than
-    ``(3*size - 2*circumradius) = size`` degrees from the point — at least
-    ``size * 110 * cos(|lat| + 3*size)`` km. When the k-th candidate
-    distance is below that bound (and >= k candidates exist), the candidate
-    top-k IS the global top-k; rows failing the bound are emitted with
-    ``knn_certified = false`` (re-run those points at a coarser res or via
-    the broadcast ``knn_join``). Parity vs brute force on certified rows in
-    tests/test_spatial.py.
+    Exactness certificate (``knn_certified``): any station OUTSIDE the
+    1-ring is farther than ``size`` degrees from the point (_knn_bound_km
+    with ring=1). When the k-th candidate distance is below that bound (and
+    >= k candidates exist), the candidate top-k IS the global top-k; rows
+    failing the bound are emitted with ``knn_certified = false``. Use
+    ``knn_join_cells_exact`` for the automatic escalation loop that turns
+    this into a complete exact result. Parity vs brute force on certified
+    rows in tests/test_spatial.py.
     """
     if key_cols is None:
         raise ValueError("knn_join_cells needs key_cols identifying a point row")
     spark = points.sparkSession
     size = geo.HEX_EDGE_DEG[res]
-    st = spark.createDataFrame(
-        stations[["station_id", "lon", "lat"]
-                 + (["cwv_obs"] if "cwv_obs" in stations else [])]
-    ).withColumnRenamed("lon", "s_lon").withColumnRenamed("lat", "s_lat")
+    st, has_cwv = _stations_df(spark, stations)
     st = st.withColumn("own_cell", hexcell_udf(res)(F.col("s_lon"), F.col("s_lat")))
     Q = F.lit(1 << 28)
     one = F.lit(1)
@@ -415,14 +587,65 @@ def knn_join_cells(points: DataFrame, stations: pd.DataFrame, k: int = 3,
     ).drop("own_cell")
 
     pts = points.withColumn("cell", hexcell_udf(res)(F.col(lon_col), F.col(lat_col)))
-    cand = pts.join(st_cells, on="cell", how="inner").drop("cell")
+    cand = pts.join(st_cells, on="cell", how="left").drop("cell")
+    cand = cand.withColumn("station_km", _haversine_col(lon_col, lat_col))
 
-    p = math.pi / 180.0
-    dlat = (F.col("s_lat") - F.col(lat_col)) * p / 2.0
-    dlon = (F.col("s_lon") - F.col(lon_col)) * p / 2.0
-    a = F.sin(dlat) ** 2 + F.cos(F.col(lat_col) * p) * F.cos(F.col("s_lat") * p) * F.sin(dlon) ** 2
-    km = 2.0 * EARTH_R_KM * F.asin(F.sqrt(F.least(F.greatest(a, F.lit(0.0)), F.lit(1.0))))
-    cand = cand.withColumn("station_km", km)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("station_km").asc_nulls_last(), "station_id")
+    wall = Window.partitionBy(*key_cols)
+    ranked = (
+        cand.withColumn("station_rank", F.row_number().over(w).cast("int"))
+        # count(station_id) skips the NULL row a zero-candidate point gets
+        # from the left join
+        .withColumn("n_cand", F.count("station_id").over(wall))
+        .filter(F.col("station_rank") <= k)
+    )
+    wk = Window.partitionBy(*key_cols)
+    out = ranked.withColumn(
+        "knn_certified",
+        # for a zero-candidate point: 0 >= k is false, so false AND null
+        # short-circuits to false (never null)
+        (F.col("n_cand") >= k)
+        & (F.max("station_km").over(wk) < _knn_bound_km(lat_col, size, 1)),
+    )
+    cols = ([f.name for f in points.schema.fields]
+            + ["station_id", "station_rank", "station_km"]
+            + (["cwv_obs"] if has_cwv else [])
+            + ["knn_certified"])
+    if has_cwv:
+        out = out.withColumnRenamed("cwv_obs", "station_cwv")
+        cols = [("station_cwv" if x == "cwv_obs" else x) for x in cols]
+    return out.select(*cols)
+
+
+def _hex_ring_offsets(ring: int) -> list[int]:
+    """Packed-id deltas for every cell within hex grid distance <= ring
+    (JVM-side arithmetic: +dq is +2^28, +dr is +1 on the packed id)."""
+    return [dq * (1 << 28) + dr
+            for dq in range(-ring, ring + 1)
+            for dr in range(-ring, ring + 1)
+            if (abs(dq) + abs(dr) + abs(dq + dr)) // 2 <= ring]
+
+
+def _knn_probe_ring(points: DataFrame, st: DataFrame, has_cwv: bool, k: int,
+                    res: int, ring: int, key_cols: list[str],
+                    lon_col: str, lat_col: str) -> DataFrame:
+    """One escalation round of the exact kNN: the POINT side explodes to all
+    cells within hex distance <= ``ring``; stations register under their own
+    cell only. The fan-out (3*ring^2+3*ring+1 cells) lands on the pending
+    point subset — small by construction — while the full station table is
+    only re-keyed, never exploded. Inner equi join; points with too-few or
+    too-far candidates simply stay uncertified for the next round.
+    """
+    size = geo.HEX_EDGE_DEG[res]
+    stc = st.withColumn("cell", hexcell_udf(res)(F.col("s_lon"), F.col("s_lat")))
+    own = hexcell_udf(res)(F.col(lon_col), F.col(lat_col))
+    pts = points.withColumn(
+        "cell", F.explode(F.array(*[own + F.lit(d) for d in _hex_ring_offsets(ring)])))
+    cand = (pts.join(stc, on="cell", how="inner").drop("cell")
+            .withColumn("station_km", _haversine_col(lon_col, lat_col)))
 
     from pyspark.sql import Window
 
@@ -433,23 +656,89 @@ def knn_join_cells(points: DataFrame, stations: pd.DataFrame, k: int = 3,
         .withColumn("n_cand", F.count(F.lit(1)).over(wall))
         .filter(F.col("station_rank") <= k)
     )
-    bound_km = (
-        F.lit(size * 110.0)
-        * F.cos((F.abs(F.col(lat_col)) + 3.0 * size) * p)
-    )
-    wk = Window.partitionBy(*key_cols)
     out = ranked.withColumn(
         "knn_certified",
-        (F.col("n_cand") >= k) & (F.max("station_km").over(wk) < bound_km),
+        (F.col("n_cand") >= k)
+        & (F.max("station_km").over(wall) < _knn_bound_km(lat_col, size, ring)),
     )
     cols = ([f.name for f in points.schema.fields]
             + ["station_id", "station_rank", "station_km"]
-            + (["cwv_obs"] if "cwv_obs" in stations else [])
-            + ["knn_certified"])
-    if "cwv_obs" in stations:
+            + (["cwv_obs"] if has_cwv else []) + ["knn_certified"])
+    if has_cwv:
         out = out.withColumnRenamed("cwv_obs", "station_cwv")
         cols = [("station_cwv" if x == "cwv_obs" else x) for x in cols]
     return out.select(*cols)
+
+
+def knn_join_cells_exact(points: DataFrame, stations, k: int = 3,
+                         res: int = 7, key_cols: list[str] | None = None,
+                         lon_col: str = "lon", lat_col: str = "lat",
+                         max_ring: int = 8) -> DataFrame:
+    """Complete exact distributed kNN: ``knn_join_cells`` plus the automatic
+    escalation loop for uncertified points (VERDICT r3 item 2).
+
+    Round 0 is the production 1-ring join over ALL points. Points whose
+    certificate fails (clustered stations, sparse cells, zero candidates)
+    re-run with point-side ring expansion (ring = 2, 4, ... ``max_ring``) —
+    the quadratic cell fan-out lands only on the shrinking pending subset.
+    Anything still uncertified (pathological density, polar latitudes where
+    the degree bound collapses) falls back to an exact rank over the FULL
+    station table with the PENDING POINTS as the broadcast side — tiny by
+    then, so the station table still never transits the driver. Every
+    returned row has ``knn_certified = true`` and the result equals the
+    brute-force top-k (tests/test_spatial.py, adversarially clustered
+    fixture).
+    """
+    if key_cols is None:
+        raise ValueError("knn_join_cells_exact needs key_cols")
+    spark = points.sparkSession
+    st, has_cwv = _stations_df(spark, stations)
+
+    rounds: list[DataFrame] = []
+    # persist: the driver loop forces each frame once for loop control and
+    # the final union re-reads it; certified outputs and pending sets shrink
+    # every round, so the cached footprint is bounded by round 0's result
+    out0 = knn_join_cells(points, stations, k=k, res=res, key_cols=key_cols,
+                          lon_col=lon_col, lat_col=lat_col).persist()
+    rounds.append(out0.filter(F.col("knn_certified")))
+    pending = (points.join(
+        out0.filter(~F.col("knn_certified")).select(*key_cols).distinct(),
+        on=key_cols, how="left_semi").persist())
+    n_pending = pending.count()
+
+    ring = 2
+    while ring <= max_ring and n_pending > 0:
+        got = _knn_probe_ring(pending, st, has_cwv, k, res, ring,
+                              key_cols, lon_col, lat_col).persist()
+        rounds.append(got.filter(F.col("knn_certified")))
+        pending = (pending.join(
+            got.filter(F.col("knn_certified")).select(*key_cols).distinct(),
+            on=key_cols, how="left_anti").persist())
+        n_pending = pending.count()
+        ring *= 2
+    if n_pending > 0:
+        # exact fallback: broadcast the (tiny) pending POINT side against
+        # the full distributed station table — all stations considered, so
+        # the result is exact by construction
+        from pyspark.sql import Window
+
+        cand = (F.broadcast(pending).crossJoin(st)
+                .withColumn("station_km", _haversine_col(lon_col, lat_col)))
+        w = Window.partitionBy(*key_cols).orderBy("station_km", "station_id")
+        fb = (cand.withColumn("station_rank", F.row_number().over(w).cast("int"))
+              .filter(F.col("station_rank") <= k)
+              .withColumn("knn_certified", F.lit(True)))
+        cols = ([f.name for f in points.schema.fields]
+                + ["station_id", "station_rank", "station_km"]
+                + (["cwv_obs"] if has_cwv else []) + ["knn_certified"])
+        if has_cwv:
+            fb = fb.withColumnRenamed("cwv_obs", "station_cwv")
+            cols = [("station_cwv" if x == "cwv_obs" else x) for x in cols]
+        rounds.append(fb.select(*cols))
+    result = rounds[0]
+    for r_df in rounds[1:]:
+        result = result.unionByName(r_df)
+    return result
 
 
 # --------------------------------------------------------------------------

@@ -186,12 +186,14 @@ def test_pip_join_cells_matches_broadcast_pip(spark):
     points = spark.createDataFrame(pts)
 
     a = pip_join(points, aoi, how="inner").select("pid", "aoi_id").toPandas()
+    sa = set(map(tuple, a.to_numpy()))
     for res in (7, 8):
-        b = pip_join_cells(points, aoi, res=res).select("pid", "aoi_id").toPandas()
-        sa = set(map(tuple, a.to_numpy()))
-        sb = set(map(tuple, b.to_numpy()))
-        assert sa == sb, (res, len(sa), len(sb),
-                          list(sa - sb)[:3], list(sb - sa)[:3])
+        for verify in ("cogroup", "jvm"):
+            b = pip_join_cells(points, aoi, res=res,
+                               verify=verify).select("pid", "aoi_id").toPandas()
+            sb = set(map(tuple, b.to_numpy()))
+            assert sa == sb, (res, verify, len(sa), len(sb),
+                              list(sa - sb)[:3], list(sb - sa)[:3])
     assert len(a) > 0 and a["aoi_id"].nunique() > 1
 
 
@@ -251,3 +253,164 @@ def test_knn_join_cells_certified_matches_bruteforce(spark):
         assert list(grp.station_id) == list(stations.station_id.iloc[brute]), pid
         np.testing.assert_allclose(grp.station_km.to_numpy(),
                                    np.sort(d[pid])[:3], rtol=1e-9)
+
+
+# --------------------------------------------------------------------------
+# Round 4: DataFrame big-side inputs (VERDICT r3 item 1), zero-candidate
+# emission (ADVICE r3 medium), and the exact escalation loop (item 2).
+# --------------------------------------------------------------------------
+
+
+def test_pip_join_cells_dataframe_aoi_never_on_driver(spark, tmp_path):
+    """The scale-path overload: the AOI layer arrives as a parquet-backed
+    Spark DataFrame and must produce rows identical to the pandas-compat
+    path — with NO driver materialization and NO Python hop in the verify
+    (the plan carries exactly one Arrow python eval: the point cell-encode
+    pandas UDF; the ray-cast runs in Catalyst)."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import synth
+    from i_landsat8_swlst_spark.spatial import pip_join, pip_join_cells
+
+    rng = np.random.default_rng(41)
+    aoi = synth.aoi_pdf("tiny")
+    spark.createDataFrame(aoi).write.mode("overwrite").parquet(
+        str(tmp_path / "aoi"))
+    aoi_df = spark.read.parquet(str(tmp_path / "aoi"))
+
+    allv = [p for ring in aoi["ring"] for p in ring]
+    lons = np.array([p["lon"] for p in allv]); lats = np.array([p["lat"] for p in allv])
+    pts = pd.DataFrame({
+        "pid": range(2000),
+        "lon": rng.uniform(lons.min() - 0.3, lons.max() + 0.3, 2000),
+        "lat": rng.uniform(lats.min() - 0.3, lats.max() + 0.3, 2000),
+    })
+    points = spark.createDataFrame(pts)
+
+    exp = pip_join(points, aoi, how="inner").select("pid", "aoi_id").toPandas()
+    se = set(map(tuple, exp.to_numpy()))
+    assert len(exp) > 0
+    for verify in ("cogroup", "jvm"):
+        got = pip_join_cells(points, aoi_df, res=8, verify=verify)
+        g = got.select("pid", "aoi_id").toPandas()
+        assert set(map(tuple, g.to_numpy())) == se, verify
+
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        # (the candidate-side shuffle carries no ring arrays in either mode;
+        # plan text doesn't list Exchange output columns, so the byte-level
+        # claim is measured instead — BENCH/SPATIAL_SHUFFLE.md)
+        if verify == "jvm":
+            # only Python hop is the per-POLYGON covering (aoi_cells_df):
+            # the per-candidate verify is entirely JVM-side
+            assert plan.count("MapInPandas") == 1
+            assert "FlatMapCoGroupsInPandas" not in plan
+        else:
+            # cogroup verify: rings meet candidates once per (polygon, salt)
+            assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_knn_join_cells_dataframe_stations(spark, tmp_path):
+    """Station side as a parquet-backed Spark DataFrame: identical rows to
+    the pandas-compat path."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark.spatial import knn_join_cells
+
+    rng = np.random.default_rng(42)
+    stations = pd.DataFrame({
+        "station_id": [f"s{i:04d}" for i in range(500)],
+        "lon": rng.uniform(10.0, 10.2, 500),
+        "lat": rng.uniform(40.0, 40.2, 500),
+        "cwv_obs": rng.uniform(0, 6.3, 500),
+    })
+    spark.createDataFrame(stations).write.mode("overwrite").parquet(
+        str(tmp_path / "st"))
+    st_df = spark.read.parquet(str(tmp_path / "st"))
+    pts = spark.createDataFrame(pd.DataFrame({
+        "pid": range(100),
+        "lon": rng.uniform(10.02, 10.18, 100),
+        "lat": rng.uniform(40.02, 40.18, 100),
+    }))
+    a = knn_join_cells(pts, stations, k=3, res=7, key_cols=["pid"]).toPandas()
+    b = knn_join_cells(pts, st_df, k=3, res=7, key_cols=["pid"]).toPandas()
+    key = ["pid", "station_rank"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_knn_join_cells_emits_zero_candidate_points(spark):
+    """ADVICE r3 (medium): a point whose cell 1-ring holds NO station must
+    surface once with NULL station columns and knn_certified=false — not
+    silently vanish."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark.spatial import knn_join_cells
+
+    stations = pd.DataFrame({
+        "station_id": ["lonely"],
+        "lon": [10.0], "lat": [40.0], "cwv_obs": [3.0],
+    })
+    # point ~100 km away: far outside the res-7 1-ring of the station
+    pts = spark.createDataFrame(pd.DataFrame({
+        "pid": [0, 1],
+        "lon": [10.0, 11.0], "lat": [40.0, 41.0],
+    }))
+    out = knn_join_cells(pts, stations, k=1, res=7, key_cols=["pid"]).toPandas()
+    assert sorted(out["pid"]) == [0, 1]          # nobody vanishes
+    far = out[out.pid == 1].iloc[0]
+    assert far["station_id"] is None or pd.isna(far["station_id"])
+    assert not far["knn_certified"]
+    near = out[out.pid == 0].iloc[0]
+    assert near["station_id"] == "lonely"
+
+
+def test_knn_join_cells_exact_completes_and_matches_bruteforce(spark):
+    """VERDICT r3 item 2: adversarially clustered stations leave round-0
+    uncertified points (including zero-candidate ones); the escalation loop
+    must return a COMPLETE result — every input point, k rows each, 100%
+    certified — equal to brute force."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark.spatial import (haversine_km, knn_join_cells,
+                                                knn_join_cells_exact)
+
+    rng = np.random.default_rng(43)
+    # stations in ONE tight cluster: points far from it have empty 1-rings
+    stations = pd.DataFrame({
+        "station_id": [f"s{i:03d}" for i in range(40)],
+        "lon": rng.uniform(10.00, 10.02, 40),
+        "lat": rng.uniform(40.00, 40.02, 40),
+        "cwv_obs": rng.uniform(0, 6.3, 40),
+    })
+    # points sprayed over a much wider box (up to ~50 km out)
+    pts = pd.DataFrame({
+        "pid": range(120),
+        "lon": rng.uniform(9.8, 10.4, 120),
+        "lat": rng.uniform(39.8, 40.4, 120),
+    })
+    points = spark.createDataFrame(pts)
+    k = 3
+
+    # the adversarial premise holds: round 0 leaves uncertified points
+    r0 = knn_join_cells(points, stations, k=k, res=7, key_cols=["pid"]).toPandas()
+    assert (~r0.knn_certified).any()
+
+    out = knn_join_cells_exact(points, stations, k=k, res=7,
+                               key_cols=["pid"]).toPandas()
+    assert out.knn_certified.all()
+    assert sorted(out.pid.unique()) == list(range(120))
+    assert (out.groupby("pid").size() == k).all()
+
+    d = haversine_km(pts.lon.to_numpy()[:, None], pts.lat.to_numpy()[:, None],
+                     stations.lon.to_numpy()[None, :], stations.lat.to_numpy()[None, :])
+    for pid, grp in out.groupby("pid"):
+        grp = grp.sort_values("station_rank")
+        brute = np.argsort(d[pid] + np.arange(len(stations)) * 1e-12)[:k]
+        assert list(grp.station_id) == list(stations.station_id.iloc[brute]), pid
+        np.testing.assert_allclose(grp.station_km.to_numpy(),
+                                   np.sort(d[pid])[:k], rtol=1e-9)
