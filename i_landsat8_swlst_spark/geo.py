@@ -198,14 +198,31 @@ def _s2_cell_id_at(face: int, i0: int, j0: int, size: int) -> int:
 
 
 def _s2_cell_lonlat_bbox(face: int, i0: int, j0: int, size: int,
-                         samples: int = 9) -> tuple[float, float, float, float, float]:
+                         samples: int = 17) -> tuple[float, float, float, float, float]:
     """Conservative lon/lat bbox of a cell from boundary samples.
 
     Returns (lon_min, lat_min, lon_max, lat_max, pad): the true cell is
-    inside the bbox expanded by ``pad`` (pad = the largest gap between
-    adjacent boundary samples — the curve between two samples cannot wander
-    farther than their separation). A bbox spanning > 180 deg of longitude
-    (pole / antimeridian cell) reports pad = inf -> "intersects anything".
+    inside the bbox expanded by ``pad``.
+
+    Why boundary sampling suffices (ADVICE r3): over a cell's (u, v)
+    rectangle, lon and lat take their extrema ON the boundary —
+    - equatorial faces: lon is a monotone function of exactly one of u/v
+      (e.g. face 0: lon = atan2(u, 1)), and lat = f(z) with z strictly
+      monotone in one coordinate (face 0: dz/dv = (1+u^2)/n^3 > 0), so both
+      extremize on edges (possibly at an edge-interior point like u = 0,
+      which the along-edge sampling covers);
+    - polar faces: z = +-1/n extremizes at the rectangle's nearest/farthest
+      point from (u,v)=(0,0) — on the boundary when the pole is outside the
+      cell; lon's level sets are rays through the origin, extremizing on the
+      boundary under the same condition. A cell containing (or touching)
+      the pole wraps the full lon circle, which the >180-span check below
+      converts to pad = inf ("intersects anything").
+    So the only gap left is between adjacent samples along an edge: ``pad``
+    is TWICE the largest adjacent-sample gap (the curves have low curvature
+    at 17 samples/edge, so arc length ~ chord; the factor 2 is margin),
+    property-tested across high latitudes, face corners and the
+    antimeridian in tests/test_geo.py. A bbox spanning > 180 deg of
+    longitude (pole / antimeridian cell) reports pad = inf.
     """
     ts = np.linspace(0.0, 1.0, samples)
     edge_i = np.concatenate([ts, ts, np.zeros(samples), np.ones(samples)])
@@ -219,12 +236,11 @@ def _s2_cell_lonlat_bbox(face: int, i0: int, j0: int, size: int,
     lat_min, lat_max = float(lat.min()), float(lat.max())
     if lon_max - lon_min > 180.0:  # antimeridian / pole: don't reason locally
         return lon_min, lat_min, lon_max, lat_max, float("inf")
-    # largest adjacent-sample gap along any edge bounds the curve deviation
     gaps = []
     for e in range(4):
         sl = slice(e * samples, (e + 1) * samples)
         gaps.append(np.hypot(np.diff(lon[sl]), np.diff(lat[sl])).max())
-    return lon_min, lat_min, lon_max, lat_max, float(max(gaps))
+    return lon_min, lat_min, lon_max, lat_max, 2.0 * float(max(gaps))
 
 
 def s2_cover_bbox(lon0: float, lat0: float, lon1: float, lat1: float,
@@ -242,10 +258,18 @@ def s2_cover_bbox(lon0: float, lat0: float, lon1: float, lat1: float,
     the residual filter, so a coarser cover costs false-positive rows, never
     correctness.
 
-    The rect must not cross the antimeridian (lon0 <= lon1).
+    ``lon0 > lon1`` means the rect crosses the antimeridian (Pacific-style
+    bbox): it is split internally into [lon0, 180] and [-180, lon1] and the
+    two coverings are unioned (VERDICT r3 item 5 — matches the reference
+    S2RegionCoverer's wrap handling; each half gets the full ``max_cells``
+    budget, so a wrap cover may reach 2x the budget).
     """
-    if not (lon0 <= lon1 and lat0 <= lat1):
-        raise ValueError("need lon0 <= lon1 and lat0 <= lat1 (no antimeridian wrap)")
+    if not lat0 <= lat1:
+        raise ValueError("need lat0 <= lat1")
+    if lon0 > lon1:
+        west = s2_cover_bbox(lon0, lat0, 180.0, lat1, level, max_cells)
+        east = s2_cover_bbox(-180.0, lat0, lon1, lat1, level, max_cells)
+        return sorted(set(west) | set(east))
     out: list[int] = []
     frontier = [(f, 0, 0, 1 << MAX_LEVEL) for f in range(6)]
     while frontier:

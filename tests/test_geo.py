@@ -99,35 +99,86 @@ def test_hexcell_roundtrip_and_res():
     assert n9 >= n7
 
 
+def _assert_cover_superset(geo, np, rng, lon0, lat0, lon1, lat1, L,
+                           budget_slack=1):
+    """Shared oracle: every bbox point's cell id (same or deeper level) must
+    land inside the covering's merged id ranges. lon0 > lon1 = wrap rect."""
+    cells = geo.s2_cover_bbox(lon0, lat0, lon1, lat1, level=L)
+    assert 0 < len(cells) <= budget_slack * 512 + 6  # budget (+frontier slack)
+    ranges = geo.s2_ranges(cells)
+    assert all(ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1))
+    if lon0 <= lon1:
+        px = rng.uniform(lon0, lon1, 2000)
+    else:  # antimeridian wrap: sample both sides, biased to hug +-180
+        span = (180.0 - lon0) + (lon1 + 180.0)
+        off = np.concatenate([rng.uniform(0, span, 1500),
+                              rng.uniform(0, min(span, 0.02), 500)])
+        px = lon0 + off
+        px = np.where(px > 180.0, px - 360.0, px)
+    py = rng.uniform(lat0, lat1, 2000)
+    ids = geo.s2_cell(px, py, level=max(L, 12))
+    ok = np.zeros(len(ids), dtype=bool)
+    for lo, hi in ranges:
+        ok |= (ids >= lo) & (ids <= hi)
+    assert ok.all(), (lon0, lat0, lon1, lat1, L, int((~ok).sum()))
+
+
 def test_s2_cover_bbox_superset_and_budget():
-    """Every bbox point's cell id (same or deeper level) must land inside the
-    covering's merged id ranges; the covering respects max_cells."""
     import numpy as np
 
     from i_landsat8_swlst_spark import geo
 
     rng = np.random.default_rng(7)
-    for _ in range(6):
+    for _ in range(12):
         lon0 = rng.uniform(-170, 160); lat0 = rng.uniform(-80, 70)
         lon1 = lon0 + rng.uniform(0.1, 8); lat1 = lat0 + rng.uniform(0.1, 8)
         for L in (8, 10, 12):
-            cells = geo.s2_cover_bbox(lon0, lat0, lon1, lat1, level=L)
-            assert 0 < len(cells) <= 512 + 3  # budget (+frontier slack)
-            ranges = geo.s2_ranges(cells)
-            assert all(ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1))
-            px = rng.uniform(lon0, lon1, 2000)
-            py = rng.uniform(lat0, lat1, 2000)
-            ids = geo.s2_cell(px, py, level=max(L, 12))
-            ok = np.zeros(len(ids), dtype=bool)
-            for lo, hi in ranges:
-                ok |= (ids >= lo) & (ids <= hi)
-            assert ok.all(), (lon0, lat0, lon1, lat1, L, int((~ok).sum()))
+            _assert_cover_superset(geo, np, rng, lon0, lat0, lon1, lat1, L)
 
 
-def test_s2_cover_bbox_rejects_antimeridian_wrap():
-    import pytest
+def test_s2_cover_bbox_superset_high_lat_and_face_corners():
+    """ADVICE r3: the conservativeness pad must hold where the uv->lonlat
+    projection distorts most — high latitudes (polar faces) and cube-face
+    corners (lat ~ +-35.26 at lon 45+90k)."""
+    import numpy as np
 
     from i_landsat8_swlst_spark import geo
 
+    rng = np.random.default_rng(11)
+    # high latitude, both hemispheres, incl. narrow + wide rects
+    for lat_c in (62.0, 75.0, 84.0, -70.0, -83.0):
+        for _ in range(3):
+            lon0 = rng.uniform(-170, 160); lat0 = lat_c + rng.uniform(-1, 0)
+            lon1 = lon0 + rng.uniform(0.05, 6); lat1 = lat0 + rng.uniform(0.05, 1.5)
+            _assert_cover_superset(geo, np, rng, lon0, lat0, lon1, lat1, 10)
+    # face corners of the cube: (45 + 90k, +-atan(1/sqrt(2)) ~ 35.264)
+    corner_lat = float(np.degrees(np.arctan(1 / np.sqrt(2))))
+    for k in range(4):
+        for sgn in (1.0, -1.0):
+            clon = -135.0 + 90.0 * k
+            for _ in range(2):
+                lon0 = clon + rng.uniform(-0.6, 0.1)
+                lat0 = sgn * corner_lat + rng.uniform(-0.6, 0.1)
+                _assert_cover_superset(geo, np, rng, lon0, lat0,
+                                       lon0 + rng.uniform(0.2, 1.0),
+                                       lat0 + rng.uniform(0.2, 1.0), 10)
+
+
+def test_s2_cover_bbox_antimeridian_wrap():
+    """VERDICT r3 item 5: a Pacific-crossing bbox (lon0 > lon1) is split
+    internally and the union covers points on BOTH sides of +-180."""
+    import numpy as np
+
+    from i_landsat8_swlst_spark import geo
+
+    rng = np.random.default_rng(13)
+    cases = [(170.0, 10.0, -170.0, 20.0), (179.5, -5.0, -179.5, 5.0),
+             (150.0, -45.0, -150.0, -35.0), (178.0, 60.0, -178.0, 70.0)]
+    for lon0, lat0, lon1, lat1 in cases:
+        for L in (8, 10):
+            _assert_cover_superset(geo, np, rng, lon0, lat0, lon1, lat1, L,
+                                   budget_slack=2)
+    # still rejects a genuinely invalid rect
+    import pytest
     with pytest.raises(ValueError):
-        geo.s2_cover_bbox(170.0, 10.0, -170.0, 20.0, level=8)
+        geo.s2_cover_bbox(0.0, 20.0, 10.0, 10.0, level=8)
