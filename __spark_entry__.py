@@ -414,22 +414,21 @@ def _q_stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   _ATTEST_LAST  := (n_twins - 50) stable, unchanged twins that DID get a
 #                    row this round (they can safely sit out the next one).
 _ATTEST_FIRST = [
-    # demoted in r02 (newest row is r01) -> re-attest first in r03
-    "q_sort_limit", "q_null_logic", "q_set_ops", "q_intersect",
-    "q_except_all", "q_distinct_agg", "q_date_math", "q_string_funcs",
-    "q_json_extract", "q_histogram", "q_pivot", "q_array_agg",
-    "q_scalar_subquery", "q_explode_words",
-    # changed this round -> re-attest (df-capped candidates; md5-fold twin)
-    "q_ngram_jaccard", "q_simhash64",
-    # new twins this round (entropy + repetition quality signals)
-    "q_char_entropy", "q_repetition_ratio",
-]
-_ATTEST_LAST = [
-    # green in r02, unchanged this round; 67 twins - 50 window = 17 demoted
+    # demoted in r03 (newest row is r02) -> re-attest first in r04
     "q_token_stats", "q_lang_id", "q_quality_score", "q_fingerprint",
     "q_bpe_tokens", "q_winnow_fingerprint", "q_tfidf", "q_regr_manual",
     "q_grouped_map", "q_agg_stats", "q_rollup", "q_cube", "q_percentile",
     "q_semi_join", "q_anti_join", "q_caption_roundtrip", "q_salted_agg",
+    # changed this round -> re-attest (empty-doc guard on both engines)
+    "q_char_entropy",
+]
+_ATTEST_LAST = [
+    # green in r03, unchanged this round; 67 twins - 50 window = 17 demoted
+    "q_sort_limit", "q_null_logic", "q_set_ops", "q_intersect",
+    "q_except_all", "q_distinct_agg", "q_date_math", "q_string_funcs",
+    "q_json_extract", "q_histogram", "q_pivot", "q_array_agg",
+    "q_scalar_subquery", "q_explode_words",
+    "q_ngram_jaccard", "q_simhash64", "q_repetition_ratio",
 ]
 
 

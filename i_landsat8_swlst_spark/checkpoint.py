@@ -49,16 +49,38 @@ def read_manifest(out_dir: str) -> dict[int, dict]:
     return out
 
 
-def slice_fingerprints(enriched: DataFrame, n_slices: int) -> dict[int, int]:
-    """Lineage fingerprint per slice: bit-XOR of xxhash64(image_id) — order-
-    independent, metadata-only (bytes never read thanks to column pruning)."""
+def slice_fingerprints(enriched: DataFrame, n_slices: int) -> dict[int, tuple]:
+    """Lineage fingerprint per slice: (bit-XOR of xxhash64(image_id), rows,
+    pixels) — order-independent, metadata-only (array bytes never read
+    thanks to column pruning; w/h are scalar columns)."""
     rows = (
         enriched.groupBy(_slice_col(n_slices).alias("slice"))
         .agg(F.expr("bit_xor(xxhash64(image_id_b10))").alias("fp"),
-             F.count(F.lit(1)).alias("n"))
+             F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("w").cast("long") * F.col("h")).alias("px"))
         .collect()
     )
-    return {r["slice"]: (int(r["fp"]), int(r["n"])) for r in rows}
+    return {r["slice"]: (int(r["fp"]), int(r["n"]), int(r["px"])) for r in rows}
+
+
+# Auto slice-batch target (VERDICT r3 item 8): the right group size is
+# pixels-per-core, not a slice count. The r3 and r4 sweeps (322 Mpx / 16
+# slices / local[32], BENCH/DURABLE.md) both put the under-batching cliff
+# below ~4 Mpx/core (cores idle between small write jobs) and show a FLAT
+# knee from ~5 to ~10 Mpx/core (r3's best sat at ~5, r4's at ~10, within
+# steal noise of each other); 6M targets the middle of that plateau while
+# keeping the crash-loss bound (one group) modest.
+TARGET_PX_PER_CORE = 6_000_000
+
+
+def auto_slice_batch(pending_px: int, n_pending: int, cores: int) -> int:
+    """Pixels-per-core batch sizing: group ~TARGET_PX_PER_CORE * cores
+    pixels per write job, clamped to [1, n_pending]."""
+    if n_pending <= 0:
+        return 1
+    per_slice = max(1.0, pending_px / n_pending)
+    target = TARGET_PX_PER_CORE * max(1, cores)
+    return max(1, min(n_pending, round(target / per_slice)))
 
 
 def _slice_col(n_slices: int):
@@ -78,7 +100,8 @@ def run_lst_job(
     with_qa: bool = False,
     emissivity_class: str | None = None,
     celsius: bool = False,
-    slice_batch: int = 8,
+    slice_batch: int | str = "auto",
+    parquet_codec: str = "uncompressed",
 ) -> dict:
     """Run (or resume) the tile LST job; returns summary dict.
 
@@ -146,22 +169,39 @@ def run_lst_job(
     # frame once: each slice job then reads the cache and runs the kernel
     # on only its rows — scan/join 1x, kernel 1x total. MEMORY_AND_DISK
     # spills tile bytes on real clusters.
-    if len(pending) > 1:
+    if slice_batch == "auto":
+        pend_px = sum(fps[s][2] for s in pending)
+        batch = auto_slice_batch(pend_px, len(pending),
+                                 spark.sparkContext.defaultParallelism)
+    else:
+        batch = max(1, int(slice_batch))
+    # persist pays off only when MORE THAN ONE group re-reads the joined
+    # frame; a single-group job would materialize the cache for zero reuse
+    do_persist = len(pending) > batch
+    if do_persist:
         from pyspark import StorageLevel
 
         enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
+    # f32 raster planes are near-incompressible: snappy saved only 4% bytes
+    # for ~12% wall and zstd 20% bytes for the same wall (interleaved probe,
+    # BENCH/DURABLE.md) — default to throughput, let deployments pick zstd
+    # when storage dominates
+    old_codec = spark.conf.get("spark.sql.parquet.compression.codec", "snappy")
+    spark.conf.set("spark.sql.parquet.compression.codec", parquet_codec)
     try:
         _run_slice_groups(spark, enriched, pending, fps, done, out, out_dir,
                           executed, window, n_slices, fail_after, opts, celsius,
-                          max(1, int(slice_batch)))
+                          batch)
     finally:
-        if len(pending) > 1:
+        spark.conf.set("spark.sql.parquet.compression.codec", old_codec)
+        if do_persist:
             enriched.unpersist()
 
     return {
         "slices": len(all_slices),
         "skipped": sorted(valid_done),
         "executed": executed,
+        "slice_batch": batch,
         "out": str(out / "data"),
     }
 
@@ -180,15 +220,20 @@ def _run_slice_groups(spark, enriched, pending, fps, done, out, out_dir,
     still per-slice, written only after the group's write commits; dynamic
     partition overwrite keeps per-slice output dirs idempotent).
 
-    Per-slice metrics come from a column-pruned read of the just-written
-    parquet (slice/n_valid/w/h only — the array bytes are never read), which
-    is footer-cheap, unlike the full-row re-read round 1 measured at ~30% of
-    slice wall.
+    Per-slice metrics come from ``Observation`` accumulators evaluated
+    INSIDE the write job (one conditional sum triple per slice in the
+    group) — zero extra jobs, zero re-read. Round 3 used a column-pruned
+    re-read of the written parquet instead; jobs/bench_durable.py measures
+    the delta (the re-read was footer-cheap but still a full extra job per
+    group, and it raced dynamic-partition-overwrite visibility on slow
+    stores — observed metrics cannot).
     """
     todo = pending if fail_after is None else pending[: max(0, fail_after)]
     old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
+        from pyspark.sql import Observation
+
         for g0 in range(0, len(todo), slice_batch):
             group = [int(s) for s in todo[g0 : g0 + slice_batch]]
             t0 = time.perf_counter()
@@ -196,26 +241,30 @@ def _run_slice_groups(spark, enriched, pending, fps, done, out, out_dir,
                 enriched.filter(F.col("slice").isin(group)),
                 window=window, celsius=celsius,
             ).withColumn("slice", _slice_col(n_slices))
+            obs = Observation(f"slice-group-{group[0]}")
+            aggs = []
+            for s in group:
+                hit = F.col("slice") == s
+                aggs += [
+                    F.sum(hit.cast("long")).alias(f"rows_{s}"),
+                    F.sum(F.when(hit, F.col("n_valid").cast("long"))
+                           .otherwise(F.lit(0))).alias(f"valid_{s}"),
+                    F.sum(F.when(hit, F.col("w").cast("long") * F.col("h"))
+                           .otherwise(F.lit(0))).alias(f"px_{s}"),
+                ]
+            gdf = gdf.observe(obs, *aggs)
             gdf.write.mode("overwrite").partitionBy("slice").parquet(str(out / "data"))
             wall_ms = int((time.perf_counter() - t0) * 1000)
-            stats = (
-                spark.read.parquet(str(out / "data"))
-                .filter(F.col("slice").isin(group))
-                .groupBy("slice")
-                .agg(F.count(F.lit(1)).alias("rows"),
-                     F.sum("n_valid").alias("valid_px"),
-                     F.sum(F.col("w").cast("long") * F.col("h")).alias("pixels"))
-                .collect()
-            )
-            by_slice = {int(r["slice"]): r for r in stats}
+            got = obs.get  # metrics accumulated by the write job itself
             for s in group:
-                r = by_slice.get(s)
-                if r is None and fps[s][1] > 0:
-                    # A slice with input rows MUST appear in the post-write
-                    # stats (lst_tiles emits one row per input tile). Missing
-                    # means the write dropped it (e.g. a slice-column
-                    # recomputation bug) — recording rows_out=0/done would
-                    # mask the loss and resume would skip it forever.
+                rows_out = int(got.get(f"rows_{s}") or 0)
+                if rows_out == 0 and fps[s][1] > 0:
+                    # A slice with input rows MUST appear in the write job's
+                    # observed stats (lst_tiles emits one row per input
+                    # tile). Missing means the write dropped it (e.g. a
+                    # slice-column recomputation bug) — recording
+                    # rows_out=0/done would mask the loss and resume would
+                    # skip it forever.
                     raise RuntimeError(
                         f"slice {s} ({fps[s][1]} input rows) missing from "
                         f"post-write stats of group {group}; refusing to "
@@ -225,9 +274,9 @@ def _run_slice_groups(spark, enriched, pending, fps, done, out, out_dir,
                     "status": "done",
                     "input_fingerprint": fps[s][0],
                     "input_rows": fps[s][1],
-                    "rows_out": int(r["rows"]) if r else 0,
-                    "pixels": int(r["pixels"]) if r else 0,
-                    "valid_px": int(r["valid_px"]) if r else 0,
+                    "rows_out": rows_out,
+                    "pixels": int(got.get(f"px_{s}") or 0),
+                    "valid_px": int(got.get(f"valid_{s}") or 0),
                     "wall_ms": wall_ms,       # the group's write wall
                     "group": group,           # slices sharing that write job
                     "attempt": done.get(s, {}).get("attempt", 0) + 1,

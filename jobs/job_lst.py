@@ -38,9 +38,18 @@ def main() -> None:
                          "(reference emissivity_class= option)")
     ap.add_argument("--celsius", action="store_true",
                     help="emit LST in deg C (reference -c flag)")
-    ap.add_argument("--slice-batch", type=int, default=8,
-                    help="slices per write job (full-width kernel passes; "
-                         "a crash loses at most this many slices of work)")
+    ap.add_argument("--codec", default="uncompressed",
+                    choices=["uncompressed", "snappy", "zstd", "lz4", "gzip"],
+                    help="parquet codec for the tile output (f32 rasters are "
+                         "near-incompressible: snappy ~4%% smaller for ~12%% "
+                         "slower writes, zstd ~20%% smaller; see "
+                         "BENCH/DURABLE.md)")
+    ap.add_argument("--slice-batch", default="auto",
+                    type=lambda v: v if v == "auto" else int(v),
+                    help="slices per write job (full-width kernel passes; a "
+                         "crash loses at most this many slices of work). "
+                         "'auto' (default) sizes the group by pixels per "
+                         "core (checkpoint.auto_slice_batch)")
     args = ap.parse_args()
 
     import pandas as pd
@@ -63,6 +72,7 @@ def main() -> None:
         n_slices=args.slices, window=args.window, resume=not args.no_resume,
         with_qa=args.qa, emissivity_class=args.emissivity_class,
         celsius=args.celsius, slice_batch=args.slice_batch,
+        parquet_codec=args.codec,
     )
     print(json.dumps(summary))
     spark.stop()

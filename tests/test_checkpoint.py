@@ -176,3 +176,63 @@ def test_missing_slice_in_stats_raises(spark, fixture, tmp_path_factory, monkeyp
                                window=5)
     # the dropped slice must NOT have a 'done' manifest
     assert 0 not in checkpoint.read_manifest(out)
+
+
+def test_auto_slice_batch_sizing():
+    """Pixels-per-core sizing: target ~TARGET_PX_PER_CORE*cores pixels per
+    grouped write, clamped to [1, n_pending]."""
+    from i_landsat8_swlst_spark.checkpoint import (TARGET_PX_PER_CORE,
+                                                   auto_slice_batch)
+
+    # the sweep shape (BENCH/DURABLE.md): 16 slices x ~20 Mpx on 32 cores
+    # -> 192 Mpx target -> batch 10 (middle of the measured 5..16 plateau)
+    assert auto_slice_batch(16 * 20_000_000, 16, 32) == 10
+    # tiny input: never below 1, never above n_pending
+    assert auto_slice_batch(100, 4, 32) == 4
+    assert auto_slice_batch(10**15, 16, 32) == 1
+    assert auto_slice_batch(0, 0, 32) == 1
+    # scales with cores at fixed per-slice size
+    px_slice = TARGET_PX_PER_CORE
+    assert auto_slice_batch(64 * px_slice, 64, 8) == 8
+    assert auto_slice_batch(64 * px_slice, 64, 16) == 16
+
+
+def test_run_lst_job_auto_batch_end_to_end(spark, fixture, tmp_path_factory):
+    """slice_batch='auto' (the default) runs, records the chosen batch, and
+    resumes cleanly."""
+    scenes, meta, emis = fixture
+    out = str(tmp_path_factory.mktemp("auto_batch"))
+    r1 = checkpoint.run_lst_job(spark, scenes, meta, emis, out, n_slices=4,
+                                window=5, slice_batch="auto")
+    assert r1["executed"] == [0, 1, 2, 3]
+    assert 1 <= r1["slice_batch"] <= 4
+    r2 = checkpoint.run_lst_job(spark, scenes, meta, emis, out, n_slices=4,
+                                window=5, slice_batch="auto")
+    assert r2["executed"] == [] and len(r2["skipped"]) == 4
+
+
+def test_observed_metrics_match_written_table(spark, fixture, tmp_path_factory):
+    """The Observation-accumulated manifest metrics must equal a ground-truth
+    aggregation of the written table (the r3 post-write read, now the test
+    oracle)."""
+    from pyspark.sql import functions as F
+
+    scenes, meta, emis = fixture
+    out = str(tmp_path_factory.mktemp("obs"))
+    checkpoint.run_lst_job(spark, scenes, meta, emis, out, n_slices=3, window=5)
+    man = checkpoint.read_manifest(out)
+    truth = {
+        int(r["slice"]): r for r in
+        checkpoint.read_result(spark, out)
+        .groupBy("slice")
+        .agg(F.count(F.lit(1)).alias("rows"),
+             F.sum("n_valid").alias("valid_px"),
+             F.sum(F.col("w").cast("long") * F.col("h")).alias("pixels"))
+        .collect()
+    }
+    assert set(man) == set(truth)
+    for s, rec in man.items():
+        assert rec["rows_out"] == truth[s]["rows"], s
+        assert rec["valid_px"] == truth[s]["valid_px"], s
+        assert rec["pixels"] == truth[s]["pixels"], s
+        assert rec["input_rows"] > 0
