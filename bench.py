@@ -114,6 +114,44 @@ def main() -> None:
             emit_arrays=False))
         raster_stats_sec = min(raster_stats_sec, time.perf_counter() - t0)
     times["q_lst_pipeline_bench"] = round(raster_sec, 3)
+
+    # --- fused pixel enrichment (VERDICT r3 item 9: the north-star flow's
+    # cells + R-tree PIP + kNN in ONE Python hop gets a tracked number) ---
+    # Input is a parquet-backed point table (production shape) so the
+    # measured pass is scan -> one mapInArrow hop -> noop sink; the vector
+    # sides are the broadcast regime enrich_pixels targets (the distributed
+    # variants have their own A/B in BENCH/SPATIAL_SHUFFLE.md).
+    import numpy as np
+
+    from i_landsat8_swlst_spark import spatial
+
+    n_enrich = int(os.environ.get("SPARK_GRAFT_ENRICH_POINTS", "2000000"))
+    aoi_pdf = synth.aoi_pdf("small")
+    st_pdf = synth.stations_pdf("small")
+    allv = [p for ring in aoi_pdf["ring"] for p in ring]
+    elons = np.array([p["lon"] for p in allv]); elats = np.array([p["lat"] for p in allv])
+    rng = np.random.default_rng(19)
+    pts_path = f"{tmp}/enrich_points"
+    spark.createDataFrame(pd.DataFrame({
+        "pid": np.arange(n_enrich),
+        "lon": rng.uniform(elons.min() - 0.2, elons.max() + 0.2, n_enrich),
+        "lat": rng.uniform(elats.min() - 0.2, elats.max() + 0.2, n_enrich),
+        "lst_k": rng.uniform(260.0, 330.0, n_enrich),
+    })).repartition(CPUS).write.mode("overwrite").parquet(pts_path)
+    epts = spark.read.parquet(pts_path)
+
+    def _enrich():
+        return spatial.enrich_pixels(epts, aoi_pdf, st_pdf, k=2, how="left")
+
+    _materialize(_enrich())  # warm
+    enrich_sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _materialize(_enrich())
+        enrich_sec = min(enrich_sec, time.perf_counter() - t0)
+    # reported as separate top-level fields (like the raster numbers), NOT
+    # in the headline total — keeps total_headline_sec comparable across
+    # rounds that predate this entry
     shutil.rmtree(tmp, ignore_errors=True)
 
     # --- invariant re-validation (BASELINE.md: every bench run re-checks) ---
@@ -152,6 +190,9 @@ def main() -> None:
         "raster_tiles_per_sec": round(n_tiles / raster_sec, 2),
         "raster_stats_only_sec": round(raster_stats_sec, 3),
         "raster_stats_only_pixels_per_sec": round(px / raster_stats_sec, 1),
+        "enrich_points": n_enrich,
+        "enrich_sec": round(enrich_sec, 3),
+        "enrich_points_per_sec": round(n_enrich / enrich_sec, 1),
         "cpus": CPUS,
         "invariants": {"psnr_min_db": (None if psnr_min == float("inf")
                                        else round(psnr_min, 2)),

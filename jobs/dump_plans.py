@@ -75,6 +75,23 @@ def main() -> None:
         grab(grids),
     ))
 
+    from i_landsat8_swlst_spark import spatial
+
+    pixels = pipeline.lst_pixels(
+        pipeline.build_enriched_with_grid(scenes, meta, emis), window=5)
+    enrich = spatial.enrich_pixels(pixels, synth.aoi_pdf("tiny"),
+                                   synth.stations_pdf("tiny"), k=2, how="left")
+    sections.append((
+        "Fused pixel enrichment (enrich_pixels — bench: q_enrich_bench)",
+        "Checklist: exactly ONE additional Arrow hop (MapInArrow) on top of "
+        "the pixel pipeline — cells + R-tree PIP + kNN computed together; "
+        "NO extra exchange (the hop is partition-local, vector sides are "
+        "broadcast variables). The distributed variants (pip_join_cells / "
+        "knn_join_cells) are plan-gated in tests/test_plans.py and "
+        "byte-measured in BENCH/SPATIAL_SHUFFLE.md.",
+        grab(enrich),
+    ))
+
     q = queries()
     for name, note in [
         ("q_lst_sw", "all-scalar physics: one WholeStageCodegen span over the "
