@@ -134,3 +134,49 @@ def test_s2_cover_query_through_spatial_layout(spark, tmp_path):
     # the coarse prefilter admits a superset but FAR less than the table
     n_coarse = coarse.count()
     assert len(exp) <= n_coarse < len(pdf) * 0.2
+
+
+def test_s2_cover_query_antimeridian_through_spatial_layout(spark, tmp_path):
+    """Round 4: a Pacific-crossing bbox (lon0 > lon1) pushes its unioned
+    wrap covering down to the spatial-sorted scan; the residual filter is
+    the OR-of-halves lon predicate. Exact-equality vs pandas truth."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import geo
+    from i_landsat8_swlst_spark.io import (
+        TableIO, s2_range_predicate, write_spatial_sorted,
+    )
+
+    rng = np.random.default_rng(23)
+    # points hugging both sides of the antimeridian plus far-away noise
+    lon = np.concatenate([rng.uniform(165.0, 180.0, 2000),
+                          rng.uniform(-180.0, -165.0, 2000),
+                          rng.uniform(-30.0, 30.0, 1000)])
+    pdf = pd.DataFrame({
+        "pid": range(len(lon)),
+        "lon": lon,
+        "lat": rng.uniform(-20.0, 20.0, len(lon)),
+        "lst_k": rng.uniform(260, 320, len(lon)),
+    })
+    pdf["s2_cell"] = geo.s2_cell(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), level=12)
+    io = TableIO(spark, "parquet")
+    target = str(tmp_path / "wrap")
+    write_spatial_sorted(io, spark.createDataFrame(pdf), target, files=8)
+
+    lon0, lat0, lon1, lat1 = 172.0, -10.0, -173.0, 10.0   # crosses +-180
+    ranges = geo.s2_ranges(geo.s2_cover_bbox(lon0, lat0, lon1, lat1, level=10))
+    back = io.read(target)
+    coarse = back.filter(s2_range_predicate(ranges))
+    plan = coarse._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "s2_cell" in plan
+    exact = coarse.filter(
+        ((F.col("lon") >= lon0) | (F.col("lon") <= lon1))
+        & (F.col("lat") >= lat0) & (F.col("lat") <= lat1))
+    exp = pdf[((pdf.lon >= lon0) | (pdf.lon <= lon1))
+              & pdf.lat.between(lat0, lat1)]
+    assert len(exp) > 100
+    assert set(r.pid for r in exact.select("pid").collect()) == set(exp.pid)
+    # superset but selective vs the full table
+    n_coarse = coarse.count()
+    assert len(exp) <= n_coarse < len(pdf)

@@ -171,3 +171,29 @@ def test_knn_join_cells_is_equi(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan
+
+
+def test_knn_probe_ring_is_equi(spark):
+    """Round 4: the escalation rounds of knn_join_cells_exact (point-side
+    ring expansion) must also stay plain equi joins on the cell key — the
+    only permitted nested loop in the exact path is the final tiny-POINT-
+    side-broadcast fallback."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark.spatial import _knn_probe_ring, _stations_df
+
+    rng = np.random.default_rng(6)
+    st_pdf = pd.DataFrame({
+        "station_id": [f"s{i}" for i in range(50)],
+        "lon": rng.uniform(0, 1, 50), "lat": rng.uniform(0, 1, 50),
+        "cwv_obs": rng.uniform(0, 6, 50)})
+    pts = spark.createDataFrame(pd.DataFrame({
+        "pid": range(40),
+        "lon": rng.uniform(0, 1, 40), "lat": rng.uniform(0, 1, 40)}))
+    st, has_cwv = _stations_df(spark, st_pdf)
+    plan = _plan(_knn_probe_ring(pts, st, has_cwv, 2, 7, 4, ["pid"],
+                                 "lon", "lat"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan
