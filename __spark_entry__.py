@@ -169,6 +169,40 @@ def _q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: COMPLETE exact distributed kNN (round 4) — adversarially
+    clustered stations leave round-0 uncertified points; the escalation loop
+    (ring 2/4/8 probes on the pending subset, then a tiny-point-side
+    broadcast exact fallback) must return every point 100% certified.
+    Brute-force equality in tests/test_spatial.py."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark.spatial import knn_join_cells_exact
+
+    rng = np.random.default_rng(29)
+    stations = pd.DataFrame({
+        "station_id": [f"s{i:03d}" for i in range(40)],
+        "lon": rng.uniform(10.00, 10.02, 40),       # one tight cluster
+        "lat": rng.uniform(40.00, 40.02, 40),
+        "cwv_obs": rng.uniform(0, 6.3, 40),
+    })
+    pts = pd.DataFrame({
+        "pid": range(80),
+        "lon": rng.uniform(9.8, 10.4, 80),          # up to ~50 km out
+        "lat": rng.uniform(39.8, 40.4, 80),
+    })
+    out = knn_join_cells_exact(spark.createDataFrame(pts), stations, k=3,
+                               res=7, key_cols=["pid"])
+    return (
+        out.groupBy("knn_certified")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.countDistinct("pid").alias("n_points"),
+             F.round(F.avg("station_km"), 4).alias("avg_km"))
+        .orderBy("knn_certified")
+    )
+
+
 def _q_tile_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: batched cell-encode (hex 7/8/9 + S2) of tile centroids —
     the tile_assignments output table (FIXTURES.md §7)."""
@@ -524,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_pip_cells"] = _q_pip_cells
     q["q_knn_stations"] = _q_knn_stations
     q["q_knn_cells"] = _q_knn_cells
+    q["q_knn_exact"] = _q_knn_exact
     q["q_tile_assignments"] = _q_tile_assignments
     q["q_rasterize_roundtrip"] = _q_rasterize_roundtrip
     q["q_full_spatial"] = _q_full_spatial

@@ -21,7 +21,7 @@ Scale shape, two regimes:
   are never duplicated across a shuffle — BENCH/SPATIAL_SHUFFLE.md measures
   the r3->r4 delta), verification is exact (salted-cogroup numpy ray-cast
   or Catalyst HOF ray-cast; Catalyst haversine + window rank for kNN), and
-  kNN exactness escalates automatically until 100%% certified.
+  kNN exactness escalates automatically until 100% certified.
 """
 
 from __future__ import annotations
