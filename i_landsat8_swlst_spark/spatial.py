@@ -853,3 +853,57 @@ def enrich_pixels(points: DataFrame, aoi: pd.DataFrame, stations: pd.DataFrame,
             yield pa.RecordBatch.from_arrays(arrays, schema=pa_out)
 
     return points.mapInArrow(fn, out_schema)
+
+
+def enrich_pixels_cells(points: DataFrame, aoi, stations, k: int = 3,
+                        key_cols: list[str] | None = None,
+                        res_pip: int = 8, res_knn: int = 7,
+                        s2_level: int = 14, lon_col: str = "lon",
+                        lat_col: str = "lat", exact: bool = True) -> DataFrame:
+    """The complete north-star enrichment with NO broadcast of either vector
+    side — the 100-TB composition of the distributed operators.
+
+    Same output contract as the broadcast ``enrich_pixels(how='left')``
+    (cells + PIP left join + kNN fan-out; row-parity test in
+    tests/test_spatial.py): points gain hex_7/8/9 + s2_cell, one row per
+    (point, containing polygon | NULL, station rank 1..k). ``aoi`` and
+    ``stations`` may each be parquet-backed Spark DataFrames — neither
+    transits the driver. kNN runs once per POINT (on ``key_cols``) and
+    fans out across the PIP-expanded rows by a bare key join, so the
+    station search never multiplies with polygon overlap. ``exact=True``
+    routes through ``knn_join_cells_exact`` (complete, 100% certified);
+    ``exact=False`` uses the single-round ``knn_join_cells`` and keeps its
+    ``knn_certified`` flag on every row.
+
+    Known deltas vs the broadcast path: missing ``cwv_obs`` yields NULL
+    ``station_cwv`` here (the fused Arrow kernel emits NaN), and exact ties
+    in station distance break by (station_km, station_id) via row_number
+    rather than the fused kernel's epsilon-rank — identical on any input
+    without bit-equal distances.
+    """
+    if key_cols is None:
+        raise ValueError("enrich_pixels_cells needs key_cols identifying a point row")
+    pts = with_cells(points, lon_col=lon_col, lat_col=lat_col, s2_level=s2_level)
+
+    pip = pip_join_cells(pts, aoi, res=res_pip, lon_col=lon_col, lat_col=lat_col)
+    unmatched = (
+        pts.join(pip.select(*key_cols).distinct(), on=key_cols, how="left_anti")
+        .withColumn("aoi_id", F.lit(None).cast(StringType()))
+        .withColumn("aoi_category", F.lit(None).cast(StringType()))
+    )
+    both = pip.unionByName(unmatched)
+
+    knn_fn = knn_join_cells_exact if exact else knn_join_cells
+    knn = knn_fn(points, stations, k=k, res=res_knn, key_cols=key_cols,
+                 lon_col=lon_col, lat_col=lat_col)
+    st_cols = ["station_id", "station_rank", "station_km"]
+    if "station_cwv" in knn.columns:
+        st_cols.append("station_cwv")
+    else:
+        knn = knn.withColumn("station_cwv", F.lit(None).cast(DoubleType()))
+        st_cols.append("station_cwv")
+    if not exact:
+        st_cols.append("knn_certified")
+    knn_sel = knn.select(*key_cols, *st_cols)
+
+    return both.join(knn_sel, on=key_cols, how="inner")

@@ -414,3 +414,40 @@ def test_knn_join_cells_exact_completes_and_matches_bruteforce(spark):
         assert list(grp.station_id) == list(stations.station_id.iloc[brute]), pid
         np.testing.assert_allclose(grp.station_km.to_numpy(),
                                    np.sort(d[pid])[:k], rtol=1e-9)
+
+
+def test_enrich_pixels_cells_matches_broadcast_enrich(spark, tmp_path):
+    """Round 4: the DISTRIBUTED composition of the north-star flow
+    (with_cells -> pip_join_cells left -> knn_join_cells_exact fan-out, both
+    vector sides parquet-backed DataFrames) must be row-for-row identical to
+    the broadcast enrich_pixels(how='left') — modulo last-ulp haversine
+    (numpy vs JVM sin), handled by rounding station_km."""
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import constants as C, pipeline, spatial, synth
+
+    scenes = spark.createDataFrame(synth.scenes_pdf("tiny"))
+    meta = spark.createDataFrame(synth.scene_meta_pdf("tiny"))
+    emis = spark.createDataFrame(pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
+    pixels = pipeline.lst_pixels(
+        pipeline.build_enriched_with_grid(scenes, meta, emis), window=5)
+    aoi, stations = synth.aoi_pdf("tiny"), synth.stations_pdf("tiny")
+    spark.createDataFrame(aoi).write.mode("overwrite").parquet(str(tmp_path / "aoi"))
+    spark.createDataFrame(stations).write.mode("overwrite").parquet(str(tmp_path / "st"))
+    aoi_df = spark.read.parquet(str(tmp_path / "aoi"))
+    st_df = spark.read.parquet(str(tmp_path / "st")).drop("observed_at")
+
+    fused = spatial.enrich_pixels(pixels, aoi, stations, k=2, how="left")
+    dist = spatial.enrich_pixels_cells(
+        pixels, aoi_df, st_df, k=2, key_cols=["image_id", "px", "py"])
+
+    key = ["image_id", "px", "py", "aoi_id", "station_rank"]
+    a = fused.toPandas()
+    b = dist.toPandas()
+    assert sorted(a.columns) == sorted(b.columns)
+    for df in (a, b):
+        df["station_km"] = df["station_km"].round(6)
+    a = a[sorted(a.columns)].fillna("~").sort_values(key).reset_index(drop=True)
+    b = b[sorted(b.columns)].fillna("~").sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert len(a) > 0
