@@ -203,6 +203,30 @@ def _q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_enrich_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the complete north-star enrichment with NO broadcast of
+    either vector side (round 4) — with_cells -> distributed PIP (left) ->
+    exact distributed kNN fan-out, AOI + station sides as DataFrames.
+    Row-parity vs the broadcast enrich_pixels in tests/test_spatial.py."""
+    from i_landsat8_swlst_spark import pipeline, spatial, synth
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    pixels = pipeline.lst_pixels(
+        pipeline.build_enriched_with_grid(scenes, meta, emis), window=5)
+    aoi_df = spark.createDataFrame(synth.aoi_pdf("tiny"))
+    st_df = spark.createDataFrame(
+        synth.stations_pdf("tiny").drop(columns=["observed_at"]))
+    out = spatial.enrich_pixels_cells(
+        pixels, aoi_df, st_df, k=2, key_cols=["image_id", "px", "py"])
+    return (
+        out.groupBy("aoi_category", "station_rank")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.round(F.avg("station_km"), 4).alias("avg_km"),
+             F.round(F.avg("lst_k"), 4).alias("avg_lst"))
+        .orderBy("aoi_category", "station_rank")
+    )
+
+
 def _q_tile_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: batched cell-encode (hex 7/8/9 + S2) of tile centroids —
     the tile_assignments output table (FIXTURES.md §7)."""
@@ -559,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_knn_stations"] = _q_knn_stations
     q["q_knn_cells"] = _q_knn_cells
     q["q_knn_exact"] = _q_knn_exact
+    q["q_enrich_cells"] = _q_enrich_cells
     q["q_tile_assignments"] = _q_tile_assignments
     q["q_rasterize_roundtrip"] = _q_rasterize_roundtrip
     q["q_full_spatial"] = _q_full_spatial
