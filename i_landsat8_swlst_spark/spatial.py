@@ -268,9 +268,21 @@ def aoi_rings_df(spark, aoi) -> DataFrame:
     return spark.createDataFrame(pd.DataFrame(rows))
 
 
-def aoi_cells_df(spark, aoi, res: int = 8) -> DataFrame:
-    """AOI polygons exploded to their covering hex cells at ``res`` —
+def aoi_cells_df(spark, aoi, res: int | str = 8,
+                 cover_cap: int = 256) -> DataFrame:
+    """AOI polygons exploded to their covering hex cells —
     ``(cell, aoi_id, aoi_category)``, one row per (polygon, covering cell).
+
+    ``res="auto"`` picks the resolution PER POLYGON: the finest of
+    res 9/8/7 whose bbox cover stays within ``cover_cap`` cells (coarsest
+    wins if none does). A fixed res degrades at both ends of the mixed-size
+    AOI layers real catalogs have — a country-sized polygon at res 8
+    explodes into 10^5 cover rows while building-sized polygons pile into
+    single hot cells; auto-res bounds the per-polygon cover and spreads
+    small polygons over finer keys. The packed hex id carries its res in
+    bits 56-61, so ids never collide across resolutions and the candidate
+    join stays one plain equi join (the point side probes its cell at all
+    three resolutions).
 
     Rings are deliberately NOT carried (round-3 shipped them inline per
     covering cell, which duplicated every vertex array per candidate row
@@ -286,6 +298,7 @@ def aoi_cells_df(spark, aoi, res: int = 8) -> DataFrame:
         StructField("aoi_id", StringType()),
         StructField("aoi_category", StringType()),
     ])
+    res_ladder = (9, 8, 7) if res == "auto" else (res,)
 
     def cover(batches):
         for pdf in batches:
@@ -293,8 +306,12 @@ def aoi_cells_df(spark, aoi, res: int = 8) -> DataFrame:
             for _, row in pdf.iterrows():
                 rx = np.asarray(row["ring_x"], dtype=np.float64)
                 ry = np.asarray(row["ring_y"], dtype=np.float64)
-                cells = geo.hex_cover_bbox(float(rx.min()), float(ry.min()),
-                                           float(rx.max()), float(ry.max()), res)
+                bbox = (float(rx.min()), float(ry.min()),
+                        float(rx.max()), float(ry.max()))
+                for r in res_ladder:
+                    cells = geo.hex_cover_bbox(*bbox, r)
+                    if len(cells) <= cover_cap or r == res_ladder[-1]:
+                        break
                 out.append(pd.DataFrame({
                     "cell": cells,
                     "aoi_id": row["aoi_id"],
@@ -343,7 +360,7 @@ def _pip_inside_expr(lon_col: str, lat_col: str) -> F.Column:
     return F.expr(f"({crossing}) OR ({on_edge})")
 
 
-def pip_join_cells(points: DataFrame, aoi, res: int = 8,
+def pip_join_cells(points: DataFrame, aoi, res: int | str = 8,
                    lon_col: str = "lon", lat_col: str = "lat",
                    verify: str = "cogroup", salt: int = 16) -> DataFrame:
     """Distributed point-in-polygon join — NO broadcast of the polygon side.
@@ -353,7 +370,9 @@ def pip_join_cells(points: DataFrame, aoi, res: int = 8,
     (aoi_cells_df), points encode to the same cell, candidates come from a
     plain EQUI join on the cell key (hash-partitionable; AQE/salting apply
     like any other hot-key join), and an exact ray-cast verifies every
-    candidate pair. ``aoi`` may be a Spark DataFrame (parquet-backed, the
+    candidate pair. ``res="auto"`` picks the covering resolution per
+    polygon (see aoi_cells_df) — the right setting for mixed-size AOI
+    layers. ``aoi`` may be a Spark DataFrame (parquet-backed, the
     fixture ``ring`` schema or flat ``ring_x/ring_y``) — the polygon layer
     never touches the driver — or a pandas DataFrame (compat).
 
@@ -382,7 +401,19 @@ def pip_join_cells(points: DataFrame, aoi, res: int = 8,
     spark = points.sparkSession
     rings = aoi_rings_df(spark, aoi)
     cover = aoi_cells_df(spark, rings, res=res)
-    pts = points.withColumn("cell", hexcell_udf(res)(F.col(lon_col), F.col(lat_col)))
+    if res == "auto":
+        # each polygon registered at ONE auto-picked res; the point probes
+        # its cell at every ladder res (ids carry the res, so this stays a
+        # single equi join) — 3x the bare point rows through the candidate
+        # shuffle buys a bounded cover for country-sized polygons and finer
+        # keys under building-sized ones
+        pts = points.withColumn(
+            "cell", F.explode(F.array(*[
+                hexcell_udf(r)(F.col(lon_col), F.col(lat_col))
+                for r in (9, 8, 7)])))
+    else:
+        pts = points.withColumn(
+            "cell", hexcell_udf(res)(F.col(lon_col), F.col(lat_col)))
     cand = pts.join(cover, on="cell", how="inner").drop("cell")
     point_cols = [f.name for f in points.schema.fields]
 

@@ -451,3 +451,64 @@ def test_enrich_pixels_cells_matches_broadcast_enrich(spark, tmp_path):
     b = b[sorted(b.columns)].fillna("~").sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     assert len(a) > 0
+
+
+def test_pip_join_cells_auto_res_parity_and_bounded_cover(spark):
+    """res='auto' (round 4): per-polygon covering resolution. Parity with
+    the broadcast pip_join must hold on a mixed-size layer (one huge polygon
+    + many tiny ones), and the huge polygon's cover must stay bounded while
+    tiny polygons register at the finest res."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import spatial
+    from i_landsat8_swlst_spark.spatial import (aoi_cells_df, pip_join,
+                                                pip_join_cells)
+
+    rng = np.random.default_rng(47)
+
+    def poly(aid, cx, cy, r, n=12):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        ring = [{"lon": float(cx + r * np.cos(a)),
+                 "lat": float(cy + r * np.sin(a))} for a in ang]
+        ring.append(ring[0])
+        return {"aoi_id": aid, "ring": ring, "category": "mix"}
+
+    rows = [poly("huge", 10.0, 40.0, 1.5)]          # country-sized
+    centers = []
+    for i in range(30):                             # building-sized
+        cx, cy = rng.uniform(8.2, 11.8), rng.uniform(38.2, 41.8)
+        centers.append((cx, cy))
+        rows.append(poly(f"tiny_{i:02d}", cx, cy, 0.003))
+    aoi = pd.DataFrame(rows)
+
+    # random spray + one guaranteed interior point per tiny polygon
+    lon = np.concatenate([rng.uniform(8.0, 12.0, 4000),
+                          np.array([c[0] for c in centers])])
+    lat = np.concatenate([rng.uniform(38.0, 42.0, 4000),
+                          np.array([c[1] for c in centers])])
+    pts = pd.DataFrame({"pid": range(len(lon)), "lon": lon, "lat": lat})
+    points = spark.createDataFrame(pts)
+
+    exp = pip_join(points, aoi, how="inner").select("pid", "aoi_id").toPandas()
+    got = pip_join_cells(points, aoi, res="auto").select("pid", "aoi_id").toPandas()
+    assert set(map(tuple, got.to_numpy())) == set(map(tuple, exp.to_numpy()))
+    assert (exp.aoi_id == "huge").sum() > 100      # the fixture exercises both
+    assert exp.aoi_id.str.startswith("tiny").sum() > 0
+
+    cover = aoi_cells_df(spark, aoi, res="auto").toPandas()
+    per = cover.groupby("aoi_id").size()
+    from i_landsat8_swlst_spark import geo
+    res_of = cover.cell.to_numpy() >> 56
+    by_poly_res = pd.DataFrame({"aoi_id": cover.aoi_id, "res": res_of}) \
+        .groupby("aoi_id").res.first()
+    # the huge polygon backed off to the coarsest res and stayed bounded
+    assert by_poly_res["huge"] == 7
+    # a fixed res-8 cover of the same polygon would be ~4x bigger
+    fixed8 = aoi_cells_df(spark, aoi[aoi.aoi_id == "huge"], res=8).count()
+    assert per["huge"] * 2 < fixed8
+    # tiny polygons register at the finest res with tiny covers
+    assert (by_poly_res[by_poly_res.index.str.startswith("tiny")] == 9).all()
+    # (hex_cover_bbox pads by 2 edges per side, so even a point-sized
+    # polygon covers ~80 res-9 cells — bounded by the cap, not by area)
+    assert per[per.index.str.startswith("tiny")].max() <= 256
