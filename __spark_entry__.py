@@ -571,6 +571,57 @@ def _q_stream_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: streaming spatial enrichment (round 4) — two incremental
+    drains of point drops through the stream-static fused cells+PIP+kNN hop;
+    batch parity in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from i_landsat8_swlst_spark import streaming, synth
+
+    tmp = tempfile.mkdtemp(prefix="swlst_qenr_")
+    try:
+        import os
+
+        in_dir, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        os.makedirs(in_dir)
+        aoi, stations = synth.aoi_pdf("tiny"), synth.stations_pdf("tiny")
+        # spray around scene 0's polygons (the tiny fixture's scenes sit far
+        # apart; the full hull would put most points in the empty gap)
+        a0 = aoi[aoi["aoi_id"].str.startswith("aoi_000")]
+        allv = [p for ring in a0["ring"] for p in ring]
+        lons = np.array([p["lon"] for p in allv])
+        lats = np.array([p["lat"] for p in allv])
+        rng = np.random.default_rng(37)
+        pts = pd.DataFrame({
+            "pid": np.arange(400, dtype=np.int64),
+            "lon": rng.uniform(lons.min() - 0.2, lons.max() + 0.2, 400),
+            "lat": rng.uniform(lats.min() - 0.2, lats.max() + 0.2, 400),
+            "lst_k": rng.uniform(260.0, 330.0, 400),
+        })
+        for i, sl in enumerate((slice(0, 200), slice(200, 400))):
+            pq.write_table(pa.Table.from_pandas(pts.iloc[sl], preserve_index=False),
+                           f"{in_dir}/d{i}.parquet")
+            streaming.stream_enrich_pixels(spark, in_dir, out, ckpt,
+                                           aoi, stations, k=2)
+        return (
+            spark.read.parquet(out)
+            .groupBy("aoi_category", "station_rank")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.round(F.avg("station_km"), 4).alias("avg_km"))
+            .orderBy("aoi_category", "station_rank")
+            .localCheckpoint()  # materialize before the temp dir vanishes
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _ordered(dict(relational.queries()))
     # rows-only (untwinned) entries go after every twinned query so they
@@ -596,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_stream_ingest"] = _q_stream_ingest
     q["q_stream_progress"] = _q_stream_progress
     q["q_stream_pair"] = _q_stream_pair
+    q["q_stream_enrich"] = _q_stream_enrich
     q["q_lst_composite"] = _q_lst_composite
     return q
 

@@ -314,3 +314,50 @@ def stream_scene_progress(
 
 def read_stats(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
+
+
+POINTS_SCHEMA = StructType([
+    StructField("pid", LongType()),
+    StructField("lon", DoubleType()),
+    StructField("lat", DoubleType()),
+    StructField("lst_k", DoubleType()),
+])
+
+
+def stream_enrich_pixels(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    aoi_pdf: pd.DataFrame,
+    stations_pdf: pd.DataFrame,
+    k: int = 3,
+    points_schema: StructType | None = None,
+) -> None:
+    """Continuous spatial enrichment of arriving pixel drops (round 4).
+
+    File-source stream of point/pixel parquet -> the SAME fused
+    cells + R-tree PIP + kNN Arrow hop as batch (spatial.enrich_pixels —
+    stateless stream-static enrichment: the vector sides are broadcast
+    variables, so no streaming state at all) -> checkpointed append sink.
+    ``trigger(availableNow=True)``: each invocation drains new drops and
+    stops, like every other ingest entry here. Batch parity tile-for-tile
+    in tests/test_streaming.py (union of incremental drains == one batch
+    enrich over the union of inputs). When the vector sides outgrow a
+    broadcast, the batch composition ``spatial.enrich_pixels_cells`` is the
+    scale path — its PIP/kNN equi joins are stream-compatible per micro
+    batch via foreachBatch.
+    """
+    from . import spatial
+
+    raw = spark.readStream.schema(points_schema or POINTS_SCHEMA).parquet(in_dir)
+    out = spatial.enrich_pixels(raw, aoi_pdf, stations_pdf, k=k, how="left")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

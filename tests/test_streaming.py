@@ -178,3 +178,47 @@ def test_stream_pair_lst_joins_across_drains(spark, tmp_path):
     exp_pdf = batch.select(*cols).orderBy("tile_x", "tile_y").toPandas()
     pd.testing.assert_frame_equal(
         got_pdf.reset_index(drop=True), exp_pdf.reset_index(drop=True))
+
+
+def test_stream_enrich_pixels_matches_batch(spark, tmp_path):
+    """Round 4: the streaming spatial enrichment (stream-static fused hop)
+    must equal ONE batch enrich_pixels over the union of all drops —
+    incremental drains add rows exactly once, enrichment values identical."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from i_landsat8_swlst_spark import spatial, streaming, synth
+
+    aoi, stations = synth.aoi_pdf("tiny"), synth.stations_pdf("tiny")
+    allv = [p for ring in aoi["ring"] for p in ring]
+    lons = np.array([p["lon"] for p in allv]); lats = np.array([p["lat"] for p in allv])
+    rng = np.random.default_rng(31)
+    pts = pd.DataFrame({
+        "pid": np.arange(600, dtype=np.int64),
+        "lon": rng.uniform(lons.min() - 0.2, lons.max() + 0.2, 600),
+        "lat": rng.uniform(lats.min() - 0.2, lats.max() + 0.2, 600),
+        "lst_k": rng.uniform(260.0, 330.0, 600),
+    })
+
+    in_dir, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    in_dir.mkdir()
+    pq.write_table(pa.Table.from_pandas(pts.iloc[:300], preserve_index=False),
+                   in_dir / "d1.parquet")
+    streaming.stream_enrich_pixels(spark, str(in_dir), str(out), str(ckpt),
+                                   aoi, stations, k=2)
+    n_first = spark.read.parquet(str(out)).count()
+    pq.write_table(pa.Table.from_pandas(pts.iloc[300:], preserve_index=False),
+                   in_dir / "d2.parquet")
+    streaming.stream_enrich_pixels(spark, str(in_dir), str(out), str(ckpt),
+                                   aoi, stations, k=2)
+
+    got = spark.read.parquet(str(out)).toPandas()
+    assert n_first < len(got)                      # second drain appended
+    exp = spatial.enrich_pixels(
+        spark.createDataFrame(pts), aoi, stations, k=2, how="left").toPandas()
+    key = ["pid", "aoi_id", "station_rank"]
+    g = got[sorted(got.columns)].fillna("~").sort_values(key).reset_index(drop=True)
+    e = exp[sorted(exp.columns)].fillna("~").sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e, check_dtype=False)
