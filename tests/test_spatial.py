@@ -512,3 +512,29 @@ def test_pip_join_cells_auto_res_parity_and_bounded_cover(spark):
     # (hex_cover_bbox pads by 2 edges per side, so even a point-sized
     # polygon covers ~80 res-9 cells — bounded by the cap, not by area)
     assert per[per.index.str.startswith("tiny")].max() <= 256
+
+
+def test_pip_inside_expr_golden_boundary_vectors(spark):
+    """The Catalyst HOF ray-cast (verify='jvm') must agree with the numpy
+    kernel on the GOLDEN boundary cases — vertices, edge midpoints, the
+    concave notch — not just on random points (where boundary hits have
+    measure zero)."""
+    import pandas as pd
+
+    from i_landsat8_swlst_spark.spatial import _pip_inside_expr, points_in_ring
+
+    for ring in (SQUARE, STAR):
+        px = np.array([2.0, -1.0, 5.0, 0.0, 4.0, 2.0, 0.0, 2.0, 3.0, 1.0,
+                       2.0, 2.0])
+        py = np.array([2.0, 2.0, 2.0, 0.0, 4.0, 0.0, 2.0, 4.0, 2.0, 2.0,
+                       1.5, 3.0])
+        exp = points_in_ring(px, py, ring)
+        pdf = pd.DataFrame({
+            "pid": range(len(px)), "lon": px, "lat": py,
+            "ring_x": [ring[:, 0].tolist()] * len(px),
+            "ring_y": [ring[:, 1].tolist()] * len(px),
+        })
+        got = (spark.createDataFrame(pdf)
+               .withColumn("inside", _pip_inside_expr("lon", "lat"))
+               .orderBy("pid").select("inside").toPandas()["inside"].to_numpy())
+        np.testing.assert_array_equal(got, exp, err_msg=str(ring[:3]))
