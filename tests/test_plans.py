@@ -197,3 +197,24 @@ def test_knn_probe_ring_is_equi(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan
+
+
+def test_enrich_pixels_is_single_arrow_hop_no_exchange(spark):
+    """The fused enrichment (bench headline q_enrich_bench) must stay ONE
+    MapInArrow over the point scan with NO exchange — cells + PIP + kNN are
+    partition-local against broadcast variables."""
+    import numpy as np
+    import pandas as pd
+    import re
+
+    from i_landsat8_swlst_spark import spatial, synth
+
+    rng = np.random.default_rng(9)
+    pts = spark.createDataFrame(pd.DataFrame({
+        "pid": range(500),
+        "lon": rng.uniform(9, 11, 500), "lat": rng.uniform(39, 41, 500)}))
+    df = spatial.enrich_pixels(pts, synth.aoi_pdf("tiny"),
+                               synth.stations_pdf("tiny"), k=2, how="left")
+    plan = _plan(df)
+    assert plan.count("MapInArrow") == 1
+    assert not re.search(r"Exchange\s+\w*[Pp]artitioning", plan), plan
