@@ -124,6 +124,21 @@ class PackedPolygons:
         return self.xy[self.starts[k] : self.starts[k + 1]]
 
 
+def dist2_to_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Squared euclidean distance from each point to the ring boundary
+    (0 for points inside the polygon). Vectorized (n x edges)."""
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    PX, PY = px[:, None], py[:, None]
+    dx, dy = (x1 - x0)[None, :], (y1 - y0)[None, :]
+    seg2 = dx * dx + dy * dy
+    t = np.clip(((PX - x0[None, :]) * dx + (PY - y0[None, :]) * dy)
+                / np.where(seg2 == 0, 1, seg2), 0, 1)
+    d2 = ((PX - (x0[None, :] + t * dx)) ** 2
+          + (PY - (y0[None, :] + t * dy)) ** 2).min(axis=1)
+    return np.where(points_in_ring(px, py, ring), 0.0, d2)
+
+
 def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray,
                    eps: float = 1e-12) -> np.ndarray:
     """Vectorized even-odd ray casting; boundary (edge/vertex) counts inside.
@@ -308,8 +323,18 @@ def aoi_cells_df(spark, aoi, res: int | str = 8,
                 ry = np.asarray(row["ring_y"], dtype=np.float64)
                 bbox = (float(rx.min()), float(ry.min()),
                         float(rx.max()), float(ry.max()))
+                ring = np.column_stack((rx, ry))
                 for r in res_ladder:
-                    cells = geo.hex_cover_bbox(*bbox, r)
+                    # cheap bbox-cell estimate: skip a res whose raw bbox
+                    # cover would be huge to build (a sliver's TIGHT cover
+                    # might fit the cap, so allow bbox estimates up to 50x
+                    # the cap before backing off)
+                    sz = geo.HEX_EDGE_DEG[r]
+                    est = (((bbox[3] - bbox[1]) / (1.5 * sz) + 3)
+                           * ((bbox[2] - bbox[0]) / (1.7320508 * sz) + 3))
+                    if est > 50 * cover_cap and r != res_ladder[-1]:
+                        continue
+                    cells = _tight_cover(bbox, ring, r)
                     if len(cells) <= cover_cap or r == res_ladder[-1]:
                         break
                 out.append(pd.DataFrame({
@@ -321,6 +346,37 @@ def aoi_cells_df(spark, aoi, res: int | str = 8,
                 yield pd.concat(out, ignore_index=True)
 
     return rings.mapInPandas(cover, out_schema)
+
+
+def _tight_cover(bbox: tuple, ring: np.ndarray, res: int) -> np.ndarray:
+    """Bbox hex cover trimmed to cells actually NEAR the polygon.
+
+    A bbox cover is badly wasteful for skinny shapes (rivers, roads, long
+    diagonals): most bbox cells never touch the polygon, and every one
+    becomes candidate fan-out for the points inside it. Superset argument
+    for the trim: a point p inside the polygon rounds to the cell whose
+    center is within one circumradius (= edge = size) of p, so that center
+    is within ``size`` of the polygon region — keeping cells with
+    ``dist(center, polygon) <= 1.25 * size`` (margin for center/rounding
+    float error) keeps every cell any interior point can round to. The
+    exact verify downstream makes over-keeping free and under-keeping
+    impossible by this bound; the dedicated sliver test pins both.
+    """
+    cells = geo.hex_cover_bbox(*bbox, res)
+    if len(cells) <= 16:
+        return cells
+    size = geo.HEX_EDGE_DEG[res]
+    cx, cy = geo.hexcell_center(cells)
+    keep = np.zeros(len(cells), dtype=bool)
+    # block the (cells x edges) distance to ~4M doubles
+    step = max(1, 4_000_000 // max(1, ring.shape[0] - 1))
+    thr = (1.25 * size) ** 2
+    for i0 in range(0, len(cells), step):
+        sl = slice(i0, i0 + step)
+        keep[sl] = dist2_to_ring(np.asarray(cx[sl], dtype=np.float64),
+                                 np.asarray(cy[sl], dtype=np.float64),
+                                 ring) <= thr
+    return cells[keep]
 
 
 def _pip_inside_expr(lon_col: str, lat_col: str) -> F.Column:

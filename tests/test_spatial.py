@@ -538,3 +538,45 @@ def test_pip_inside_expr_golden_boundary_vectors(spark):
                .withColumn("inside", _pip_inside_expr("lon", "lat"))
                .orderBy("pid").select("inside").toPandas()["inside"].to_numpy())
         np.testing.assert_array_equal(got, exp, err_msg=str(ring[:3]))
+
+
+def test_tight_cover_prunes_sliver_polygons(spark):
+    """Round 4: the covering is trimmed to cells NEAR the polygon, not its
+    bbox — a river/road-shaped diagonal sliver must cover a small fraction
+    of its bbox cells, with PIP parity intact."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import geo
+    from i_landsat8_swlst_spark.spatial import (aoi_cells_df, pip_join,
+                                                pip_join_cells)
+
+    # diagonal strip (8,38)->(11,41), half-width 0.01 deg
+    n = 40
+    ts = np.linspace(0.0, 1.0, n)
+    cx, cy = 8.0 + 3.0 * ts, 38.0 + 3.0 * ts
+    wx, wy = 0.01 / np.sqrt(2), 0.01 / np.sqrt(2)
+    ring = ([{"lon": float(x + wx), "lat": float(y - wy)} for x, y in zip(cx, cy)]
+            + [{"lon": float(x - wx), "lat": float(y + wy)}
+               for x, y in zip(cx[::-1], cy[::-1])])
+    ring.append(ring[0])
+    aoi = pd.DataFrame([{"aoi_id": "sliver", "ring": ring, "category": "strip"}])
+
+    n_tight = aoi_cells_df(spark, aoi, res=8).count()
+    n_bbox = len(geo.hex_cover_bbox(8.0 - wx, 38.0 - wy, 11.0 + wx, 41.0 + wy, 8))
+    assert n_tight * 20 < n_bbox, (n_tight, n_bbox)
+
+    # parity on points hugging the strip (inside, near-outside, far)
+    rng = np.random.default_rng(53)
+    off = rng.uniform(-0.05, 0.05, 3000)
+    t2 = rng.uniform(0, 1, 3000)
+    pts = pd.DataFrame({
+        "pid": range(3000),
+        "lon": 8.0 + 3.0 * t2 + off / np.sqrt(2),
+        "lat": 38.0 + 3.0 * t2 - off / np.sqrt(2),
+    })
+    points = spark.createDataFrame(pts)
+    exp = pip_join(points, aoi, how="inner").select("pid").toPandas()
+    got = pip_join_cells(points, aoi, res=8).select("pid").toPandas()
+    assert set(got.pid) == set(exp.pid)
+    assert len(exp) > 100
