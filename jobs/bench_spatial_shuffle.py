@@ -32,7 +32,8 @@ from pyspark.sql.types import StringType, StructField, StructType
 
 from i_landsat8_swlst_spark.session import get_spark
 from i_landsat8_swlst_spark.spatial import (aoi_cells_df, aoi_rings_df,
-                                            hexcell_udf, pip_join_cells,
+                                            hexcell_udf, knn_join,
+                                            knn_join_cells, pip_join_cells,
                                             points_in_ring)
 
 N_POINTS = 1_000_000
@@ -199,6 +200,49 @@ def main():
                              "wall_s": round(wall, 2)}
     assert mix["8"]["match_rows"] == mix["auto"]["match_rows"]
 
+    # ---- kNN: broadcast vs distributed (no station broadcast) ----------
+    # 50k stations over the same box; the distributed arm takes the station
+    # side as a Spark DataFrame and reports its certificate coverage.
+    rs = np.random.default_rng(61)
+    st_pdf = pd.DataFrame({
+        "station_id": [f"s{i:06d}" for i in range(50_000)],
+        "lon": rs.uniform(9.0, 11.0, 50_000),
+        "lat": rs.uniform(39.0, 41.0, 50_000),
+        "cwv_obs": rs.uniform(0, 6.3, 50_000),
+    })
+    st_df = spark.createDataFrame(st_pdf).persist()
+    st_df.count()
+    knn = {}
+    for rep in range(2):
+        for arm, fn in (
+                ("bcast", lambda: knn_join(pts, st_pdf, k=3)),
+                ("cells", lambda: knn_join_cells(pts, st_df, k=3, res=7,
+                                                 key_cols=["pid"]))):
+            group = f"knn-{arm}-{rep}"
+            sc = spark.sparkContext
+            sc.setJobGroup(group, arm)
+            t0 = time.perf_counter()
+            n = fn().count()
+            wall = time.perf_counter() - t0
+            sc.setJobGroup("idle", "idle")
+            w, r = _group_shuffle_bytes(spark, group)
+            rec = knn.setdefault(arm, {"rows": n, "walls": [], "write": w})
+            rec["walls"].append(wall)
+    cert = (knn_join_cells(pts, st_df, k=3, res=7, key_cols=["pid"])
+            .groupBy("knn_certified").count().collect())
+    knn["certified"] = {str(r["knn_certified"]): r["count"] for r in cert}
+    knn_summary = {
+        "stations": 50_000,
+        "bcast_wall_min_s": round(min(knn["bcast"]["walls"]), 2),
+        "cells_wall_min_s": round(min(knn["cells"]["walls"]), 2),
+        "bcast_shuffle_write_mb": round(knn["bcast"]["write"] / 2**20, 1),
+        "cells_shuffle_write_mb": round(knn["cells"]["write"] / 2**20, 1),
+        "bcast_rows": knn["bcast"]["rows"],
+        "cells_rows": knn["cells"]["rows"],
+        "certified_rows": knn["certified"],
+    }
+    print(json.dumps(knn_summary))
+
     md = Path(__file__).resolve().parent.parent / "BENCH" / "SPATIAL_SHUFFLE.md"
     md.write_text(f"""# Distributed PIP join: shuffle-bytes A/B (round 4)
 
@@ -249,9 +293,35 @@ Auto registers the huge polygon at res 7 and the small ones at res 9:
 rows through the candidate shuffle's build side, while small polygons get
 finer keys (less fan-in per hot cell).
 
+## kNN: broadcast vs distributed (no station broadcast)
+
+{N_POINTS:,} points x 50,000 stations (dense 2x2-deg box), k=3, res 7.
+The broadcast arm ships the station arrays to every task (zero shuffle);
+the distributed arm takes the stations as a Spark DataFrame (never
+driver-resident at scale), 7-cell registration, bare equi join.
+
+| arm | wall (min of 2) | shuffle write | output rows |
+| --- | --- | --- | --- |
+| broadcast knn_join | {knn_summary['bcast_wall_min_s']} s | {knn_summary['bcast_shuffle_write_mb']} MB | {knn_summary['bcast_rows']:,} |
+| distributed knn_join_cells | {knn_summary['cells_wall_min_s']} s | {knn_summary['cells_shuffle_write_mb']} MB | {knn_summary['cells_rows']:,} |
+
+Certificate coverage of the distributed arm (rows by knn_certified):
+{knn_summary['certified_rows']} — uncertified rows route through
+knn_join_cells_exact's escalation in production.
+
+The broadcast arm's collapse at this station count is structural: each
+Arrow batch computes a dense (batch x 50k) haversine matrix, and the
+session's 64-row batches (tuned for ~256 KB tile rows, session.py) make
+that 15.6k matrix evaluations — the broadcast path is built for
+station tables that fit comfortably per batch (the fixture regime), and
+the cell-registered equi join is simply the right plan once the station
+table is large, independent of memory limits.
+
+
 ```json
 {json.dumps(out, indent=2)}
 {json.dumps(mix, indent=2)}
+{json.dumps(knn_summary, indent=2)}
 ```
 """)
     print(f"wrote {md}")
