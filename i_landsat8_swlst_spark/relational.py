@@ -1398,3 +1398,138 @@ def q_scalar_subquery(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_above_avg"))
     )
+
+
+# --- interval-overlap join (temporal join; scene acquisition-window overlap) -------
+# Raster use case: find scene pairs whose acquisition windows overlap (cloud-
+# free compositing candidates). Twinned over events: interval = [ts, ts+dur)
+# with dur derived by exact integer arithmetic; the join key (user_id) keeps
+# the plan a shuffled HASH join (inequalities are post-join filters), so the
+# same plan scales — no BNLJ, no time-bucketing needed while a key exists.
+# All arithmetic is integer microseconds: bit-identical across engines.
+
+_IV_DUR_US = "((CAST(round(value * 10) AS BIGINT) % 600) + 60) * 1000000"
+
+@register(
+    "q_interval_overlap",
+    f"""WITH iv AS (
+          SELECT user_id, event_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS s,
+             CAST(epoch_us(ts) AS BIGINT) + ({_IV_DUR_US}) AS e
+          FROM events)
+        SELECT least(a.event_type, b.event_type) AS type_a,
+           greatest(a.event_type, b.event_type) AS type_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+             AS overlap_us
+        FROM iv a JOIN iv b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+         AND a.s < b.e AND b.s < a.e
+        GROUP BY 1, 2""",
+)
+def q_interval_overlap(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    s = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        "user_id", "event_id", "event_type",
+        s.alias("s"), (s + F.expr(_IV_DUR_US)).alias("e"),
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    return (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+               & (F.col("a.event_id") < F.col("b.event_id"))
+               & (F.col("a.s") < F.col("b.e")) & (F.col("b.s") < F.col("a.e")))
+        .groupBy(
+            F.least("a.event_type", "b.event_type").alias("type_a"),
+            F.greatest("a.event_type", "b.event_type").alias("type_b"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.sum(F.least("a.e", "b.e") - F.greatest("a.s", "b.s"))
+              .alias("overlap_us"))
+    )
+
+
+# --- 2-D skyline (Pareto frontier): cheapest-per-size part frontier ----------------
+# Window formulation, identical semantics both engines: global order by
+# (price, size, key); a row is on the frontier iff its size is strictly
+# below every preceding size (first row qualifies). Equal (price, size)
+# duplicates keep the first in key order ("distinct skyline").
+#
+# The oracle runs ONE global window; a single global window would serialize
+# on one task at scale, so the Spark side is the standard two-phase exact
+# algorithm: per-bucket local skyline first (drops almost everything), then
+# the same window over the tiny survivor union. Phase 1 keeps a superset of
+# the frontier (a bucket's prefix-min >= the global prefix-min at the same
+# sort position), and the global running min is always achieved by the
+# first row attaining it — which no bucket filter can drop — so phase 2
+# reproduces the single-pass result exactly.
+
+_SKY_KEEP = (
+    "prev_min IS NULL OR p_size < prev_min"
+)
+
+@register(
+    "q_skyline",
+    """WITH w AS (
+          SELECT p_partkey, p_retailprice, p_size,
+             min(p_size) OVER (ORDER BY p_retailprice, p_size, p_partkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev_min
+          FROM part)
+        SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+           round(p_retailprice, 2) AS price,
+           CAST(p_size AS BIGINT) AS p_size
+        FROM w WHERE prev_min IS NULL OR p_size < prev_min""",
+)
+def q_skyline(spark, sf_dir):
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+
+    def local_frontier(df, part_cols):
+        order = [F.col("p_retailprice").asc(), F.col("p_size").asc(),
+                 F.col("p_partkey").asc()]
+        w = (Window.partitionBy(*part_cols) if part_cols else Window.partitionBy()
+             ).orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+        return (
+            df.withColumn("prev_min", F.min("p_size").over(w))
+            .filter(F.expr(_SKY_KEEP)).drop("prev_min")
+        )
+
+    survivors = local_frontier(p, [F.pmod(F.xxhash64("p_partkey"), F.lit(32))])
+    return local_frontier(survivors, []).select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        F.round("p_retailprice", 2).alias("price"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+
+
+# --- grid-density rasterization (point layer -> cell counts, SQL-exact form) -------
+# The vector->raster heatmap: bin points into a fixed lon/lat grid and
+# aggregate per cell. Production rasterize is applyInPandas (q_rasterize_
+# roundtrip); this twin proves the binning+agg algebra through the driver
+# hash gate. floor() on IEEE doubles is identical in both engines; one
+# map-side-combining aggregation is the only shuffle, so the same plan
+# rasterizes a 100-TB point table (cells ~ bounded, partial aggs collapse).
+
+_GRID_RES = 15.0
+
+@register(
+    "q_grid_density",
+    f"""SELECT CAST(floor((({_BB_PX}) + 180.0) / {_GRID_RES}) AS BIGINT) AS cx,
+           CAST(floor((({_BB_PY}) + 90.0) / {_GRID_RES}) AS BIGINT) AS cy,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents,
+           CAST(min(s_suppkey) AS BIGINT) AS min_key
+        FROM supplier GROUP BY 1, 2""",
+)
+def q_grid_density(spark, sf_dir):
+    sup = load(spark, sf_dir, "supplier")
+    px, py = F.expr(_BB_PX), F.expr(_BB_PY)
+    return (
+        sup.groupBy(
+            F.floor((px + 180.0) / _GRID_RES).alias("cx"),
+            F.floor((py + 90.0) / _GRID_RES).alias("cy"))
+        .agg(F.count(F.lit(1)).alias("n_points"),
+             F.sum(F.expr("CAST(round(s_acctbal * 100) AS BIGINT)"))
+              .alias("bal_cents"),
+             F.min("s_suppkey").alias("min_key"))
+    )

@@ -1046,3 +1046,58 @@ def q_tfidf(spark, sf_dir):
                 F.round(F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6)
                 .alias("tfidf"))
     )
+
+
+# --- deterministic corpus split (train/val/test by content-stable hash) ------------
+# The held-out-split primitive of a training-data pipeline: assign every
+# document to a split by hashing a STABLE key (doc_id) — reproducible across
+# runs, engines, and cluster sizes, unlike sample()/rand(). Bucket = first
+# 8 md5 hex digits of the key parsed base-16 (the same cross-engine fold as
+# minhash: Spark conv() == DuckDB's exact hex arithmetic), mod 100:
+# <80 train / <90 val / else test. One map-side-combining aggregation is
+# the only shuffle; at 100 TB the split column would be written back
+# partitioned-by-split instead of aggregated.
+
+def _md5_fold_sql(expr: str) -> str:
+    c = f"substr(md5({expr}), {{k}}, 1)"
+    hv = ("(CASE WHEN {c} BETWEEN '0' AND '9' THEN ascii({c}) - 48 "
+          "ELSE ascii({c}) - 87 END)")
+    terms = [
+        f"CAST({hv.format(c=c.format(k=k))} AS BIGINT) * {16 ** (8 - k)}"
+        for k in range(1, 9)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_SPLIT_SQL = (
+    f"CASE WHEN {_md5_fold_sql('CAST(doc_id AS VARCHAR)')} % 100 < 80 "
+    "THEN 'train' WHEN "
+    f"{_md5_fold_sql('CAST(doc_id AS VARCHAR)')} % 100 < 90 "
+    "THEN 'val' ELSE 'test' END"
+)
+
+
+@register(
+    "q_hash_split",
+    f"""SELECT {_SPLIT_SQL} AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(sum({_NTOK}) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+        FROM documents GROUP BY 1""",
+)
+def q_hash_split(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.sum(F.expr(_NTOK)).alias("n_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
