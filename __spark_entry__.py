@@ -95,6 +95,49 @@ def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: focal (neighborhood) statistics of the LST plane — the
+    r.neighbors companion product (pipeline.focal_stats_tiles, one extra
+    mapInArrow hop over the tile table; valid-cell window semantics).
+    Kernel parity vs a naive numpy oracle in tests/test_kernels.py; the
+    Spark hop vs the kernel in tests/test_pipeline.py."""
+    from i_landsat8_swlst_spark import pipeline
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5)
+    focal = pipeline.focal_stats_tiles(tiles, window=5)
+    return (
+        focal.groupBy("scene_id")
+        .agg(F.count(F.lit(1)).alias("n_tiles"),
+             F.sum("n_valid").alias("n_focal_valid"),
+             F.sum(F.length("mean_bytes")).alias("mean_plane_bytes"))
+        .orderBy("scene_id")
+    )
+
+
+def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: per-zone LST statistics (the r.univar-per-region consumer
+    product) via spatial.zonal_stats — PIP zone assignment + ONE map-side-
+    combining agg; how='left' adds the outside-all-zones complement row so
+    pixel totals reconcile. Pandas-oracle parity in tests/test_spatial.py."""
+    from i_landsat8_swlst_spark import pipeline, spatial, synth
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    pixels = pipeline.lst_pixels(
+        pipeline.build_enriched_with_grid(scenes, meta, emis), window=5
+    ).select("scene_id", "lon", "lat", "lst_k")
+    z = spatial.zonal_stats(pixels, synth.aoi_pdf("tiny"),
+                            value_cols=("lst_k",), how="left")
+    return z.select(
+        "aoi_id", "aoi_category", "n_pixels", "lst_k_valid",
+        F.round("lst_k_mean", 4).alias("lst_k_mean"),
+        F.round("lst_k_min", 4).alias("lst_k_min"),
+        F.round("lst_k_max", 4).alias("lst_k_max"),
+        F.round("lst_k_std", 4).alias("lst_k_std"),
+    ).orderBy(F.col("aoi_id").asc_nulls_last())
+
+
 def _q_pip_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: DISTRIBUTED point-in-polygon join (hex-cell equi join +
     exact ray-cast verify, NO polygon broadcast) — the scale path when the
@@ -634,6 +677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_sketch_stats"] = q.pop("q_sketch_stats")
     q["q_lst_pipeline"] = _q_lst_pipeline
     q["q_pip_join"] = _q_pip_join
+    q["q_zonal_stats"] = _q_zonal_stats
+    q["q_focal_stats"] = _q_focal_stats
     q["q_pip_cells"] = _q_pip_cells
     q["q_knn_stations"] = _q_knn_stations
     q["q_knn_cells"] = _q_knn_cells

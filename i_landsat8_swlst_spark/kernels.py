@@ -399,3 +399,74 @@ def fused_lst_kernel(
         "lst_k": lst_k,
         "lst_c": kelvin_to_celsius(lst_k),
     }
+
+
+# ---------------------------------------------------------------------------
+# Focal (neighborhood) statistics — the r.neighbors-style companion to the
+# CWV window: per-pixel stats over a win x win neighborhood.
+# ---------------------------------------------------------------------------
+
+
+def focal_stats(x: np.ndarray, window: int = 5) -> dict:
+    """Per-pixel neighborhood statistics over a ``window x window`` box.
+
+    Unlike the CWV ratio (C7), which NULLs a pixel when ANY window cell is
+    NULL/off-map (reference poison semantics), focal stats follow the
+    r.neighbors convention: each statistic is computed over the VALID
+    (finite, in-bounds) cells of the window — edges use the in-bounds
+    subset, NaN cells are skipped, and only a window with zero valid cells
+    (or < 2 for the sample stddev) yields NaN.
+
+    Returns dict of float64 arrays: ``count`` (valid cells), ``mean``,
+    ``std`` (sample), ``min``, ``max``. Shape-generic over leading batch
+    dims like cwv_ratio: (..., h, w) runs each plane independently.
+
+    mean/std come from cumsum box sums (O(1) per pixel, window-size
+    independent); min/max from a sliding-window view (O(win^2) per pixel —
+    no O(1) exact algorithm exists for order statistics; fine for the
+    small odd windows the reference uses).
+    """
+    if window % 2 != 1 or window < 3:
+        raise ValueError(f"window must be odd and >= 3, got {window}")
+    r = window // 2
+    x = np.asarray(x, dtype=np.float64)
+    h, w = x.shape[-2:]
+    lead = x.shape[:-2]
+    finite = np.isfinite(x)
+    a = np.where(finite, x, 0.0)
+
+    P = np.zeros((3, *lead, h + 2 * r + 1, w + 2 * r + 1))
+    P[0, ..., r + 1 : r + 1 + h, r + 1 : r + 1 + w] = a
+    np.multiply(P[0], P[0], out=P[1])
+    P[2, ..., r + 1 : r + 1 + h, r + 1 : r + 1 + w] = finite
+    box = _box_from_padded(P, window)
+    s, ssq, cnt = box[0], box[1], box[2]
+    cnt = np.rint(cnt)  # integer-valued by construction; kill cumsum dust
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean = s / cnt
+        # sample variance via the sum-of-squares identity; clamp the tiny
+        # negative fp residue a constant plane produces
+        var = (ssq - s * s / cnt) / (cnt - 1.0)
+    mean[cnt == 0] = np.nan
+    np.maximum(var, 0.0, out=var)
+    var[cnt < 2] = np.nan
+    std = np.sqrt(var, out=var)
+
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def _extreme(fill: float, fn) -> np.ndarray:
+        p = np.full((*lead, h + 2 * r, w + 2 * r), fill)
+        p[..., r : r + h, r : r + w] = np.where(finite, x, fill)
+        v = sliding_window_view(p, (window, window), axis=(-2, -1))
+        out = fn(v, axis=(-2, -1))
+        out[cnt == 0] = np.nan
+        return out
+
+    return {
+        "count": cnt,
+        "mean": mean,
+        "std": std,
+        "min": _extreme(np.inf, np.min),
+        "max": _extreme(-np.inf, np.max),
+    }

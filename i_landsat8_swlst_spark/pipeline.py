@@ -693,3 +693,56 @@ def rasterize_pixels(
         }])
 
     return pixels.groupBy("scene_id", "tile_x", "tile_y").applyInPandas(fn, out_schema)
+
+
+FOCAL_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("scene_id", StringType()),
+    StructField("tile_x", IntegerType()),
+    StructField("tile_y", IntegerType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("mean_bytes", BinaryType()),   # float32 LE planes
+    StructField("std_bytes", BinaryType()),
+    StructField("min_bytes", BinaryType()),
+    StructField("max_bytes", BinaryType()),
+    StructField("n_valid", LongType()),        # pixels with >= 1 valid cell
+])
+
+
+def focal_stats_tiles(tiles: DataFrame, window: int = 5,
+                      src_col: str = "lst_bytes") -> DataFrame:
+    """Neighborhood (focal) statistics over a tile raster column — the
+    r.neighbors companion product: smooth/roughness/extreme maps of the
+    LST (or CWV) plane produced by ``lst_tiles``.
+
+    Raster in, raster out: decodes the f32 plane per tile, runs
+    kernels.focal_stats (valid-cell semantics; see its docstring for how
+    this differs from the CWV poison window), emits f32 mean/std/min/max
+    planes. One mapInArrow hop, embarrassingly parallel per tile —
+    tile-LOCAL semantics (windows do not cross tile borders; route through
+    the halo assembly of lst_tiles_halo first when cross-tile windows
+    matter, same trade the CWV window documents).
+    """
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in FOCAL_SCHEMA}
+            ap = {k: v.append for k, v in cols.items()}
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                plane = codecs.decode_f32bt(getattr(row, src_col), w, h)
+                r = K.focal_stats(plane, window=window)
+                ap["image_id"](row.image_id)
+                ap["scene_id"](row.scene_id)
+                ap["tile_x"](row.tile_x); ap["tile_y"](row.tile_y)
+                ap["w"](w); ap["h"](h)
+                ap["mean_bytes"](r["mean"].astype("<f4").tobytes())
+                ap["std_bytes"](r["std"].astype("<f4").tobytes())
+                ap["min_bytes"](r["min"].astype("<f4").tobytes())
+                ap["max_bytes"](r["max"].astype("<f4").tobytes())
+                ap["n_valid"](int((r["count"] > 0).sum()))
+            if cols["image_id"]:
+                yield _batch_from_cols(cols, FOCAL_SCHEMA)
+
+    return tiles.mapInArrow(fn, FOCAL_SCHEMA)

@@ -994,3 +994,47 @@ def enrich_pixels_cells(points: DataFrame, aoi, stations, k: int = 3,
     knn_sel = knn.select(*key_cols, *st_cols)
 
     return both.join(knn_sel, on=key_cols, how="inner")
+
+
+def zonal_stats(points: DataFrame, aoi, value_cols=("lst_k",),
+                how: str = "inner", distributed: bool = False,
+                res: int | str = 8, lon_col: str = "lon",
+                lat_col: str = "lat") -> DataFrame:
+    """Per-zone statistics of pixel values — the r.univar-per-region product
+    (the reference workflow's consumer step: LST raster + a vector zone map
+    -> one stats row per zone).
+
+    PIP-assigns pixels to AOI zones (broadcast R-tree by default;
+    ``distributed=True`` routes through the cell-key equi join when the
+    zone layer outgrows a broadcast), then ONE aggregation keyed by
+    (aoi_id, aoi_category). Partial aggregates collapse map-side before
+    the only shuffle, so a 100-TB pixel table reduces to |zones| output
+    rows with no wide intermediate; every statistic here (count / mean /
+    min / max / sample stddev via sum + sum-of-squares) is
+    partial-aggregable, which is exactly why they are the ones offered.
+
+    ``how="left"`` keeps pixels contained by no zone as a NULL-aoi_id row
+    (the outside-all-zones complement) so totals reconcile with the input;
+    overlapping zones count a pixel once PER zone (join semantics, like
+    the underlying PIP).
+    """
+    if distributed:
+        if how == "left":
+            raise ValueError(
+                "distributed zonal_stats is inner-only (pip_join_cells); "
+                "compose a left_anti for the outside-complement row")
+        joined = pip_join_cells(points, aoi, res=res,
+                                lon_col=lon_col, lat_col=lat_col)
+    else:
+        joined = pip_join(points, aoi, lon_col=lon_col, lat_col=lat_col,
+                          how=how)
+    aggs = [F.count(F.lit(1)).alias("n_pixels")]
+    for c in value_cols:
+        aggs += [
+            F.count(c).alias(f"{c}_valid"),
+            F.avg(c).alias(f"{c}_mean"),
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+            F.stddev_samp(c).alias(f"{c}_std"),
+        ]
+    return joined.groupBy("aoi_id", "aoi_category").agg(*aggs)

@@ -152,3 +152,66 @@ def test_fused_dn_to_bt_equals_composed_stages():
                            C.K1_B10, C.K2_B10)
     np.testing.assert_array_equal(via_lut, composed)
     np.testing.assert_array_equal(via_arith, composed)
+
+
+# --- focal (neighborhood) statistics ------------------------------------------------
+
+
+def _focal_naive(x, window):
+    rad = window // 2
+    h, w = x.shape
+    out = {k: np.full((h, w), np.nan) for k in ("count", "mean", "std", "min", "max")}
+    for i in range(h):
+        for j in range(w):
+            win = x[max(0, i - rad):i + rad + 1, max(0, j - rad):j + rad + 1]
+            v = win[np.isfinite(win)]
+            out["count"][i, j] = len(v)
+            if len(v) == 0:
+                continue
+            out["mean"][i, j] = v.mean()
+            out["min"][i, j] = v.min()
+            out["max"][i, j] = v.max()
+            if len(v) > 1:
+                out["std"][i, j] = v.std(ddof=1)
+    return out
+
+
+def test_focal_stats_matches_naive():
+    rng = np.random.default_rng(51)
+    x = rng.uniform(250, 330, (17, 13))
+    x[rng.random(x.shape) < 0.25] = np.nan
+    for window in (3, 5, 7):
+        got = K.focal_stats(x, window)
+        exp = _focal_naive(x, window)
+        np.testing.assert_array_equal(got["count"], exp["count"])
+        # min/max are exact selections; mean/std differ only by cumsum
+        # association order
+        np.testing.assert_array_equal(got["min"], exp["min"])
+        np.testing.assert_array_equal(got["max"], exp["max"])
+        for k in ("mean", "std"):
+            np.testing.assert_allclose(got[k], exp[k], rtol=1e-9, equal_nan=True)
+
+
+def test_focal_stats_all_nan_and_constant_planes():
+    x = np.full((6, 6), np.nan)
+    r = K.focal_stats(x, 3)
+    assert (r["count"] == 0).all()
+    for k in ("mean", "std", "min", "max"):
+        assert np.isnan(r[k]).all()
+    # constant plane: the sum-of-squares identity must clamp to std == 0,
+    # not go NaN on the tiny negative fp residue
+    c = np.full((6, 6), 300.25)
+    rc = K.focal_stats(c, 3)
+    np.testing.assert_array_equal(rc["std"], np.zeros((6, 6)))
+    np.testing.assert_array_equal(rc["mean"], c)
+
+
+def test_focal_stats_batch_dim_identical():
+    rng = np.random.default_rng(52)
+    x = rng.uniform(0, 1, (4, 11, 7))
+    x[rng.random(x.shape) < 0.2] = np.nan
+    stacked = K.focal_stats(x, 5)
+    for i in range(4):
+        single = K.focal_stats(x[i], 5)
+        for k in stacked:
+            np.testing.assert_array_equal(stacked[k][i], single[k])

@@ -232,3 +232,24 @@ def test_composite_two_footprints_never_merge(spark):
     s1 = set(map(tuple, per[per.scene_id.str.startswith("LC08_00001")][["lon", "lat"]].to_numpy()))
     assert s0 and s1 and not (s0 & s1)
     assert len(comp) == len(s0) + len(s1)
+
+
+def test_focal_stats_tiles_matches_kernel(tiny):
+    from i_landsat8_swlst_spark import kernels as K
+
+    scenes, meta, emis = tiny
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=WINDOW)
+    focal = pipeline.focal_stats_tiles(tiles, window=5).filter(
+        "scene_id = 'LC08_00001'").toPandas()
+    src = tiles.filter("scene_id = 'LC08_00001'").select(
+        "tile_x", "tile_y", "w", "h", "lst_bytes").toPandas()
+    assert len(focal) == len(src) > 0
+    merged = focal.merge(src, on=["tile_x", "tile_y", "w", "h"], validate="1:1")
+    for _, row in merged.iterrows():
+        plane = np.frombuffer(row.lst_bytes, dtype="<f4").reshape(row.h, row.w)
+        exp = K.focal_stats(plane.astype(np.float64), window=5)
+        for name in ("mean", "std", "min", "max"):
+            got = np.frombuffer(row[f"{name}_bytes"], dtype="<f4").reshape(row.h, row.w)
+            np.testing.assert_array_equal(got, exp[name].astype(np.float32))
+        assert row.n_valid == int((exp["count"] > 0).sum())

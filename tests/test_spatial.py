@@ -580,3 +580,57 @@ def test_tight_cover_prunes_sliver_polygons(spark):
     got = pip_join_cells(points, aoi, res=8).select("pid").toPandas()
     assert set(got.pid) == set(exp.pid)
     assert len(exp) > 100
+
+
+def test_zonal_stats_matches_pandas_oracle(spark):
+    aoi = synth.aoi_pdf("tiny")
+    pp = spatial.PackedPolygons.from_pdf(aoi)
+    rng = np.random.default_rng(41)
+    pts = []
+    for kpoly in range(len(pp.aoi_ids)):
+        b = pp.bbox[kpoly]
+        for _ in range(40):
+            pts.append((float(rng.uniform(b[0] - 0.1, b[2] + 0.1)),
+                        float(rng.uniform(b[1] - 0.1, b[3] + 0.1))))
+    pdf = pd.DataFrame(pts, columns=["lon", "lat"])
+    pdf["pid"] = np.arange(len(pdf), dtype=np.int64)
+    pdf["lst_k"] = rng.uniform(260.0, 330.0, len(pdf))
+    # NULL values must count in n_pixels but not in the value stats
+    pdf.loc[pdf.index % 7 == 0, "lst_k"] = np.nan
+    points = spark.createDataFrame(pdf)
+
+    got = spatial.zonal_stats(points, aoi, value_cols=("lst_k",),
+                              how="left").toPandas()
+
+    # pandas truth from the numpy PIP oracle
+    pi, gi = spatial.query_polygons(pp, pdf["lon"].to_numpy(), pdf["lat"].to_numpy())
+    rows = pdf.iloc[pi].copy()
+    rows["aoi_id"] = pp.aoi_ids[gi]
+    outside = pdf.loc[~pdf.index.isin(np.unique(pi))].copy()
+    outside["aoi_id"] = None
+    exp_src = pd.concat([rows, outside], ignore_index=True)
+    exp = exp_src.groupby("aoi_id", dropna=False).agg(
+        n_pixels=("pid", "size"), lst_k_valid=("lst_k", "count"),
+        lst_k_mean=("lst_k", "mean"), lst_k_min=("lst_k", "min"),
+        lst_k_max=("lst_k", "max"), lst_k_std=("lst_k", "std"),
+    ).reset_index()
+
+    assert len(got) == len(exp) > 2
+    g = got.set_index(got["aoi_id"].fillna("__out__")).sort_index()
+    e = exp.set_index(exp["aoi_id"].fillna("__out__")).sort_index()
+    assert list(g.index) == list(e.index)
+    np.testing.assert_array_equal(g["n_pixels"].to_numpy(), e["n_pixels"].to_numpy())
+    np.testing.assert_array_equal(g["lst_k_valid"].to_numpy(), e["lst_k_valid"].to_numpy())
+    for c in ("lst_k_mean", "lst_k_min", "lst_k_max", "lst_k_std"):
+        np.testing.assert_allclose(g[c].to_numpy(np.float64),
+                                   e[c].to_numpy(np.float64), rtol=1e-9)
+
+    # distributed path: identical zone rows (inner semantics)
+    dist = spatial.zonal_stats(points, aoi, value_cols=("lst_k",),
+                               distributed=True).toPandas()
+    gi_ = got[got["aoi_id"].notna()].sort_values("aoi_id").reset_index(drop=True)
+    di = dist.sort_values("aoi_id").reset_index(drop=True)
+    assert list(di["aoi_id"]) == list(gi_["aoi_id"])
+    np.testing.assert_array_equal(di["n_pixels"].to_numpy(), gi_["n_pixels"].to_numpy())
+    np.testing.assert_allclose(di["lst_k_mean"].to_numpy(np.float64),
+                               gi_["lst_k_mean"].to_numpy(np.float64), rtol=1e-9)
