@@ -95,6 +95,42 @@ def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: distributed raster connected-component labeling
+    (regions.extract_regions) — threshold-region / hot-spot extraction with
+    cross-tile stitching: tile-local two-pass labeling, border equi-join
+    stitch, min-label CC over the region graph. Whole-scene BFS-oracle
+    parity (incl. regions spanning tiles) in tests/test_regions.py."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import regions
+
+    rng = np.random.default_rng(62)
+    rows = []
+    for s in range(2):
+        base = rng.uniform(260.0, 330.0, (12, 12))
+        plane = np.kron(base, np.ones((8, 8))) + rng.uniform(-1.0, 1.0, (96, 96))
+        plane[rng.random(plane.shape) < 0.03] = np.nan
+        for ty in range(3):
+            for tx in range(3):
+                t = plane[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32]
+                rows.append({"scene_id": f"S{s}", "tile_x": tx, "tile_y": ty,
+                             "w": 32, "h": 32,
+                             "lst_bytes": t.astype("<f4").tobytes()})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    r = regions.extract_regions(tiles, threshold=300.0)
+    return (
+        r.groupBy("scene_id")
+        .agg(F.count(F.lit(1)).alias("n_regions"),
+             F.sum("area_px").alias("total_area_px"),
+             F.max("area_px").alias("largest_area_px"),
+             F.sum(F.when(F.col("n_parts") > 1, 1).otherwise(0)).alias("n_stitched"),
+             F.round(F.max("max_val"), 4).alias("hottest"))
+        .orderBy("scene_id")
+    )
+
+
 def _q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: focal (neighborhood) statistics of the LST plane — the
     r.neighbors companion product (pipeline.focal_stats_tiles, one extra
@@ -679,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_pip_join"] = _q_pip_join
     q["q_zonal_stats"] = _q_zonal_stats
     q["q_focal_stats"] = _q_focal_stats
+    q["q_extract_regions"] = _q_extract_regions
     q["q_pip_cells"] = _q_pip_cells
     q["q_knn_stations"] = _q_knn_stations
     q["q_knn_cells"] = _q_knn_cells

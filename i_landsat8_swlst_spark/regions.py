@@ -1,0 +1,260 @@
+"""Distributed raster connected-component labeling — threshold-region
+("urban heat island" / hot-spot) extraction over a tiled LST product.
+
+The classic raster->object step the reference workflow runs after the LST
+map (r.reclass + r.clump + r.report in GRASS terms): binarize the plane at
+a threshold, label 4-connected regions, report per-region area / value
+stats / bounding box. A region routinely spans many tiles, so a
+single-machine labeling pass does not scale; this module runs the textbook
+distributed decomposition:
+
+1. **Tile-local labeling** (mapInArrow, embarrassingly parallel): each
+   tile labels its own mask with a two-pass run-union algorithm and emits
+   (a) one row per LOCAL region with its partial stats and (b) its masked
+   border pixels in SCENE pixel coordinates.
+2. **Border stitch** (one equi join): a border pixel at (gx, gy) probes
+   its across-border 4-neighbors; matching (scene, gx, gy) keys yield
+   edges between local-region nodes. Only border pixels — O(perimeter),
+   not O(area) — cross this shuffle.
+3. **Label reduction**: iterative min-label propagation over the region
+   graph (the same bounded-round kernel as textops.q_dedup_clusters —
+   the graph has one node per LOCAL region, vastly smaller than the
+   pixel count).
+4. **Final fold**: one aggregation keyed by (scene, root label) merges
+   the partial stats; every statistic emitted is partial-aggregable.
+
+Scale shape: pass 1 is pixel-parallel with zero shuffle; passes 2-4 touch
+only region/border rows. The pixel planes never travel.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    DoubleType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from . import codecs
+from .pipeline import _batch_from_cols, _batch_rows
+
+# ONE extraction pass emits both row kinds (kind 0 = local region with
+# partial stats; kind 1 = masked border cell; kind 2 = across-border probe)
+# so each tile is decoded and labeled exactly once — two passes would scan
+# the pixel bytes twice, the dominant cost at scale. Unused fields are 0.
+EXTRACT_SCHEMA = StructType([
+    StructField("scene_id", StringType()),
+    StructField("kind", IntegerType()),
+    StructField("node", LongType()),      # packed (tile_x, tile_y, local label)
+    StructField("area_px", LongType()),
+    StructField("sum_val", DoubleType()),
+    StructField("min_val", DoubleType()),
+    StructField("max_val", DoubleType()),
+    StructField("gx0", IntegerType()),    # inclusive bbox, scene pixel coords
+    StructField("gy0", IntegerType()),
+    StructField("gx1", IntegerType()),
+    StructField("gy1", IntegerType()),
+    StructField("gx", IntegerType()),     # border cell / probe coordinate
+    StructField("gy", IntegerType()),
+])
+
+
+def _pack_node(tile_x: int, tile_y: int, label: np.ndarray) -> np.ndarray:
+    # 21 bits each is far beyond any real tile grid; labels are per-tile
+    return (np.int64(tile_x) << 42) | (np.int64(tile_y) << 21) | label.astype(np.int64)
+
+
+def label_tile(mask: np.ndarray) -> tuple[np.ndarray, int]:
+    """Two-pass 4-connectivity labeling of one boolean plane.
+
+    Returns (labels, n): labels is int64, -1 outside the mask, else a
+    dense id in [0, n). Horizontal runs get provisional ids; vertical
+    overlaps union them (tiny union-find over run ids — runs per tile are
+    O(h * w / run_len), far fewer than pixels).
+    """
+    h, w = mask.shape
+    padded = np.zeros((h, w + 1), dtype=bool)
+    padded[:, :w] = mask
+    flat = padded.ravel()
+    starts = flat & ~np.concatenate(([False], flat[:-1]))
+    run_of = np.cumsum(starts) - 1          # run id per flat cell
+    n_runs = int(starts.sum())
+    labels = np.full(padded.shape, -1, dtype=np.int64)
+    labels.ravel()[flat] = run_of[flat]
+    labels = labels[:, :w]
+
+    parent = np.arange(n_runs, dtype=np.int64)
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    both = mask[1:, :] & mask[:-1, :]
+    ra = labels[1:, :][both]
+    rb = labels[:-1, :][both]
+    # unique run pairs only — the union count is O(runs), not O(pixels)
+    for a, b in zip(*np.unique(np.stack([ra, rb]), axis=1)) if ra.size else ():
+        fa, fb = find(int(a)), find(int(b))
+        if fa != fb:
+            parent[max(fa, fb)] = min(fa, fb)
+    if n_runs:
+        roots = np.array([find(int(i)) for i in range(n_runs)], dtype=np.int64)
+        _, dense = np.unique(roots, return_inverse=True)
+        out = np.full((h, w), -1, dtype=np.int64)
+        m = labels >= 0
+        out[m] = dense[labels[m]]
+        return out, int(dense.max()) + 1
+    return labels, 0
+
+
+def _extract_pass(tiles: DataFrame, threshold: float, src_col: str) -> DataFrame:
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in EXTRACT_SCHEMA}
+            ap = {k: v.append for k, v in cols.items()}
+
+            def emit(scene, kind, node, area=0, ssum=0.0, vmin=0.0, vmax=0.0,
+                     gx0=0, gy0=0, gx1=0, gy1=0, gx=0, gy=0):
+                ap["scene_id"](scene); ap["kind"](kind); ap["node"](int(node))
+                ap["area_px"](int(area)); ap["sum_val"](float(ssum))
+                ap["min_val"](float(vmin)); ap["max_val"](float(vmax))
+                ap["gx0"](int(gx0)); ap["gy0"](int(gy0))
+                ap["gx1"](int(gx1)); ap["gy1"](int(gy1))
+                ap["gx"](int(gx)); ap["gy"](int(gy))
+
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                tx, ty = int(row.tile_x), int(row.tile_y)
+                plane = codecs.decode_f32bt(getattr(row, src_col), w, h).astype(np.float64)
+                mask = np.isfinite(plane) & (plane > threshold)
+                if not mask.any():
+                    continue
+                labels, n = label_tile(mask)
+                ox, oy = tx * w, ty * h
+
+                m = labels >= 0
+                lab = labels[m]
+                vals = plane[m]
+                yy, xx = np.nonzero(m)
+                area = np.bincount(lab, minlength=n)
+                ssum = np.bincount(lab, weights=vals, minlength=n)
+                node = _pack_node(tx, ty, np.arange(n))
+                vmin = np.full(n, np.inf)
+                vmax = np.full(n, -np.inf)
+                np.minimum.at(vmin, lab, vals)
+                np.maximum.at(vmax, lab, vals)
+                x0 = np.full(n, w + 1.0); y0 = np.full(n, h + 1.0)
+                x1 = np.full(n, -1.0); y1 = np.full(n, -1.0)
+                np.minimum.at(x0, lab, xx); np.minimum.at(y0, lab, yy)
+                np.maximum.at(x1, lab, xx); np.maximum.at(y1, lab, yy)
+                for k in range(n):
+                    emit(row.scene_id, 0, node[k], area[k], ssum[k],
+                         vmin[k], vmax[k], ox + x0[k], oy + y0[k],
+                         ox + x1[k], oy + y1[k])
+
+                # masked border pixels + their across-border probes;
+                # only O(perimeter) rows per tile
+                sides = (
+                    (labels[0, :], np.arange(w), np.zeros(w, np.int64), 0, -1),
+                    (labels[h - 1, :], np.arange(w), np.full(w, h - 1, np.int64), 0, 1),
+                    (labels[:, 0], np.zeros(h, np.int64), np.arange(h), -1, 0),
+                    (labels[:, w - 1], np.full(h, w - 1, np.int64), np.arange(h), 1, 0),
+                )
+                for slab, xs, ys, dx, dy in sides:
+                    sm = slab >= 0
+                    if not sm.any():
+                        continue
+                    snode = _pack_node(tx, ty, slab[sm])
+                    for gx, gy, nd in zip(ox + xs[sm], oy + ys[sm], snode):
+                        emit(row.scene_id, 1, nd, gx=gx, gy=gy)
+                        emit(row.scene_id, 2, nd, gx=gx + dx, gy=gy + dy)
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, EXTRACT_SCHEMA)
+
+    return tiles.mapInArrow(fn, EXTRACT_SCHEMA)
+
+
+def _cc_min_label(nodes: DataFrame, edges: DataFrame, key: str = "scene_id") -> DataFrame:
+    """Min-label propagation to fixpoint over (key, v) nodes — the
+    textops.q_dedup_clusters kernel with a composite per-scene key.
+    Rounds <= graph diameter; each round is one bounded equi-join +
+    map-side-combining min, localCheckpointed to truncate lineage."""
+    lab = nodes.select(key, "v", F.col("v").alias("label")).localCheckpoint()
+    edges = edges.localCheckpoint()
+    while True:
+        neigh = (
+            edges.join(
+                lab.select(key, F.col("v").alias("u"), F.col("label").alias("ulabel")),
+                on=[key, "u"])
+            .groupBy(key, "v").agg(F.min("ulabel").alias("nmin"))
+        )
+        new = (
+            lab.join(neigh, on=[key, "v"], how="left")
+            .select(key, "v",
+                    F.least("label", F.coalesce("nmin", F.col("label"))).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n").join(lab.alias("o"), on=[key, "v"])
+            .filter(F.col("n.label") != F.col("o.label")).count()
+        )
+        lab = new
+        if changed == 0:
+            return lab
+
+
+def extract_regions(tiles: DataFrame, threshold: float,
+                    src_col: str = "lst_bytes") -> DataFrame:
+    """Threshold-region extraction over a tile table (``lst_tiles`` output):
+    one row per 4-connected region of ``plane > threshold`` ACROSS tile
+    borders, with exact area / value stats / scene-coordinate bbox.
+
+    Assumes the uniform tile grid the synth/reference scenes use (scene
+    pixel coords are tile_x * w + px). Returns: scene_id, region_id
+    (stable packed label), area_px, mean_val, min_val, max_val,
+    gx0/gy0/gx1/gy1, n_parts (tile-local parts merged into the region).
+    """
+    # one decode+label pass; the extraction (regions + border cells) is
+    # O(regions + perimeter) — tiny vs the pixel planes — so persisting it
+    # for the multi-consumer graph below is the scale-correct move
+    from pyspark import StorageLevel
+
+    ex = _extract_pass(tiles, threshold, src_col).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        regions = ex.filter("kind = 0")
+        cells = ex.filter("kind = 1").select("scene_id", "gx", "gy", "node")
+        probes = (ex.filter("kind = 2")
+                  .select("scene_id", "gx", "gy", F.col("node").alias("pnode")))
+        stitched = (
+            probes.join(cells, on=["scene_id", "gx", "gy"])
+            .filter(F.col("pnode") != F.col("node"))
+            .select("scene_id", F.col("pnode").alias("v"), F.col("node").alias("u"))
+            .localCheckpoint()
+        )
+        edges = stitched.unionAll(
+            stitched.select("scene_id", F.col("u").alias("v"), F.col("v").alias("u")))
+
+        nodes = regions.select("scene_id", F.col("node").alias("v"))
+        lab = _cc_min_label(nodes, edges)
+
+        return (
+            regions.withColumnRenamed("node", "v")
+            .join(lab, on=["scene_id", "v"])
+            .groupBy("scene_id", F.col("label").alias("region_id"))
+            .agg(F.sum("area_px").alias("area_px"),
+                 (F.sum("sum_val") / F.sum("area_px")).alias("mean_val"),
+                 F.min("min_val").alias("min_val"),
+                 F.max("max_val").alias("max_val"),
+                 F.min("gx0").alias("gx0"), F.min("gy0").alias("gy0"),
+                 F.max("gx1").alias("gx1"), F.max("gy1").alias("gy1"),
+                 F.count(F.lit(1)).alias("n_parts"))
+            .localCheckpoint()  # materialize before unpersisting the base
+        )
+    finally:
+        ex.unpersist()

@@ -1,0 +1,162 @@
+"""Distributed raster connected-component labeling (regions.extract_regions)
+vs a naive whole-scene BFS oracle, plus label_tile unit vectors."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from i_landsat8_swlst_spark import constants as C, pipeline, regions, synth
+
+WINDOW = 5
+
+
+def _naive_regions(plane: np.ndarray, threshold: float) -> list[tuple]:
+    """BFS 4-connectivity labeling of the assembled scene plane; returns
+    sorted (area, sum, min, max, bbox) tuples — label ids are arbitrary on
+    both sides, so parity compares the stat multiset."""
+    mask = np.isfinite(plane) & (plane > threshold)
+    seen = np.zeros_like(mask)
+    h, w = mask.shape
+    out = []
+    for i0 in range(h):
+        for j0 in range(w):
+            if not mask[i0, j0] or seen[i0, j0]:
+                continue
+            stack = [(i0, j0)]
+            seen[i0, j0] = True
+            px = []
+            while stack:
+                i, j = stack.pop()
+                px.append((i, j))
+                for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    a, b = i + di, j + dj
+                    if 0 <= a < h and 0 <= b < w and mask[a, b] and not seen[a, b]:
+                        seen[a, b] = True
+                        stack.append((a, b))
+            vals = np.array([plane[i, j] for i, j in px])
+            ys = [i for i, _ in px]
+            xs = [j for _, j in px]
+            out.append((len(px), round(float(vals.sum()), 6),
+                        float(vals.min()), float(vals.max()),
+                        min(xs), min(ys), max(xs), max(ys)))
+    return sorted(out)
+
+
+def test_label_tile_golden():
+    mask = np.array([
+        [1, 1, 0, 0, 1],
+        [0, 1, 0, 1, 1],
+        [0, 0, 0, 0, 0],
+        [1, 0, 1, 1, 0],
+    ], dtype=bool)
+    labels, n = regions.label_tile(mask)
+    assert n == 4
+    # 4-connectivity: the L-shape top-left is one region; diagonal does
+    # NOT connect; the two kind-3 pixels on row 3 form one region
+    assert labels[0, 0] == labels[0, 1] == labels[1, 1]
+    assert labels[0, 4] == labels[1, 3] == labels[1, 4]
+    assert labels[3, 2] == labels[3, 3] != labels[3, 0]
+    assert labels[0, 0] != labels[0, 4]
+    assert (labels[mask] >= 0).all() and (labels[~mask] == -1).all()
+
+
+def test_label_tile_matches_naive_random():
+    rng = np.random.default_rng(61)
+    for _ in range(5):
+        mask = rng.random((13, 17)) < 0.45
+        labels, n = regions.label_tile(mask)
+        plane = np.where(mask, 1.0, np.nan)
+        exp = _naive_regions(plane, 0.0)
+        got = []
+        for k in range(n):
+            ys, xs = np.nonzero(labels == k)
+            got.append((len(xs), round(float(len(xs)), 6), 1.0, 1.0,
+                        xs.min(), ys.min(), xs.max(), ys.max()))
+        assert sorted(got) == exp
+
+
+def _tiles_from_plane(scene_id: str, plane: np.ndarray, tw: int, th: int):
+    rows = []
+    nty, ntx = plane.shape[0] // th, plane.shape[1] // tw
+    for ty in range(nty):
+        for tx in range(ntx):
+            t = plane[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+            rows.append({"scene_id": scene_id, "tile_x": tx, "tile_y": ty,
+                         "w": tw, "h": th,
+                         "lst_bytes": t.astype("<f4").tobytes()})
+    return rows
+
+
+def test_extract_regions_matches_scene_oracle(spark):
+    # smooth random fields -> thresholded blobs that routinely cross the
+    # tile grid (the per-tile NaN ring of the real CWV product would keep
+    # regions off borders, defeating the stitch-path coverage)
+    rng = np.random.default_rng(62)
+    rows = []
+    planes = {}
+    for s in range(2):
+        base = rng.uniform(260.0, 330.0, (12, 12))
+        plane = np.kron(base, np.ones((8, 8)))        # 96x96, blocky blobs
+        plane += rng.uniform(-1.0, 1.0, plane.shape)
+        plane[rng.random(plane.shape) < 0.03] = np.nan  # cloud holes
+        plane = plane.astype("<f4").astype(np.float64)  # what the tiles store
+        sid = f"S{s}"
+        planes[sid] = plane
+        rows += _tiles_from_plane(sid, plane, 32, 32)
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    thr = 300.0
+
+    got = regions.extract_regions(tiles, thr).toPandas()
+
+    merged_any = False
+    for sid, plane in planes.items():
+        exp = _naive_regions(plane.astype(np.float64), thr)
+        g = got[got.scene_id == sid]
+        tuples = sorted(
+            (int(r.area_px), round(float(r.mean_val * r.area_px), 6),
+             float(r.min_val), float(r.max_val),
+             int(r.gx0), int(r.gy0), int(r.gx1), int(r.gy1))
+            for r in g.itertuples())
+        assert len(tuples) == len(exp) > 5
+        for a, b in zip(tuples, exp):
+            assert a[0] == b[0] and a[2:] == b[2:]
+            assert a[1] == pytest.approx(b[1], rel=1e-9)
+        merged_any |= bool((g.n_parts > 1).any())
+    # the fixture must actually exercise cross-tile merging
+    assert merged_any
+
+
+def test_extract_regions_on_lst_product(spark):
+    """End-to-end over the real LST tile product: the per-tile CWV NaN ring
+    keeps regions interior, so every region is single-part — parity must
+    still hold (the stitch path is a no-op, not a corruption)."""
+    scenes = spark.createDataFrame(synth.scenes_pdf("tiny"))
+    meta = spark.createDataFrame(synth.scene_meta_pdf("tiny"))
+    emis = spark.createDataFrame(pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=WINDOW)
+    tp = tiles.toPandas()
+    all_lst = np.concatenate([
+        np.frombuffer(r.lst_bytes, dtype="<f4") for r in tp.itertuples()])
+    thr = float(np.nanmedian(all_lst) + 5.0)
+
+    got = regions.extract_regions(tiles, thr).toPandas()
+    for scene_id, grp in tp.groupby("scene_id"):
+        w, h = int(grp.w.iloc[0]), int(grp.h.iloc[0])
+        ntx, nty = grp.tile_x.max() + 1, grp.tile_y.max() + 1
+        plane = np.full((nty * h, ntx * w), np.nan)
+        for r in grp.itertuples():
+            t = np.frombuffer(r.lst_bytes, dtype="<f4").reshape(h, w)
+            plane[r.tile_y * h:(r.tile_y + 1) * h,
+                  r.tile_x * w:(r.tile_x + 1) * w] = t
+        exp = _naive_regions(plane.astype(np.float64), thr)
+        g = got[got.scene_id == scene_id]
+        tuples = sorted(
+            (int(r.area_px), round(float(r.mean_val * r.area_px), 6),
+             float(r.min_val), float(r.max_val),
+             int(r.gx0), int(r.gy0), int(r.gx1), int(r.gy1))
+            for r in g.itertuples())
+        assert len(tuples) == len(exp) > 10
+        for a, b in zip(tuples, exp):
+            assert a[0] == b[0] and a[2:] == b[2:]
+            assert a[1] == pytest.approx(b[1], rel=1e-9)
