@@ -95,6 +95,28 @@ def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_map_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: r.mapcalc-style map algebra — a user expression string
+    (ast-whitelist compiled, no eval) evaluated vectorized over the LST/CWV
+    tile planes in one mapInArrow hop (algebra.map_algebra). numpy parity +
+    hostile-expression rejection in tests/test_algebra.py."""
+    from i_landsat8_swlst_spark import algebra, pipeline
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5)
+    out = algebra.map_algebra(
+        tiles, "if_((lst > 290) and (cwv < 5), lst - 273.15, null())")
+    return (
+        out.groupBy("scene_id")
+        .agg(F.count(F.lit(1)).alias("n_tiles"),
+             F.sum("n_valid").alias("n_selected"),
+             F.round(F.min("out_min"), 4).alias("coldest_c"),
+             F.round(F.max("out_max"), 4).alias("hottest_c"))
+        .orderBy("scene_id")
+    )
+
+
 def _q_extract_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: distributed raster connected-component labeling
     (regions.extract_regions) — threshold-region / hot-spot extraction with
@@ -716,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_zonal_stats"] = _q_zonal_stats
     q["q_focal_stats"] = _q_focal_stats
     q["q_extract_regions"] = _q_extract_regions
+    q["q_map_algebra"] = _q_map_algebra
     q["q_pip_cells"] = _q_pip_cells
     q["q_knn_stations"] = _q_knn_stations
     q["q_knn_cells"] = _q_knn_cells

@@ -1,0 +1,189 @@
+"""Map algebra over tile rasters — the r.mapcalc analog.
+
+The reference's execution primitive is an expression string compiled per
+pixel over input rasters ([U] i.landsat8.swlst.py builds mapcalc
+expressions; SURVEY.md §3.1 step 3). This module gives the engine the same
+user surface: an arbitrary arithmetic expression over named raster
+columns, evaluated vectorized per tile in ONE mapInArrow hop.
+
+The expression language is a strict, auditable subset of Python syntax
+(parsed with ``ast``, no ``eval`` of raw text): numeric literals, the
+input names, ``+ - * / % **``, unary ``-``, comparisons (yielding 0/1
+planes), boolean ``& |`` via ``and``/``or`` on comparison planes, and a
+fixed function table (``if_``, ``isnull``, ``null``, ``abs``, ``sqrt``,
+``exp``, ``log``, ``log10``, ``floor``, ``ceil``, ``round``, ``min``,
+``max``, ``pow``). Anything else — attributes, subscripts, calls outside
+the table, names outside the inputs — raises at compile time, so a hostile
+expression cannot reach the executor.
+
+NaN is the NULL carrier exactly as in the rest of the engine (and in
+r.mapcalc: null() propagates through arithmetic).
+"""
+
+from __future__ import annotations
+
+import ast
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType, DoubleType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from . import codecs
+from .pipeline import _batch_from_cols, _batch_rows, _finite_stats
+
+_FUNCS = {
+    "if_": lambda c, a, b: np.where(np.nan_to_num(c) != 0, a, b),
+    "isnull": lambda x: np.isnan(np.asarray(x, dtype=np.float64)).astype(np.float64),
+    "null": lambda: np.nan,
+    "abs": np.abs,
+    "sqrt": np.sqrt,
+    "exp": np.exp,
+    "log": np.log,
+    "log10": np.log10,
+    "floor": np.floor,
+    "ceil": np.ceil,
+    "round": np.round,
+    "min": np.minimum,
+    "max": np.maximum,
+    "pow": np.power,
+}
+
+_BINOPS = {
+    ast.Add: np.add, ast.Sub: np.subtract, ast.Mult: np.multiply,
+    ast.Div: np.divide, ast.Mod: np.mod, ast.Pow: np.power,
+}
+
+_CMPOPS = {
+    ast.Gt: np.greater, ast.Lt: np.less, ast.GtE: np.greater_equal,
+    ast.LtE: np.less_equal, ast.Eq: np.equal, ast.NotEq: np.not_equal,
+}
+
+
+def compile_expr(expr: str, names: list[str]):
+    """Compile an expression string to a numpy evaluator fn(env) -> plane.
+
+    Raises ValueError at compile time for any construct outside the
+    whitelist — nothing user-supplied is ever exec'd/eval'd as Python.
+    """
+    tree = ast.parse(expr, mode="eval")
+
+    def build(node):
+        if isinstance(node, ast.Expression):
+            return build(node.body)
+        if isinstance(node, ast.Constant):
+            if isinstance(node.value, (int, float)) and not isinstance(node.value, bool):
+                v = float(node.value)
+                return lambda env: v
+            raise ValueError(f"non-numeric literal {node.value!r}")
+        if isinstance(node, ast.Name):
+            if node.id not in names:
+                raise ValueError(f"unknown raster name {node.id!r}; inputs: {names}")
+            k = node.id
+            return lambda env: env[k]
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
+            f = build(node.operand)
+            return lambda env: -f(env)
+        if isinstance(node, ast.BinOp) and type(node.op) in _BINOPS:
+            op, lf, rf = _BINOPS[type(node.op)], build(node.left), build(node.right)
+            return lambda env: op(lf(env), rf(env))
+        if isinstance(node, ast.Compare):
+            if len(node.ops) != 1:
+                raise ValueError("chained comparisons are not supported")
+            if type(node.ops[0]) not in _CMPOPS:
+                raise ValueError(f"unsupported comparison {node.ops[0]!r}")
+            op = _CMPOPS[type(node.ops[0])]
+            lf, rf = build(node.left), build(node.comparators[0])
+            # r.mapcalc semantics: comparisons yield 0/1, NULL where an
+            # operand is NULL
+            def cmpf(env, op=op, lf=lf, rf=rf):
+                a = np.asarray(lf(env), dtype=np.float64)
+                b = np.asarray(rf(env), dtype=np.float64)
+                out = op(a, b).astype(np.float64)
+                bad = np.isnan(a) | np.isnan(b)
+                if bad.any():
+                    out = np.where(bad, np.nan, out)
+                return out
+            return cmpf
+        if isinstance(node, ast.BoolOp):
+            op = np.minimum if isinstance(node.op, ast.And) else np.maximum
+            fs = [build(v) for v in node.values]
+            def boolf(env, op=op, fs=fs):
+                out = fs[0](env)
+                for f in fs[1:]:
+                    out = op(out, f(env))
+                return out
+            return boolf
+        if isinstance(node, ast.Call):
+            if not isinstance(node.func, ast.Name) or node.func.id not in _FUNCS:
+                raise ValueError(f"unsupported function call at {ast.dump(node)[:60]}")
+            if node.keywords:
+                raise ValueError("keyword arguments are not supported")
+            fn = _FUNCS[node.func.id]
+            argfs = [build(a) for a in node.args]
+            return lambda env: fn(*[f(env) for f in argfs])
+        raise ValueError(f"unsupported syntax: {ast.dump(node)[:80]}")
+
+    return build(tree)
+
+
+ALGEBRA_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("scene_id", StringType()),
+    StructField("tile_x", IntegerType()),
+    StructField("tile_y", IntegerType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("out_bytes", BinaryType()),   # float32 LE result plane
+    StructField("n_valid", LongType()),
+    StructField("out_min", DoubleType()),
+    StructField("out_max", DoubleType()),
+    StructField("out_mean", DoubleType()),
+])
+
+
+def map_algebra(tiles: DataFrame, expr: str,
+                inputs: dict[str, str] | None = None) -> DataFrame:
+    """Evaluate a map-algebra expression over raster tile columns.
+
+    ``inputs`` maps expression names to byte columns of ``tiles`` (default
+    ``{"lst": "lst_bytes", "cwv": "cwv_bytes"}`` — the lst_tiles product).
+    All input planes of a tile must share its (w, h). One mapInArrow hop,
+    embarrassingly parallel, with with per-tile output stats so metadata
+    consumers never decode the result bytes.
+
+    Example: ``map_algebra(tiles, "if_(lst > 300.15, lst - 273.15, null())")``
+    is the r.mapcalc hot-mask-in-Celsius one-liner.
+    """
+    inputs = dict(inputs or {"lst": "lst_bytes", "cwv": "cwv_bytes"})
+    names = list(inputs)
+    fn_expr = compile_expr(expr, names)  # compile on the driver: fail fast
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in ALGEBRA_SCHEMA}
+            ap = {k: v.append for k, v in cols.items()}
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                env = {
+                    n: codecs.decode_f32bt(getattr(row, c), w, h).astype(np.float64)
+                    for n, c in inputs.items()
+                }
+                out = np.broadcast_to(
+                    np.asarray(fn_expr(env), dtype=np.float64), (h, w))
+                n_valid, vmin, vmax, vmean = _finite_stats(out)
+                ap["image_id"](getattr(row, "image_id", None))
+                ap["scene_id"](row.scene_id)
+                ap["tile_x"](row.tile_x); ap["tile_y"](row.tile_y)
+                ap["w"](w); ap["h"](h)
+                ap["out_bytes"](np.ascontiguousarray(out).astype("<f4").tobytes())
+                ap["n_valid"](n_valid)
+                ap["out_min"](vmin); ap["out_max"](vmax); ap["out_mean"](vmean)
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, ALGEBRA_SCHEMA)
+
+    return tiles.mapInArrow(fn, ALGEBRA_SCHEMA)
