@@ -605,6 +605,31 @@ def _ordered(base: dict) -> dict:
     return out
 
 
+def _q_lst_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: per-pixel linear LST trend across 4 revisits (closed-form
+    OLS sums — every term partial-aggregable, ONE map-side-combining
+    shuffle, pure JVM arithmetic). numpy polyfit parity in
+    tests/test_pipeline.py."""
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import constants as C, pipeline, synth
+
+    scenes = spark.createDataFrame(synth.revisit_scenes_pdf("tiny", scene=0, n_dates=4))
+    meta = spark.createDataFrame(synth.revisit_meta_pdf("tiny", scene=0, n_dates=4))
+    emis = spark.createDataFrame(pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
+    pixels = pipeline.lst_pixels(
+        pipeline.build_enriched_with_grid(scenes, meta, emis), window=5)
+    trend = pipeline.trend_pixels(pixels)
+    return (
+        trend.groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n_pixels"),
+             F.count("slope").alias("n_with_trend"),
+             F.round(F.avg("slope"), 6).alias("avg_slope"),
+             F.round(F.max(F.abs("slope")), 4).alias("max_abs_slope"))
+        .orderBy("tile_x", "tile_y")
+    )
+
+
 def _q_lst_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: per-pixel temporal median composite across 3 revisits of
     one footprint (grids align exactly; clouds/NaN dropped per observation) —
@@ -758,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_stream_pair"] = _q_stream_pair
     q["q_stream_enrich"] = _q_stream_enrich
     q["q_lst_composite"] = _q_lst_composite
+    q["q_lst_trend"] = _q_lst_trend
     return q
 
 

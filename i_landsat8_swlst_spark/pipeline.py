@@ -746,3 +746,40 @@ def focal_stats_tiles(tiles: DataFrame, window: int = 5,
                 yield _batch_from_cols(cols, FOCAL_SCHEMA)
 
     return tiles.mapInArrow(fn, FOCAL_SCHEMA)
+
+
+def trend_pixels(pixels: DataFrame,
+                 keys: tuple[str, ...] = ("tile_x", "tile_y", "px", "py",
+                                          "lon", "lat"),
+                 t_col: str | None = None) -> DataFrame:
+    """Per-pixel linear LST trend across revisits — the warming-trend map
+    companion to composite_pixels. Ordinary least squares per pixel via the
+    closed-form sums (n, Σt, Σy, Σt², Σty): every term is a partial-
+    aggregable SUM, so the whole trend map is ONE map-side-combining
+    shuffle on the pixel key with JVM-side arithmetic only — unlike the
+    composite's exact percentile there is no per-group buffering at all.
+
+    ``t_col`` names the time column (e.g. epoch days); by default the
+    revisit index is parsed from the ``...R<k>`` scene ids the revisit
+    fixture uses, making slope "Kelvin per revisit step". Pixels with < 2
+    observations (or zero time variance) get NULL slope/intercept.
+    """
+    t = (F.col(t_col) if t_col is not None
+         else F.regexp_extract("scene_id", r"R(\d+)$", 1).cast("double"))
+    y = F.col("lst_k")
+    agg = pixels.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(t).alias("st"), F.sum(y).alias("sy"),
+        F.sum(t * t).alias("stt"), F.sum(t * y).alias("sty"),
+    )
+    den = F.col("n_obs") * F.col("stt") - F.col("st") * F.col("st")
+    slope = F.when(
+        (F.col("n_obs") >= 2) & (den != 0.0),
+        (F.col("n_obs") * F.col("sty") - F.col("st") * F.col("sy")) / den)
+    intercept = (F.col("sy") - F.col("slope") * F.col("st")) / F.col("n_obs")
+    return (
+        agg.withColumn("slope", slope)
+        .withColumn("intercept",
+                    F.when(F.col("slope").isNotNull(), intercept))
+        .drop("st", "sy", "stt", "sty")
+    )

@@ -253,3 +253,27 @@ def test_focal_stats_tiles_matches_kernel(tiny):
             got = np.frombuffer(row[f"{name}_bytes"], dtype="<f4").reshape(row.h, row.w)
             np.testing.assert_array_equal(got, exp[name].astype(np.float32))
         assert row.n_valid == int((exp["count"] > 0).sum())
+
+
+def test_trend_pixels_matches_numpy_lstsq(spark):
+    scenes = spark.createDataFrame(synth.revisit_scenes_pdf("tiny", scene=0, n_dates=4))
+    meta = spark.createDataFrame(synth.revisit_meta_pdf("tiny", scene=0, n_dates=4))
+    emis = spark.createDataFrame(pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
+    pixels = pipeline.lst_pixels(
+        pipeline.build_enriched_with_grid(scenes, meta, emis), window=WINDOW)
+    got = pipeline.trend_pixels(pixels).toPandas()
+    src = pixels.toPandas()
+    src["t"] = src["scene_id"].str.extract(r"R(\d+)$").astype(float)
+
+    assert (got.n_obs >= 2).any()
+    sample = got.sample(n=min(150, len(got)), random_state=7)
+    for r in sample.itertuples():
+        obs = src[(src.tile_x == r.tile_x) & (src.tile_y == r.tile_y)
+                  & (src.px == r.px) & (src.py == r.py)]
+        assert len(obs) == r.n_obs
+        if r.n_obs >= 2 and obs.t.nunique() > 1:
+            m, b = np.polyfit(obs.t.to_numpy(), obs.lst_k.to_numpy(), 1)
+            assert r.slope == pytest.approx(m, rel=1e-8)
+            assert r.intercept == pytest.approx(b, rel=1e-8)
+        else:
+            assert r.slope is None or np.isnan(r.slope)
