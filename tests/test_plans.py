@@ -218,3 +218,33 @@ def test_enrich_pixels_is_single_arrow_hop_no_exchange(spark):
     plan = _plan(df)
     assert plan.count("MapInArrow") == 1
     assert not re.search(r"Exchange\s+\w*[Pp]artitioning", plan), plan
+
+
+def test_extract_regions_stitch_is_equi(spark):
+    """The border stitch must stay an EQUI join on (scene_id, gx, gy) —
+    the only shuffle that touches per-pixel (border) rows. extract_regions
+    runs eagerly (iterative CC inside), so gate the stitch stage's plan
+    directly on the same dataframes the operator builds."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import regions
+
+    rng = np.random.default_rng(63)
+    plane = np.kron(rng.uniform(260, 330, (6, 6)), np.ones((8, 8)))
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            t = plane[ty * 24:(ty + 1) * 24, tx * 24:(tx + 1) * 24]
+            rows.append({"scene_id": "S", "tile_x": tx, "tile_y": ty,
+                         "w": 24, "h": 24,
+                         "lst_bytes": t.astype("<f4").tobytes()})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    ex = regions._extract_pass(tiles, 300.0, "lst_bytes")
+    cells = ex.filter("kind = 1").select("scene_id", "gx", "gy", "node")
+    probes = (ex.filter("kind = 2")
+              .select("scene_id", "gx", "gy", F.col("node").alias("pnode")))
+    plan = _plan(probes.join(cells, on=["scene_id", "gx", "gy"]))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
