@@ -95,6 +95,24 @@ def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_aoi_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: per-polygon vector measurements (v.to.db product) —
+    exact spherical area, great-circle perimeter, label centroid — via
+    spatial.aoi_measures (mapInPandas, polygon layer never on the driver).
+    Golden-vector kernel tests (whole-sphere octant et al.) in
+    tests/test_geo.py; Spark-hop parity in tests/test_spatial.py."""
+    from i_landsat8_swlst_spark import spatial, synth
+
+    m = spatial.aoi_measures(spark, synth.aoi_pdf("tiny"))
+    return m.select(
+        "aoi_id", "aoi_category",
+        F.round("area_km2", 4).alias("area_km2"),
+        F.round("perimeter_km", 4).alias("perimeter_km"),
+        F.round("centroid_lon", 6).alias("centroid_lon"),
+        F.round("centroid_lat", 6).alias("centroid_lat"),
+    ).orderBy("aoi_id")
+
+
 def _q_map_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: r.mapcalc-style map algebra — a user expression string
     (ast-whitelist compiled, no eval) evaluated vectorized over the LST/CWV
@@ -764,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_focal_stats"] = _q_focal_stats
     q["q_extract_regions"] = _q_extract_regions
     q["q_map_algebra"] = _q_map_algebra
+    q["q_aoi_measures"] = _q_aoi_measures
     q["q_pip_cells"] = _q_pip_cells
     q["q_knn_stations"] = _q_knn_stations
     q["q_knn_cells"] = _q_knn_cells

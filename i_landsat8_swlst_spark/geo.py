@@ -411,3 +411,71 @@ def _hex_round(qf: np.ndarray, rf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     q = np.where(fix_q, -r - s, q)
     r = np.where(fix_r, -q - s, r)
     return q.astype(np.int64), r.astype(np.int64)
+
+
+# --------------------------------------------------------------------------
+# Vector measurement (v.to.db parity): polygon area / perimeter / centroid.
+# --------------------------------------------------------------------------
+
+_EARTH_R_KM = 6371.0088  # mean Earth radius; matches spatial.EARTH_R_KM
+
+
+def ring_area_km2(ring: np.ndarray) -> float:
+    """Spherical polygon area (km^2), EXACT for great-circle edges: fan-
+    triangulate from vertex 0 and sum signed spherical excesses via the
+    van Oosterom-Strackee / Eriksson formula
+    tan(E/2) = v0.(vi x vj) / (1 + v0.vi + vi.vj + v0.vj),
+    accumulated with atan2 so each triangle's sign rides along and concave
+    fans cancel correctly. Orientation-independent (absolute value taken).
+
+    ring: (N, 2) lon/lat degrees, closed or open (first point repeated or
+    not — handled)."""
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) > 1 and np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    if len(r) < 3:
+        return 0.0
+    lon = np.radians(r[:, 0])
+    lat = np.radians(r[:, 1])
+    v = np.stack([np.cos(lat) * np.cos(lon), np.cos(lat) * np.sin(lon),
+                  np.sin(lat)], axis=1)
+    v0, vi, vj = v[0], v[1:-1], v[2:]
+    num = np.einsum("j,ij->i", v0, np.cross(vi, vj))
+    den = 1.0 + vi @ v0 + np.einsum("ij,ij->i", vi, vj) + vj @ v0
+    excess = np.sum(2.0 * np.arctan2(num, den))
+    return float(abs(excess) * _EARTH_R_KM * _EARTH_R_KM)
+
+
+def ring_perimeter_km(ring: np.ndarray) -> float:
+    """Great-circle perimeter (km): haversine sum over the edges."""
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) < 2:
+        return 0.0
+    if not np.array_equal(r[0], r[-1]):
+        r = np.vstack([r, r[:1]])
+    lon = np.radians(r[:, 0])
+    lat = np.radians(r[:, 1])
+    dlat = np.diff(lat)
+    dlon = np.diff(lon)
+    a = np.sin(dlat / 2) ** 2 + np.cos(lat[:-1]) * np.cos(lat[1:]) * np.sin(dlon / 2) ** 2
+    return float(np.sum(2.0 * _EARTH_R_KM * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))))
+
+
+def ring_centroid(ring: np.ndarray) -> tuple[float, float]:
+    """Planar (lon/lat) area-weighted centroid of the ring — the label
+    point v.to.db reports. Degenerate (zero-area) rings fall back to the
+    vertex mean."""
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) > 1 and np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    if len(r) < 3:
+        return float(r[:, 0].mean()), float(r[:, 1].mean())
+    x, y = r[:, 0], r[:, 1]
+    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    cross = x * y2 - x2 * y
+    a = cross.sum() / 2.0
+    if a == 0.0:
+        return float(x.mean()), float(y.mean())
+    cx = float(np.sum((x + x2) * cross) / (6.0 * a))
+    cy = float(np.sum((y + y2) * cross) / (6.0 * a))
+    return cx, cy

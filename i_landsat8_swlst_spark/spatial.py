@@ -1038,3 +1038,46 @@ def zonal_stats(points: DataFrame, aoi, value_cols=("lst_k",),
             F.stddev_samp(c).alias(f"{c}_std"),
         ]
     return joined.groupBy("aoi_id", "aoi_category").agg(*aggs)
+
+
+def aoi_measures(spark, aoi) -> DataFrame:
+    """Per-polygon vector measurements (the v.to.db product): spherical
+    area (km^2, exact for great-circle edges), great-circle perimeter (km),
+    planar label-point centroid.
+
+    Accepts the same AOI forms as aoi_rings_df (Spark DataFrame — the
+    polygon layer never touches the driver — or pandas compat). One
+    mapInPandas hop, embarrassingly parallel per polygon; numpy kernels in
+    geo.ring_area_km2 / ring_perimeter_km / ring_centroid (golden-vector
+    tested incl. a whole-sphere octant).
+    """
+    from . import geo
+    from pyspark.sql.types import DoubleType as _D
+
+    rings = aoi_rings_df(spark, aoi)
+    out_schema = StructType([
+        StructField("aoi_id", StringType()),
+        StructField("aoi_category", StringType()),
+        StructField("area_km2", _D()),
+        StructField("perimeter_km", _D()),
+        StructField("centroid_lon", _D()),
+        StructField("centroid_lat", _D()),
+    ])
+
+    def fn(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            rows = []
+            for r in pdf.itertuples():
+                ring = np.stack([np.asarray(r.ring_x), np.asarray(r.ring_y)], axis=1)
+                cx, cy = geo.ring_centroid(ring)
+                rows.append({
+                    "aoi_id": r.aoi_id, "aoi_category": r.aoi_category,
+                    "area_km2": geo.ring_area_km2(ring),
+                    "perimeter_km": geo.ring_perimeter_km(ring),
+                    "centroid_lon": cx, "centroid_lat": cy,
+                })
+            yield pd.DataFrame(rows)
+
+    return rings.mapInPandas(fn, out_schema)

@@ -7,6 +7,7 @@ center round-trip, and Hilbert locality.
 """
 
 import numpy as np
+import pytest
 
 from i_landsat8_swlst_spark import geo
 
@@ -182,3 +183,52 @@ def test_s2_cover_bbox_antimeridian_wrap():
     import pytest
     with pytest.raises(ValueError):
         geo.s2_cover_bbox(0.0, 20.0, 10.0, 10.0, level=8)
+
+
+# --- vector measurement (v.to.db parity) --------------------------------------------
+
+
+def test_ring_area_golden_vectors():
+    # whole sphere octant: the (0,0)-(90,0)-(0,90) triangle is exactly 1/8
+    # of the sphere's surface
+    octant = np.array([[0.0, 0.0], [90.0, 0.0], [0.0, 90.0]])
+    sphere = 4.0 * np.pi * geo._EARTH_R_KM ** 2
+    assert geo.ring_area_km2(octant) == pytest.approx(sphere / 8.0, rel=1e-12)
+    # orientation and closure invariance
+    assert geo.ring_area_km2(octant[::-1]) == pytest.approx(sphere / 8.0, rel=1e-12)
+    closed = np.vstack([octant, octant[:1]])
+    assert geo.ring_area_km2(closed) == pytest.approx(sphere / 8.0, rel=1e-12)
+    # a small equatorial square: ~ (edge_km)^2 with sub-0.1% curvature error
+    d = 0.1
+    sq = np.array([[0, -d/2], [d, -d/2], [d, d/2], [0, d/2]])
+    edge_km = np.radians(d) * geo._EARTH_R_KM
+    assert geo.ring_area_km2(sq) == pytest.approx(edge_km ** 2, rel=1e-3)
+    # degenerate
+    assert geo.ring_area_km2(np.array([[0.0, 0.0], [1.0, 1.0]])) == 0.0
+
+
+def test_ring_perimeter_golden_vectors():
+    # equator quarter arc: 90 degrees of great circle per edge
+    octant = np.array([[0.0, 0.0], [90.0, 0.0], [0.0, 90.0]])
+    quarter = np.pi / 2 * geo._EARTH_R_KM
+    assert geo.ring_perimeter_km(octant) == pytest.approx(3 * quarter, rel=1e-12)
+    d = 0.1
+    sq = np.array([[0, -d/2], [d, -d/2], [d, d/2], [0, d/2]])
+    edge_km = np.radians(d) * geo._EARTH_R_KM
+    assert geo.ring_perimeter_km(sq) == pytest.approx(4 * edge_km, rel=1e-4)
+
+
+def test_ring_centroid_golden_vectors():
+    sq = np.array([[2.0, 1.0], [4.0, 1.0], [4.0, 3.0], [2.0, 3.0]])
+    assert geo.ring_centroid(sq) == pytest.approx((3.0, 2.0))
+    # L-shape: centroid from the shoelace decomposition, orientation-stable
+    L = np.array([[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2]], dtype=float)
+    cx, cy = geo.ring_centroid(L)
+    cxr, cyr = geo.ring_centroid(L[::-1])
+    assert (cx, cy) == pytest.approx((cxr, cyr))
+    # known: area 3, centroid (7/6 * ... ) compute via decomposition:
+    # square [0,2]x[0,1] (area 2, c (1, .5)) + square [0,1]x[1,2] (area 1, c (.5, 1.5))
+    assert (cx, cy) == pytest.approx(((2 * 1.0 + 1 * 0.5) / 3, (2 * 0.5 + 1 * 1.5) / 3))
+    # degenerate collinear ring -> vertex mean
+    line = np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 2.0]])
+    assert geo.ring_centroid(line) == pytest.approx((1.0, 1.0))

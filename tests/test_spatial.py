@@ -634,3 +634,22 @@ def test_zonal_stats_matches_pandas_oracle(spark):
     np.testing.assert_array_equal(di["n_pixels"].to_numpy(), gi_["n_pixels"].to_numpy())
     np.testing.assert_allclose(di["lst_k_mean"].to_numpy(np.float64),
                                gi_["lst_k_mean"].to_numpy(np.float64), rtol=1e-9)
+
+
+def test_aoi_measures_matches_numpy(spark):
+    from i_landsat8_swlst_spark import geo
+
+    aoi = synth.aoi_pdf("tiny")
+    got = spatial.aoi_measures(spark, aoi).toPandas().set_index("aoi_id")
+    assert len(got) == len(aoi)
+    for _, row in aoi.iterrows():
+        ring = np.array([[p["lon"], p["lat"]] for p in row["ring"]])
+        g = got.loc[row["aoi_id"]]
+        assert g.area_km2 == pytest.approx(geo.ring_area_km2(ring), rel=1e-12)
+        assert g.perimeter_km == pytest.approx(geo.ring_perimeter_km(ring), rel=1e-12)
+        cx, cy = geo.ring_centroid(ring)
+        assert (g.centroid_lon, g.centroid_lat) == pytest.approx((cx, cy))
+        assert g.area_km2 > 0 and g.perimeter_km > 0
+        # centroid of these fixture polygons lies inside their bbox
+        assert ring[:, 0].min() <= g.centroid_lon <= ring[:, 0].max()
+        assert ring[:, 1].min() <= g.centroid_lat <= ring[:, 1].max()
