@@ -95,6 +95,25 @@ def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: r.resamp.interp-style raster resampling (nearest +
+    bilinear, cell-center aligned, NULL-poisoning corners) of the LST
+    plane — algebra.resample_tiles, one mapInArrow hop. Naive-numpy
+    oracle parity in tests/test_algebra.py."""
+    from i_landsat8_swlst_spark import algebra, pipeline
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5)
+    down = algebra.resample_tiles(tiles, scale=0.25, method="bilinear")
+    return (
+        down.groupBy("scene_id", "w", "h")
+        .agg(F.count(F.lit(1)).alias("n_tiles"),
+             F.sum("n_valid").alias("n_valid_px"))
+        .orderBy("scene_id")
+    )
+
+
 def _q_aoi_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: per-polygon vector measurements (v.to.db product) —
     exact spherical area, great-circle perimeter, label centroid — via
@@ -783,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_extract_regions"] = _q_extract_regions
     q["q_map_algebra"] = _q_map_algebra
     q["q_aoi_measures"] = _q_aoi_measures
+    q["q_resample"] = _q_resample
     q["q_pip_cells"] = _q_pip_cells
     q["q_knn_stations"] = _q_knn_stations
     q["q_knn_cells"] = _q_knn_cells

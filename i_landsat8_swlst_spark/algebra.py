@@ -187,3 +187,87 @@ def map_algebra(tiles: DataFrame, expr: str,
                 yield _batch_from_cols(cols, ALGEBRA_SCHEMA)
 
     return tiles.mapInArrow(fn, ALGEBRA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Raster resampling (r.resamp.interp analog): nearest / bilinear per tile.
+# --------------------------------------------------------------------------
+
+
+def resample_plane(x: np.ndarray, out_h: int, out_w: int,
+                   method: str = "bilinear") -> np.ndarray:
+    """Resample one plane to (out_h, out_w) with cell-center alignment
+    (source pixel centers at i+0.5 of the cell grid — the raster
+    convention, so up/downsampling keeps the footprint fixed).
+
+    NULL semantics follow r.resamp.interp: a bilinear output is NULL when
+    ANY of the 4 contributing source cells is NULL; nearest passes the
+    source cell through (NULL included).
+    """
+    h, w = x.shape
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    if method == "nearest":
+        yi = np.clip(np.rint(ys).astype(np.int64), 0, h - 1)
+        xi = np.clip(np.rint(xs).astype(np.int64), 0, w - 1)
+        return x[np.ix_(yi, xi)]
+    if method != "bilinear":
+        raise ValueError(f"method must be 'nearest' or 'bilinear', got {method!r}")
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    a = x[np.ix_(y0, x0)]
+    b = x[np.ix_(y0, x1)]
+    c = x[np.ix_(y1, x0)]
+    d = x[np.ix_(y1, x1)]
+    # NaN in any corner propagates through the arithmetic on its own
+    return (a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx
+            + c * fy * (1 - fx) + d * fy * fx)
+
+
+RESAMPLE_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("scene_id", StringType()),
+    StructField("tile_x", IntegerType()),
+    StructField("tile_y", IntegerType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("out_bytes", BinaryType()),
+    StructField("n_valid", LongType()),
+])
+
+
+def resample_tiles(tiles: DataFrame, scale: float,
+                   method: str = "bilinear",
+                   src_col: str = "lst_bytes") -> DataFrame:
+    """Per-tile raster resample (scale > 1 upsamples). Tile-local like the
+    overview pyramid — one embarrassingly parallel mapInArrow hop; output
+    w/h are the scaled dims. numpy-oracle parity in tests/test_algebra.py."""
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    compile_ok = method in ("nearest", "bilinear")
+    if not compile_ok:
+        raise ValueError(f"method must be 'nearest' or 'bilinear', got {method!r}")
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in RESAMPLE_SCHEMA}
+            ap = {k: v.append for k, v in cols.items()}
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                ow, oh = max(1, round(w * scale)), max(1, round(h * scale))
+                plane = codecs.decode_f32bt(getattr(row, src_col), w, h).astype(np.float64)
+                out = resample_plane(plane, oh, ow, method)
+                ap["image_id"](getattr(row, "image_id", None))
+                ap["scene_id"](row.scene_id)
+                ap["tile_x"](row.tile_x); ap["tile_y"](row.tile_y)
+                ap["w"](ow); ap["h"](oh)
+                ap["out_bytes"](np.ascontiguousarray(out).astype("<f4").tobytes())
+                ap["n_valid"](int(np.isfinite(out).sum()))
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, RESAMPLE_SCHEMA)
+
+    return tiles.mapInArrow(fn, RESAMPLE_SCHEMA)

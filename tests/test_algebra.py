@@ -96,3 +96,73 @@ def test_map_algebra_spark_hop(spark):
         got = np.frombuffer(r.out_bytes, dtype="<f4").reshape(r.h, r.w)
         np.testing.assert_array_equal(got, exp.astype(np.float32))
         assert r.n_valid == int(np.isfinite(exp).sum())
+
+
+# --- raster resampling ----------------------------------------------------------
+
+
+def _resample_naive(x, oh, ow, method):
+    h, w = x.shape
+    out = np.empty((oh, ow))
+    for i in range(oh):
+        for j in range(ow):
+            sy = (i + 0.5) * h / oh - 0.5
+            sx = (j + 0.5) * w / ow - 0.5
+            if method == "nearest":
+                out[i, j] = x[min(max(int(round(sy)), 0), h - 1),
+                              min(max(int(round(sx)), 0), w - 1)]
+            else:
+                y0 = min(max(int(np.floor(sy)), 0), h - 1)
+                x0 = min(max(int(np.floor(sx)), 0), w - 1)
+                y1 = min(y0 + 1, h - 1)
+                x1 = min(x0 + 1, w - 1)
+                fy = min(max(sy - y0, 0.0), 1.0)
+                fx = min(max(sx - x0, 0.0), 1.0)
+                out[i, j] = (x[y0, x0] * (1 - fy) * (1 - fx)
+                             + x[y0, x1] * (1 - fy) * fx
+                             + x[y1, x0] * fy * (1 - fx)
+                             + x[y1, x1] * fy * fx)
+    return out
+
+
+@pytest.mark.parametrize("method", ["nearest", "bilinear"])
+@pytest.mark.parametrize("shape", [(8, 6, 16, 12), (16, 12, 8, 6), (10, 10, 15, 7)])
+def test_resample_plane_matches_naive(method, shape):
+    h, w, oh, ow = shape
+    rng = np.random.default_rng(81)
+    x = rng.uniform(250, 330, (h, w))
+    x[rng.random(x.shape) < 0.15] = np.nan
+    got = algebra.resample_plane(x, oh, ow, method)
+    exp = _resample_naive(x, oh, ow, method)
+    np.testing.assert_allclose(got, exp, rtol=1e-12, equal_nan=True)
+
+
+def test_resample_identity_and_null_propagation():
+    rng = np.random.default_rng(82)
+    x = rng.uniform(0, 1, (9, 9))
+    # scale 1 with cell-center alignment is the identity for both methods
+    for method in ("nearest", "bilinear"):
+        np.testing.assert_array_equal(algebra.resample_plane(x, 9, 9, method), x)
+    # bilinear: NaN corner poisons exactly the outputs that touch it
+    x[4, 4] = np.nan
+    up = algebra.resample_plane(x, 18, 18, "bilinear")
+    assert np.isnan(up[8:10, 8:10]).all()
+    assert np.isfinite(up[:7, :7]).all()
+
+
+def test_resample_tiles_spark(spark):
+    rng = np.random.default_rng(83)
+    rows = []
+    for tx in range(2):
+        t = rng.uniform(250, 330, (16, 16))
+        rows.append({"scene_id": "S", "tile_x": tx, "tile_y": 0,
+                     "w": 16, "h": 16, "lst_bytes": t.astype("<f4").tobytes()})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    out = algebra.resample_tiles(tiles, scale=0.5, method="bilinear").toPandas()
+    assert len(out) == 2 and (out.w == 8).all() and (out.h == 8).all()
+    src = {r["tile_x"]: np.frombuffer(r["lst_bytes"], dtype="<f4").reshape(16, 16).astype(np.float64)
+           for r in rows}
+    for r in out.itertuples():
+        exp = algebra.resample_plane(src[r.tile_x], 8, 8, "bilinear")
+        got = np.frombuffer(r.out_bytes, dtype="<f4").reshape(8, 8)
+        np.testing.assert_array_equal(got, exp.astype(np.float32))
