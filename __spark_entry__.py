@@ -95,6 +95,27 @@ def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: Horn 3x3 slope/aspect/hillshade planes of the LST raster
+    (r.slope.aspect analog; over LST this is the thermal-gradient / front-
+    detection map) — pipeline.gradient_tiles, one mapInArrow hop.
+    Golden-direction kernel vectors in tests/test_kernels.py; Spark-hop
+    parity in tests/test_pipeline.py."""
+    from i_landsat8_swlst_spark import pipeline
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5)
+    grad = pipeline.gradient_tiles(tiles, cell=1.0)
+    return (
+        grad.groupBy("scene_id")
+        .agg(F.count(F.lit(1)).alias("n_tiles"),
+             F.sum("n_valid").alias("n_grad_valid"),
+             F.round(F.max("slope_max"), 4).alias("steepest_deg"))
+        .orderBy("scene_id")
+    )
+
+
 def _q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: r.resamp.interp-style raster resampling (nearest +
     bilinear, cell-center aligned, NULL-poisoning corners) of the LST
@@ -803,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_map_algebra"] = _q_map_algebra
     q["q_aoi_measures"] = _q_aoi_measures
     q["q_resample"] = _q_resample
+    q["q_gradient"] = _q_gradient
     q["q_pip_cells"] = _q_pip_cells
     q["q_knn_stations"] = _q_knn_stations
     q["q_knn_cells"] = _q_knn_cells

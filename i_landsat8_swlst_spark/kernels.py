@@ -470,3 +470,49 @@ def focal_stats(x: np.ndarray, window: int = 5) -> dict:
         "min": _extreme(np.inf, np.min),
         "max": _extreme(-np.inf, np.max),
     }
+
+
+def slope_aspect(x: np.ndarray, cell: float = 1.0) -> dict:
+    """Horn (1981) 3x3 gradient — the r.slope.aspect kernel, applied here
+    to any plane (terrain, or an LST plane for thermal-gradient maps).
+
+    Returns dict of float64 arrays:
+    ``dzdx``/``dzdy`` (per-cell-unit gradients), ``slope_deg`` (0 flat),
+    ``aspect_deg`` (downslope direction, compass convention: 0 north, 90
+    east; NaN on flat cells), ``hillshade`` ([0, 1], sun at az 315 / alt
+    45 — the cartographic default).
+
+    Edge/NULL semantics match the CWV window's poison rule: any NaN in the
+    3x3 neighborhood (or hanging off the plane) NULLs the output pixel —
+    gradients from partial windows are biased, so they are refused rather
+    than approximated.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    p = np.pad(x, 1, constant_values=np.nan)
+    # 8 shifted views of the padded plane around the center
+    nw, n_, ne = p[:-2, :-2], p[:-2, 1:-1], p[:-2, 2:]
+    w_, e_ = p[1:-1, :-2], p[1:-1, 2:]
+    sw, s_, se = p[2:, :-2], p[2:, 1:-1], p[2:, 2:]
+    with np.errstate(invalid="ignore"):
+        dzdx = ((ne + 2 * e_ + se) - (nw + 2 * w_ + sw)) / (8.0 * cell)
+        dzdy = ((sw + 2 * s_ + se) - (nw + 2 * n_ + ne)) / (8.0 * cell)
+        slope = np.degrees(np.arctan(np.hypot(dzdx, dzdy)))
+        # compass aspect of the DOWNSLOPE direction: grid x points east,
+        # grid y points south, so downslope = (-dzdx east, +dzdy north)
+        asp = np.arctan2(-dzdx, dzdy)           # radians from north, CW=east
+        flat = (dzdx == 0.0) & (dzdy == 0.0)
+        aspect = np.where(flat, np.nan, np.mod(np.degrees(asp), 360.0))
+        # hillshade, sun azimuth 315 deg / altitude 45 deg (cartographic
+        # default): cos of the angle between surface normal and sun
+        az = np.radians(315.0)
+        alt = np.radians(45.0)
+        sl = np.arctan(np.hypot(dzdx, dzdy))
+        hs = (np.sin(alt) * np.cos(sl)
+              + np.cos(alt) * np.sin(sl) * np.cos(az - asp))
+        hs = np.clip(hs, 0.0, 1.0)
+    bad = np.isnan(nw) | np.isnan(n_) | np.isnan(ne) | np.isnan(w_) \
+        | np.isnan(e_) | np.isnan(sw) | np.isnan(s_) | np.isnan(se) | np.isnan(x)
+    for a in (dzdx, dzdy, slope, aspect, hs):
+        a[bad] = np.nan
+    return {"dzdx": dzdx, "dzdy": dzdy, "slope_deg": slope,
+            "aspect_deg": aspect, "hillshade": hs}

@@ -783,3 +783,51 @@ def trend_pixels(pixels: DataFrame,
                     F.when(F.col("slope").isNotNull(), intercept))
         .drop("st", "sy", "stt", "sty")
     )
+
+
+GRADIENT_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("scene_id", StringType()),
+    StructField("tile_x", IntegerType()),
+    StructField("tile_y", IntegerType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("slope_bytes", BinaryType()),    # float32 LE planes
+    StructField("aspect_bytes", BinaryType()),
+    StructField("hillshade_bytes", BinaryType()),
+    StructField("n_valid", LongType()),
+    StructField("slope_max", DoubleType()),
+])
+
+
+def gradient_tiles(tiles: DataFrame, cell: float = 1.0,
+                   src_col: str = "lst_bytes") -> DataFrame:
+    """Horn 3x3 gradient products per tile (r.slope.aspect analog):
+    slope / downslope compass aspect / hillshade planes of any raster
+    column — over LST it is the thermal-gradient map (front detection).
+    One mapInArrow hop, tile-local (poison-NULL ring at tile borders,
+    same trade as the CWV window; halo-assemble first when borders
+    matter). Kernel golden-direction vectors in tests/test_kernels.py."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in GRADIENT_SCHEMA}
+            ap = {k: v.append for k, v in cols.items()}
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                plane = codecs.decode_f32bt(getattr(row, src_col), w, h).astype(np.float64)
+                r = K.slope_aspect(plane, cell=cell)
+                n_valid, _, smax, _ = _finite_stats(r["slope_deg"])
+                ap["image_id"](getattr(row, "image_id", None))
+                ap["scene_id"](row.scene_id)
+                ap["tile_x"](row.tile_x); ap["tile_y"](row.tile_y)
+                ap["w"](w); ap["h"](h)
+                ap["slope_bytes"](r["slope_deg"].astype("<f4").tobytes())
+                ap["aspect_bytes"](r["aspect_deg"].astype("<f4").tobytes())
+                ap["hillshade_bytes"](r["hillshade"].astype("<f4").tobytes())
+                ap["n_valid"](n_valid)
+                ap["slope_max"](smax)
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, GRADIENT_SCHEMA)
+
+    return tiles.mapInArrow(fn, GRADIENT_SCHEMA)

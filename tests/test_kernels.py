@@ -215,3 +215,52 @@ def test_focal_stats_batch_dim_identical():
         single = K.focal_stats(x[i], 5)
         for k in stacked:
             np.testing.assert_array_equal(stacked[k][i], single[k])
+
+
+# --- Horn slope / aspect / hillshade ------------------------------------------------
+
+
+def test_slope_aspect_golden_planes():
+    inner = (slice(1, -1), slice(1, -1))
+    # z = 2x (east-up): slope atan(2), downslope west (270)
+    x = np.arange(8.0)[None, :] * 2.0 * np.ones((8, 1))
+    r = K.slope_aspect(x)
+    np.testing.assert_allclose(r["dzdx"][inner], 2.0)
+    np.testing.assert_allclose(r["dzdy"][inner], 0.0)
+    np.testing.assert_allclose(r["slope_deg"][inner], math.degrees(math.atan(2)))
+    np.testing.assert_allclose(r["aspect_deg"][inner], 270.0)
+    # z rises southward -> downslope north (0); northward -> south (180)
+    y = np.arange(8.0)[:, None] * np.ones((1, 8))
+    np.testing.assert_allclose(K.slope_aspect(y)["aspect_deg"][inner], 0.0)
+    np.testing.assert_allclose(K.slope_aspect(-y)["aspect_deg"][inner], 180.0)
+    # cell size scales the gradient
+    np.testing.assert_allclose(K.slope_aspect(x, cell=2.0)["dzdx"][inner], 1.0)
+    # flat plane: slope 0, aspect NaN, hillshade sin(45 deg)
+    rf = K.slope_aspect(np.full((6, 6), 7.0))
+    np.testing.assert_allclose(rf["slope_deg"][inner], 0.0)
+    assert np.isnan(rf["aspect_deg"][inner]).all()
+    np.testing.assert_allclose(rf["hillshade"][inner], math.sin(math.radians(45)))
+
+
+def test_slope_aspect_nan_poison_ring():
+    rng = np.random.default_rng(91)
+    x = rng.uniform(0, 10, (9, 9))
+    x[4, 4] = np.nan
+    r = K.slope_aspect(x)
+    # border ring always NaN (window hangs off); the NaN poisons its 3x3
+    assert np.isnan(r["slope_deg"][0, :]).all()
+    assert np.isnan(r["slope_deg"][:, -1]).all()
+    assert np.isnan(r["slope_deg"][3:6, 3:6]).all()
+    inner_ok = np.ones((9, 9), dtype=bool)
+    inner_ok[:1, :] = inner_ok[-1:, :] = inner_ok[:, :1] = inner_ok[:, -1:] = False
+    inner_ok[3:6, 3:6] = False
+    assert np.isfinite(r["slope_deg"][inner_ok]).all()
+    # hillshade brightest on slopes facing the 315-deg sun: z = (i+j)*c
+    # rises east+south, so downslope points northwest (aspect 315) — it
+    # must out-shine the mirror plane facing southeast (135)
+    g_to = K.slope_aspect(np.fromfunction(lambda i, j: (i + j) * 0.3, (8, 8)))
+    g_away = K.slope_aspect(np.fromfunction(lambda i, j: -(i + j) * 0.3, (8, 8)))
+    inner = (slice(1, -1), slice(1, -1))
+    np.testing.assert_allclose(g_to["aspect_deg"][inner], 315.0)
+    np.testing.assert_allclose(g_away["aspect_deg"][inner], 135.0)
+    assert g_to["hillshade"][inner].mean() > g_away["hillshade"][inner].mean()

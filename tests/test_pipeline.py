@@ -277,3 +277,26 @@ def test_trend_pixels_matches_numpy_lstsq(spark):
             assert r.intercept == pytest.approx(b, rel=1e-8)
         else:
             assert r.slope is None or np.isnan(r.slope)
+
+
+def test_gradient_tiles_matches_kernel(tiny):
+    from i_landsat8_swlst_spark import kernels as K
+
+    scenes, meta, emis = tiny
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=WINDOW)
+    grad = pipeline.gradient_tiles(tiles, cell=2.0).filter(
+        "scene_id = 'LC08_00000'").toPandas()
+    src = tiles.filter("scene_id = 'LC08_00000'").select(
+        "tile_x", "tile_y", "w", "h", "lst_bytes").toPandas()
+    assert len(grad) == len(src) > 0
+    merged = grad.merge(src, on=["tile_x", "tile_y", "w", "h"], validate="1:1")
+    for _, row in merged.iterrows():
+        plane = np.frombuffer(row.lst_bytes, dtype="<f4").reshape(row.h, row.w)
+        exp = K.slope_aspect(plane.astype(np.float64), cell=2.0)
+        for name, col in (("slope_deg", "slope_bytes"),
+                          ("aspect_deg", "aspect_bytes"),
+                          ("hillshade", "hillshade_bytes")):
+            got = np.frombuffer(row[col], dtype="<f4").reshape(row.h, row.w)
+            np.testing.assert_array_equal(got, exp[name].astype(np.float32))
+        assert row.n_valid == int(np.isfinite(exp["slope_deg"]).sum())
