@@ -711,7 +711,8 @@ FOCAL_SCHEMA = StructType([
 
 
 def focal_stats_tiles(tiles: DataFrame, window: int = 5,
-                      src_col: str = "lst_bytes") -> DataFrame:
+                      src_col: str = "lst_bytes",
+                      halo: bool = False) -> DataFrame:
     """Neighborhood (focal) statistics over a tile raster column — the
     r.neighbors companion product: smooth/roughness/extreme maps of the
     LST (or CWV) plane produced by ``lst_tiles``.
@@ -719,11 +720,17 @@ def focal_stats_tiles(tiles: DataFrame, window: int = 5,
     Raster in, raster out: decodes the f32 plane per tile, runs
     kernels.focal_stats (valid-cell semantics; see its docstring for how
     this differs from the CWV poison window), emits f32 mean/std/min/max
-    planes. One mapInArrow hop, embarrassingly parallel per tile —
-    tile-LOCAL semantics (windows do not cross tile borders; route through
-    the halo assembly of lst_tiles_halo first when cross-tile windows
-    matter, same trade the CWV window documents).
+    planes. One mapInArrow hop, embarrassingly parallel per tile.
+
+    ``halo=False`` is tile-LOCAL (windows do not cross borders).
+    ``halo=True`` routes through halo_plane_tiles first: windows see
+    window//2 pixels of the 8 neighbor tiles, making the output EXACTLY
+    equal to running the kernel on the assembled whole-scene plane
+    (tests pin this tile-for-tile) at ~(1 + 2r(w+h)/(wh))x shuffle cost.
     """
+    m = window // 2 if halo else 0
+    src = halo_plane_tiles(tiles, r=m, src_col=src_col) if halo else tiles
+    col = "pad_bytes" if halo else src_col
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -731,21 +738,23 @@ def focal_stats_tiles(tiles: DataFrame, window: int = 5,
             ap = {k: v.append for k, v in cols.items()}
             for row in _batch_rows(batch):
                 w, h = int(row.w), int(row.h)
-                plane = codecs.decode_f32bt(getattr(row, src_col), w, h)
+                plane = codecs.decode_f32bt(getattr(row, col), w + 2 * m, h + 2 * m)
                 r = K.focal_stats(plane, window=window)
+                crop = (slice(m, m + h), slice(m, m + w)) if m else (slice(None), slice(None))
+                r = {k: v[crop] for k, v in r.items()}
                 ap["image_id"](row.image_id)
                 ap["scene_id"](row.scene_id)
                 ap["tile_x"](row.tile_x); ap["tile_y"](row.tile_y)
                 ap["w"](w); ap["h"](h)
-                ap["mean_bytes"](r["mean"].astype("<f4").tobytes())
-                ap["std_bytes"](r["std"].astype("<f4").tobytes())
-                ap["min_bytes"](r["min"].astype("<f4").tobytes())
-                ap["max_bytes"](r["max"].astype("<f4").tobytes())
+                ap["mean_bytes"](np.ascontiguousarray(r["mean"]).astype("<f4").tobytes())
+                ap["std_bytes"](np.ascontiguousarray(r["std"]).astype("<f4").tobytes())
+                ap["min_bytes"](np.ascontiguousarray(r["min"]).astype("<f4").tobytes())
+                ap["max_bytes"](np.ascontiguousarray(r["max"]).astype("<f4").tobytes())
                 ap["n_valid"](int((r["count"] > 0).sum()))
             if cols["image_id"]:
                 yield _batch_from_cols(cols, FOCAL_SCHEMA)
 
-    return tiles.mapInArrow(fn, FOCAL_SCHEMA)
+    return src.mapInArrow(fn, FOCAL_SCHEMA)
 
 
 def trend_pixels(pixels: DataFrame,
@@ -801,13 +810,19 @@ GRADIENT_SCHEMA = StructType([
 
 
 def gradient_tiles(tiles: DataFrame, cell: float = 1.0,
-                   src_col: str = "lst_bytes") -> DataFrame:
+                   src_col: str = "lst_bytes",
+                   halo: bool = False) -> DataFrame:
     """Horn 3x3 gradient products per tile (r.slope.aspect analog):
     slope / downslope compass aspect / hillshade planes of any raster
     column — over LST it is the thermal-gradient map (front detection).
-    One mapInArrow hop, tile-local (poison-NULL ring at tile borders,
-    same trade as the CWV window; halo-assemble first when borders
-    matter). Kernel golden-direction vectors in tests/test_kernels.py."""
+    One mapInArrow hop. ``halo=False`` is tile-local (poison-NULL ring at
+    tile borders, same trade as the CWV window); ``halo=True`` exchanges a
+    1-pixel halo first, making the output exactly the whole-scene-mosaic
+    gradient (tests pin tile-for-tile equality). Kernel golden-direction
+    vectors in tests/test_kernels.py."""
+    m = 1 if halo else 0
+    src = halo_plane_tiles(tiles, r=1, src_col=src_col) if halo else tiles
+    col = "pad_bytes" if halo else src_col
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -815,8 +830,12 @@ def gradient_tiles(tiles: DataFrame, cell: float = 1.0,
             ap = {k: v.append for k, v in cols.items()}
             for row in _batch_rows(batch):
                 w, h = int(row.w), int(row.h)
-                plane = codecs.decode_f32bt(getattr(row, src_col), w, h).astype(np.float64)
+                plane = codecs.decode_f32bt(getattr(row, col),
+                                            w + 2 * m, h + 2 * m).astype(np.float64)
                 r = K.slope_aspect(plane, cell=cell)
+                if m:
+                    crop = (slice(m, m + h), slice(m, m + w))
+                    r = {k: np.ascontiguousarray(v[crop]) for k, v in r.items()}
                 n_valid, _, smax, _ = _finite_stats(r["slope_deg"])
                 ap["image_id"](getattr(row, "image_id", None))
                 ap["scene_id"](row.scene_id)
@@ -830,4 +849,122 @@ def gradient_tiles(tiles: DataFrame, cell: float = 1.0,
             if cols["scene_id"]:
                 yield _batch_from_cols(cols, GRADIENT_SCHEMA)
 
-    return tiles.mapInArrow(fn, GRADIENT_SCHEMA)
+    return src.mapInArrow(fn, GRADIENT_SCHEMA)
+
+
+HALO_PLANE_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("scene_id", StringType()),
+    StructField("tile_x", IntegerType()),
+    StructField("tile_y", IntegerType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("pad_bytes", BinaryType()),   # (h+2r, w+2r) float32 LE
+])
+
+
+def halo_plane_tiles(tiles: DataFrame, r: int,
+                     src_col: str = "lst_bytes") -> DataFrame:
+    """Generic halo exchange for ONE f32 plane column of a tile table:
+    every tile comes back with an (h+2r, w+2r) NaN-padded plane holding
+    r pixels of each 8-neighbor (missing neighbor = NaN = true scene
+    edge). The window/gradient operators consume this to get EXACT
+    whole-scene-mosaic semantics from tile-local kernels.
+
+    Same shape as the band-pair halo in lst_tiles_halo: strips are
+    r-wide (shuffle ~ (1 + 2r(w+h)/(wh)) x the plane bytes, not 9x), the
+    shuffle is a plain repartition on the receiving tile key, assembly
+    streams sorted partitions.
+    """
+    if r < 1:
+        raise ValueError(f"halo margin must be >= 1, got {r}")
+    strip_schema = StructType([
+        StructField("scene_id", StringType()),
+        StructField("rx", IntegerType()),
+        StructField("ry", IntegerType()),
+        StructField("dx", IntegerType()),
+        StructField("dy", IntegerType()),
+        StructField("piece", BinaryType()),
+        StructField("pw", IntegerType()),
+        StructField("ph", IntegerType()),
+        StructField("image_id", StringType()),   # center-only passthrough
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+    ])
+    s_names = [f.name for f in strip_schema]
+
+    def emit(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {n: [] for n in s_names}
+            ap = {k: v.append for k, v in cols.items()}
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                plane = codecs.decode_f32bt(getattr(row, src_col), w, h)
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        rx, ry = row.tile_x + dx, row.tile_y + dy
+                        if rx < 0 or ry < 0:
+                            continue
+                        center = dx == 0 and dy == 0
+                        if center:
+                            piece, pw, ph = getattr(row, src_col), w, h
+                        else:
+                            xs = slice(None) if dx == 0 else (slice(w - r, w) if dx == 1 else slice(0, r))
+                            ys = slice(None) if dy == 0 else (slice(h - r, h) if dy == 1 else slice(0, r))
+                            p = np.ascontiguousarray(plane[ys, xs], dtype="<f4")
+                            piece, (ph, pw) = p.tobytes(), p.shape
+                        ap["scene_id"](row.scene_id); ap["rx"](rx); ap["ry"](ry)
+                        ap["dx"](dx); ap["dy"](dy)
+                        ap["piece"](piece); ap["pw"](pw); ap["ph"](ph)
+                        ap["image_id"](getattr(row, "image_id", None) if center else None)
+                        ap["w"](w); ap["h"](h)
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, strip_schema)
+
+    strips = tiles.mapInArrow(emit, strip_schema)
+    parts = strips.repartition(F.col("scene_id"), F.col("rx"), F.col("ry")) \
+                  .sortWithinPartitions("scene_id", "rx", "ry")
+
+    def assemble(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        def flush(acc: list, cols, ap):
+            # a tile key that only received strips (outside the input grid)
+            # has no center piece: it is scene margin, not a tile — drop
+            center = next((s for s in acc if s.dx == 0 and s.dy == 0), None)
+            if center is None:
+                return
+            w, h = int(center.w), int(center.h)
+            pad = np.full((h + 2 * r, w + 2 * r), np.nan, dtype=np.float32)
+            for s in acc:
+                x0 = 0 if s.dx == 1 else (r + w if s.dx == -1 else r)
+                y0 = 0 if s.dy == 1 else (r + h if s.dy == -1 else r)
+                pad[y0:y0 + s.ph, x0:x0 + s.pw] = \
+                    np.frombuffer(s.piece, dtype="<f4").reshape(s.ph, s.pw)
+            ap["image_id"](center.image_id)
+            ap["scene_id"](center.scene_id)
+            ap["tile_x"](int(center.rx)); ap["tile_y"](int(center.ry))
+            ap["w"](w); ap["h"](h)
+            ap["pad_bytes"](pad.astype("<f4").tobytes())
+
+        cur_key, acc = None, []
+        cols: dict[str, list] = {f.name: [] for f in HALO_PLANE_SCHEMA}
+        ap = {k: v.append for k, v in cols.items()}
+        for batch in batches:
+            for s in _batch_rows(batch):
+                k = (s.scene_id, s.rx, s.ry)
+                if k != cur_key:
+                    if acc:
+                        flush(acc, cols, ap)
+                        acc = []
+                    cur_key = k
+            # (flush batching: emit every 64 assembled tiles)
+                acc.append(s)
+                if len(cols["scene_id"]) >= 64:
+                    yield _batch_from_cols(cols, HALO_PLANE_SCHEMA)
+                    cols = {f.name: [] for f in HALO_PLANE_SCHEMA}
+                    ap = {k2: v.append for k2, v in cols.items()}
+        if acc:
+            flush(acc, cols, ap)
+        if cols["scene_id"]:
+            yield _batch_from_cols(cols, HALO_PLANE_SCHEMA)
+
+    return parts.mapInArrow(assemble, HALO_PLANE_SCHEMA)
