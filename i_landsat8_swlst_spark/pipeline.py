@@ -956,8 +956,8 @@ def halo_plane_tiles(tiles: DataFrame, r: int,
                         flush(acc, cols, ap)
                         acc = []
                     cur_key = k
-            # (flush batching: emit every 64 assembled tiles)
                 acc.append(s)
+                # emit every 64 assembled tiles
                 if len(cols["scene_id"]) >= 64:
                     yield _batch_from_cols(cols, HALO_PLANE_SCHEMA)
                     cols = {f.name: [] for f in HALO_PLANE_SCHEMA}
