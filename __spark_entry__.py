@@ -211,6 +211,28 @@ def _q_extract_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: distributed cost-distance (r.cost / r.grow.distance
+    analog) — accumulated-cost surface from every pixel to the nearest
+    hot LST cell, 3-4 chamfer metric, iterated 1-px halo exchange to the
+    global fixpoint across tile borders (costdist.cost_distance_tiles).
+    Bit-exact Dijkstra-oracle + whole-scene parity (incl. an adversarial
+    multi-round spiral) in tests/test_costdist.py."""
+    from i_landsat8_swlst_spark import costdist, pipeline
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5)
+    d = costdist.cost_distance_tiles(tiles, threshold=305.0, cell=30.0)
+    return (
+        d.groupBy("scene_id")
+        .agg(F.count(F.lit(1)).alias("n_tiles"),
+             F.sum("n_reached").alias("n_reached_px"),
+             F.round(F.max("dist_max"), 4).alias("farthest_m"))
+        .orderBy("scene_id")
+    )
+
+
 def _q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: focal (neighborhood) statistics of the LST plane — the
     r.neighbors companion product (pipeline.focal_stats_tiles, one extra
@@ -821,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_zonal_stats"] = _q_zonal_stats
     q["q_focal_stats"] = _q_focal_stats
     q["q_extract_regions"] = _q_extract_regions
+    q["q_cost_distance"] = _q_cost_distance
     q["q_map_algebra"] = _q_map_algebra
     q["q_aoi_measures"] = _q_aoi_measures
     q["q_resample"] = _q_resample

@@ -152,7 +152,7 @@ _SUBRANGE_NAMES = np.array(C.SUBRANGE_ORDER + [""], dtype=object)  # idx -1 -> "
 
 _PA_TYPES = {
     "string": pa.string(), "binary": pa.binary(), "int": pa.int32(),
-    "bigint": pa.int64(), "double": pa.float64(),
+    "bigint": pa.int64(), "double": pa.float64(), "boolean": pa.bool_(),
 }
 
 
