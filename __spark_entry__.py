@@ -735,6 +735,30 @@ def _q_lst_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lst_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: priority mosaic (r.patch analog) — per pixel keep the
+    lowest-CWV observation across 3 revisits via ONE partial-aggregable
+    min-over-struct (pipeline.mosaic_pixels). Pandas argmin parity in
+    tests/test_pipeline.py."""
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import constants as C, pipeline, synth
+
+    scenes = spark.createDataFrame(synth.revisit_scenes_pdf("tiny", scene=0, n_dates=3))
+    meta = spark.createDataFrame(synth.revisit_meta_pdf("tiny", scene=0, n_dates=3))
+    emis = spark.createDataFrame(pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
+    pixels = pipeline.lst_pixels(
+        pipeline.build_enriched_with_grid(scenes, meta, emis), window=5)
+    mos = pipeline.mosaic_pixels(pixels)
+    return (
+        mos.groupBy("tile_x", "tile_y", "src_scene")
+        .agg(F.count(F.lit(1)).alias("n_pixels"),
+             F.round(F.avg("lst_mosaic"), 4).alias("avg_lst"),
+             F.round(F.avg("src_priority"), 4).alias("avg_cwv"))
+        .orderBy("tile_x", "tile_y", "src_scene")
+    )
+
+
 def _q_stream_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: stream-stream band-pair join (watermarked inner self-join
     with event-time bound) -> the SAME fused LST kernel as batch; band-10
@@ -867,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_stream_pair"] = _q_stream_pair
     q["q_stream_enrich"] = _q_stream_enrich
     q["q_lst_composite"] = _q_lst_composite
+    q["q_lst_mosaic"] = _q_lst_mosaic
     q["q_lst_trend"] = _q_lst_trend
     return q
 

@@ -663,6 +663,36 @@ def composite_pixels(pixels: DataFrame,
     )
 
 
+def mosaic_pixels(pixels: DataFrame,
+                  keys: tuple[str, ...] = ("tile_x", "tile_y", "px", "py",
+                                           "lon", "lat"),
+                  priority=None) -> DataFrame:
+    """Priority mosaic across revisits (r.patch analog): at each pixel keep
+    the single BEST valid observation instead of a median — the default
+    priority is ascending CWV (the driest atmosphere gives the most
+    reliable split-window retrieval), tie-broken by scene_id so the result
+    is deterministic.
+
+    Implemented as ONE min-over-struct aggregate: lexicographic struct min
+    is partial-aggregable, so the whole mosaic is a single map-side-
+    combining shuffle with no per-group buffering (cheaper than the
+    composite's exact percentile). ``priority`` accepts any Column; NaN
+    priorities sort last under Spark ordering, so cloud-degraded
+    observations lose to clean ones automatically.
+    """
+    pr = priority if priority is not None else F.col("cwv")
+    chosen = F.min(F.struct(pr.alias("p"), F.col("scene_id").alias("s"),
+                            F.col("lst_k").alias("v")))
+    agg = pixels.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_obs"), chosen.alias("ch"))
+    return agg.select(
+        *keys, "n_obs",
+        F.col("ch.v").alias("lst_mosaic"),
+        F.col("ch.s").alias("src_scene"),
+        F.col("ch.p").alias("src_priority"),
+    )
+
+
 def rasterize_pixels(
     pixels: DataFrame, w: int, h: int, value_col: str = "lst_k"
 ) -> DataFrame:

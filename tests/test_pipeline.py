@@ -156,6 +156,36 @@ def test_composite_pixels_matches_pandas_median(spark):
         np.testing.assert_allclose(got[c].to_numpy(), exp[c].to_numpy(), rtol=1e-12)
 
 
+def test_mosaic_pixels_matches_pandas_argmin(spark):
+    """Priority mosaic: per-pixel lowest-CWV observation (tie-break
+    scene_id) == a pandas sort+first over the SAME lst_pixels rows, and
+    the chosen value always comes from the claimed source scene."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import constants as C, pipeline, synth
+
+    scenes = spark.createDataFrame(synth.revisit_scenes_pdf("tiny", scene=0, n_dates=3))
+    meta = spark.createDataFrame(synth.revisit_meta_pdf("tiny", scene=0, n_dates=3))
+    emis = spark.createDataFrame(pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
+    pixels = pipeline.lst_pixels(
+        pipeline.build_enriched_with_grid(scenes, meta, emis), window=5)
+    keys = ["tile_x", "tile_y", "px", "py"]
+    got = (pipeline.mosaic_pixels(pixels, keys=tuple(keys))
+           .toPandas().set_index(keys).sort_index())
+    raw = pixels.select(*keys, "scene_id", "cwv", "lst_k").toPandas()
+    first = (raw.sort_values(keys + ["cwv", "scene_id"])
+             .groupby(keys).first())
+    counts = raw.groupby(keys)["lst_k"].count()
+    assert len(got) == len(first) > 0
+    assert (got["n_obs"] == counts).all()
+    assert (got["src_scene"] == first["scene_id"]).all()
+    np.testing.assert_allclose(got["lst_mosaic"].to_numpy(),
+                               first["lst_k"].to_numpy(), rtol=0)
+    np.testing.assert_allclose(got["src_priority"].to_numpy(),
+                               first["cwv"].to_numpy(), rtol=0)
+
+
 def test_bt_direct_input_path(spark):
     """The reference's t10=/t11= option: tiles whose pixels ARE brightness
     temperatures (fmt=f32bt) skip C2+C3 and match the direct kernel exactly;
