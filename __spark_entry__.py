@@ -662,6 +662,7 @@ _ATTEST_FIRST = [
     "q_char_entropy",
     # NEW twins this round -> must attest in their first window
     "q_interval_overlap", "q_skyline", "q_grid_density", "q_hash_split",
+    "q_stratified_sample", "q_cluster_canonical", "q_decontaminate",
 ]
 _ATTEST_LAST = [
     # green in r03, unchanged this round; 71 twins - 50 window = 21 demoted
@@ -670,8 +671,9 @@ _ATTEST_LAST = [
     "q_json_extract", "q_histogram", "q_pivot", "q_array_agg",
     "q_scalar_subquery", "q_explode_words",
     "q_ngram_jaccard", "q_simhash64", "q_repetition_ratio",
-    # demoted in r04 to make room for the 4 new twins (rotate back in r05)
+    # demoted in r04 to make room for the 7 new twins (rotate back in r05)
     "q_hamming_join", "q_range_frame", "q_upsert", "q_vector_explode",
+    "q_fuzzy_join", "q_ntile_first_last", "q_lag_lead",
 ]
 
 

@@ -304,3 +304,59 @@ def cost_distance_tiles(tiles: DataFrame, threshold: float,
                 yield _batch_from_cols(cols, COST_DISTANCE_SCHEMA)
 
     return state.drop("changed").mapInArrow(final_fn, COST_DISTANCE_SCHEMA)
+
+
+BUFFER_SCHEMA = StructType([
+    StructField("scene_id", StringType()),
+    StructField("tile_x", IntegerType()),
+    StructField("tile_y", IntegerType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("zone_bytes", BinaryType()),   # f32: 1=target, 2..=rings,
+                                               # 0=beyond, NaN=barrier
+    StructField("zone_counts", StringType()),  # "zone:count,..." summary
+])
+
+
+def buffer_tiles(tiles: DataFrame, threshold: float, distances: list[float],
+                 src_col: str = "lst_bytes", cell: float = 1.0,
+                 **cost_kwargs) -> DataFrame:
+    """r.buffer analog: concentric distance zones around the target cells.
+
+    Zone codes follow the GRASS convention: 1 = the target cells
+    themselves, 2..len(distances)+1 = successive rings (``dist <=
+    distances[i]``, ascending), 0 = beyond the last ring, NaN = barrier
+    or unreachable. A thin classification map over the converged
+    cost-distance plane — the halo iteration is inherited unchanged.
+    """
+    if list(distances) != sorted(distances) or not distances:
+        raise ValueError(f"distances must be ascending and non-empty: {distances}")
+    d = cost_distance_tiles(tiles, threshold, src_col=src_col, cell=cell,
+                            **cost_kwargs)
+    cuts = np.asarray(distances, dtype=np.float64)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols = {f.name: [] for f in BUFFER_SCHEMA}
+            ap = {k: v.append for k, v in cols.items()}
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                dist = codecs.decode_f32bt(row.dist_bytes, w, h)
+                zone = np.zeros((h, w), dtype=np.float64)
+                fin = np.isfinite(dist)
+                # np.searchsorted on the ascending cuts: ring index of the
+                # smallest cut >= dist; beyond the last cut stays 0
+                ring = np.searchsorted(cuts, dist[fin], side="left")
+                zone[fin] = np.where(ring < len(cuts), ring + 2.0, 0.0)
+                zone[fin & (dist == 0.0)] = 1.0
+                zone[np.isnan(dist)] = np.nan
+                uniq, cnt = np.unique(zone[~np.isnan(zone)], return_counts=True)
+                ap["scene_id"](row.scene_id)
+                ap["tile_x"](row.tile_x); ap["tile_y"](row.tile_y)
+                ap["w"](w); ap["h"](h)
+                ap["zone_bytes"](zone.astype("<f4").tobytes())
+                ap["zone_counts"](",".join(f"{int(z)}:{c}" for z, c in zip(uniq, cnt)))
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, BUFFER_SCHEMA)
+
+    return d.mapInArrow(fn, BUFFER_SCHEMA)

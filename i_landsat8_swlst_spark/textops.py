@@ -1101,3 +1101,164 @@ def q_hash_split(spark, sf_dir):
         F.sum(F.expr(_NTOK)).alias("n_tokens"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+# --- stratified sampling (deterministic per-stratum rates) -------------------------
+# The corpus-mixing primitive: downsample the dominant language, keep the
+# long tail — per-stratum rates applied via the same content-stable md5
+# fold as the split (reproducible across runs, engines, and cluster
+# sizes; sample() / rand() are neither). The 'samp-' prefix makes the
+# sample hash independent of the split hash over the same doc_id. Pure
+# map-side predicate + ONE combining aggregation: at 100 TB the filter
+# would feed the sink directly instead of aggregating.
+
+_SAMP_RATE_SQL = "CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 40 ELSE 70 END"
+_SAMP_KEY = "'samp-' || CAST(doc_id AS VARCHAR)"
+_SAMP_KEEP_SQL = f"({_md5_fold_sql(_SAMP_KEY)} % 100 < {_SAMP_RATE_SQL})"
+
+
+@register(
+    "q_stratified_sample",
+    f"""SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE {_SAMP_KEEP_SQL}) AS BIGINT) AS n_sampled,
+           CAST(coalesce(sum(n_chars) FILTER (WHERE {_SAMP_KEEP_SQL}), 0) AS BIGINT)
+             AS sampled_chars,
+           CAST(min(doc_id) FILTER (WHERE {_SAMP_KEEP_SQL}) AS BIGINT)
+             AS min_sampled
+        FROM documents GROUP BY lang""",
+)
+def q_stratified_sample(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("samp-"),
+                                          F.col("doc_id").cast("string"))),
+                           1, 8), 16, 10).cast("long") % 100
+    )
+    rate = (F.when(F.col("lang") == "en", 10)
+            .when(F.col("lang") == "zh", 40).otherwise(70))
+    keep = bucket < rate
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_sampled"),
+        F.coalesce(F.sum(F.when(keep, F.col("n_chars"))), F.lit(0))
+         .cast("long").alias("sampled_chars"),
+        F.min(F.when(keep, F.col("doc_id"))).alias("min_sampled"),
+    )
+
+
+# --- canonical document per dedup cluster ------------------------------------------
+# The keep-one step that closes the dedup pipeline: cluster (MinHash-LSH
+# pair graph -> connected components, q_dedup_clusters) then keep the
+# best representative per cluster — longest text, tie-broken by doc_id.
+# The selection is a per-cluster top-1 window (partitioned by cluster_id,
+# never a global sort); the documents join is an equi join on doc_id.
+# Oracle: the recursive-CTE closure nested as a subquery + the same window.
+
+
+def _canonical_sql() -> str:
+    return f"""WITH canon AS (
+          SELECT c.cluster_id, c.cluster_size, d.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rn
+          FROM ({_clusters_sql()}) c JOIN documents d ON d.doc_id = c.doc_id)
+        SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(doc_id AS BIGINT) AS canonical_doc,
+           CAST(n_chars AS BIGINT) AS canonical_chars
+        FROM canon WHERE rn = 1"""
+
+
+@register("q_cluster_canonical", None)  # SQL attached below (needs pairs SQL)
+def q_cluster_canonical(spark, sf_dir):
+    clusters = q_dedup_clusters(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        clusters.join(d, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("cluster_id", "cluster_size",
+                F.col("doc_id").alias("canonical_doc"),
+                F.col("n_chars").alias("canonical_chars"))
+    )
+
+
+_REGISTRY["q_cluster_canonical"] = (q_cluster_canonical, _canonical_sql())
+
+
+# --- train/test decontamination ----------------------------------------------------
+# The eval-leakage guard of a training pipeline: drop (here: count) train
+# documents sharing any 16-char shingle with a held-out test document.
+# Same inverted-index shape as n-gram Jaccard, same df-cap justification:
+# a shingle in > 64 docs is corpus boilerplate, not contamination signal,
+# and capping it bounds every join key's fan-out. All joins are equi
+# (shingle / doc_id keys); the test side is typically tiny, so at scale
+# the test_sh join broadcasts.
+
+_DECON_K = 16
+_DECON_SPLIT = f"{_md5_fold_sql('CAST(doc_id AS VARCHAR)')} % 100"
+
+
+def _decontaminate_sql() -> str:
+    return f"""WITH docs AS (
+          SELECT doc_id, lang, text, {_DECON_SPLIT} AS bkt
+          FROM documents WHERE {_SUBSET}),
+       sh AS (SELECT DISTINCT doc_id,
+                 substr(text, CAST(i AS INT) + 1, {_DECON_K}) AS sh
+              FROM (SELECT doc_id, text,
+                       unnest(range(0, greatest(length(text) - {_DECON_K - 1}, 1))) AS i
+                    FROM docs) t),
+       df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+       kept AS (SELECT s.doc_id, s.sh FROM sh s JOIN df USING (sh)
+                WHERE df.df <= {_DF_CAP}),
+       test_sh AS (SELECT DISTINCT k.sh FROM kept k JOIN docs d USING (doc_id)
+                   WHERE d.bkt >= 90),
+       contam AS (SELECT DISTINCT k.doc_id FROM kept k JOIN test_sh USING (sh)),
+       train AS (SELECT d.doc_id, d.lang, (c.doc_id IS NOT NULL) AS bad
+                 FROM docs d LEFT JOIN contam c USING (doc_id)
+                 WHERE d.bkt < 80)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_train,
+          CAST(count(*) FILTER (WHERE bad) AS BIGINT) AS n_contaminated,
+          CAST(count(*) FILTER (WHERE NOT bad) AS BIGINT) AS n_clean,
+          CAST(min(CASE WHEN bad THEN doc_id END) AS BIGINT)
+            AS first_contaminated
+       FROM train GROUP BY lang"""
+
+
+@register("q_decontaminate", _decontaminate_sql())
+def q_decontaminate(spark, sf_dir):
+    bkt = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long") % 100
+    )
+    docs = (load(spark, sf_dir, "documents").filter(_SUBSET)
+            .select("doc_id", "lang", "text", bkt.alias("bkt")))
+    k = _DECON_K
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(F.sequence(
+                F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))))
+            .alias("i"), "text")
+        .select("doc_id", F.expr(f"substr(text, i, {k})").alias("sh"))
+        .distinct()
+    )
+    df = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    kept = sh.join(df.filter(F.col("df") <= _DF_CAP), "sh").select("doc_id", "sh")
+    test_sh = (kept.join(docs.filter("bkt >= 90").select("doc_id"), "doc_id")
+               .select("sh").distinct())
+    contam = kept.join(test_sh, "sh").select("doc_id").distinct() \
+                 .withColumn("bad", F.lit(True))
+    train = (docs.filter("bkt < 80").select("doc_id", "lang")
+             .join(contam, "doc_id", "left")
+             .withColumn("bad", F.col("bad").isNotNull()))
+    return train.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum(F.when(F.col("bad"), 1).otherwise(0)).cast("long")
+         .alias("n_contaminated"),
+        F.sum(F.when(~F.col("bad"), 1).otherwise(0)).cast("long")
+         .alias("n_clean"),
+        F.min(F.when(F.col("bad"), F.col("doc_id"))).alias("first_contaminated"),
+    )

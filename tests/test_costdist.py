@@ -207,3 +207,30 @@ def test_all_barrier_and_no_target_tiles(spark):
     assert np.all(np.isnan(got))
     assert int(out["n_reached"].sum()) == 0
     assert out["dist_max"].isna().all()
+
+
+def test_buffer_zones(spark):
+    """r.buffer zones classify the converged distance plane: ring codes
+    match a direct classification of the whole-scene kernel output."""
+    rng = np.random.default_rng(41)
+    plane = rng.uniform(0.0, 0.5, (32, 32))
+    plane[rng.random(plane.shape) < 0.05] = np.nan
+    plane[16, 16] = plane[4, 28] = 1.0
+    tiles = _tiles_df(spark, plane, tile=16)
+    cuts = [4.0, 9.0]
+    out = costdist.buffer_tiles(tiles, threshold=1.0, distances=cuts,
+                                cell=3.0).toPandas()
+    got = np.full((32, 32), np.nan)
+    for r in out.itertuples():
+        p = np.frombuffer(r.zone_bytes, dtype="<f4").reshape(16, 16)
+        got[r.tile_y * 16:(r.tile_y + 1) * 16,
+            r.tile_x * 16:(r.tile_x + 1) * 16] = p
+    dist, _ = chamfer_relax(_init_dist(plane))
+    exp = np.zeros((32, 32))
+    fin = np.isfinite(dist)
+    ring = np.searchsorted(np.array(cuts), dist[fin], side="left")
+    exp[fin] = np.where(ring < len(cuts), ring + 2.0, 0.0)
+    exp[fin & (dist == 0.0)] = 1.0
+    exp[~fin] = np.nan           # barrier AND unreachable -> NaN
+    assert np.array_equal(got, exp, equal_nan=True)
+    assert set(np.unique(got[~np.isnan(got)])) >= {0.0, 1.0, 2.0, 3.0}

@@ -248,3 +248,34 @@ def test_extract_regions_stitch_is_equi(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_cost_distance_round_shuffles_once(spark):
+    """One round of the cost-distance iteration (uniform-cost path) must be
+    exactly ONE exchange — the repartition on the receiving tile key that
+    carries the plane + 1-px strips — with no join anywhere, so the
+    per-round cost stays ~1.06x plane bytes at any scale."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark.pipeline import halo_plane_tiles
+
+    plane = np.zeros((16, 16), dtype="<f4")
+    state = spark.createDataFrame(pd.DataFrame([{
+        "scene_id": "S0", "tile_x": tx, "tile_y": ty, "w": 16, "h": 16,
+        "dist_bytes": plane.tobytes(),
+    } for tx in range(2) for ty in range(2)]))
+    plan = _plan(halo_plane_tiles(state, r=1, src_col="dist_bytes"))
+    assert "Join" not in plan
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges == 1, f"expected exactly 1 exchange, got {n_exchanges}"
+
+
+def test_decontaminate_joins_are_equi(spark):
+    """Every decontamination join (df-cap, test-side match, contaminated
+    left join) must stay an equi hash join — same inverted-index shape and
+    justification as ngram-Jaccard."""
+    plan = _plan(textops.q_decontaminate(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
