@@ -233,6 +233,48 @@ def _q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_flow_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: distributed D8 flow accumulation (r.watershed analog) —
+    static 1-px elevation halo for exact cross-tile flow directions, then
+    an iterated f64 halo fixpoint for upstream-cell counts
+    (hydro.flow_accum_tiles). Exact brute-oracle parity (incl. an
+    adversarial multi-round serpentine channel) in tests/test_hydro.py."""
+    from i_landsat8_swlst_spark import hydro, pipeline
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5)
+    a = hydro.flow_accum_tiles(tiles)
+    return (
+        a.groupBy("scene_id")
+        .agg(F.count(F.lit(1)).alias("n_tiles"),
+             F.sum("n_cells").alias("n_cells"),
+             F.sum("n_pits").alias("n_pits"),
+             F.round(F.max("accum_max"), 1).alias("largest_catchment_px"))
+        .orderBy("scene_id")
+    )
+
+
+def _q_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: watershed basin labeling across tile borders — per-tile
+    numpy pointer doubling + log-round equi self-joins on the
+    perimeter-scale border link graph (hydro.basin_tiles). Exact
+    whole-scene-oracle parity (incl. ragged tile grids and a
+    single-basin long-chain case) in tests/test_hydro.py."""
+    from i_landsat8_swlst_spark import hydro, pipeline
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5)
+    b = hydro.basin_tiles(tiles)
+    return (
+        b.groupBy("scene_id")
+        .agg(F.count(F.lit(1)).alias("n_tiles"),
+             F.sum("n_basins_local").alias("n_basin_tile_pairs"))
+        .orderBy("scene_id")
+    )
+
+
 def _q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: focal (neighborhood) statistics of the LST plane — the
     r.neighbors companion product (pipeline.focal_stats_tiles, one extra
@@ -870,6 +912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_focal_stats"] = _q_focal_stats
     q["q_extract_regions"] = _q_extract_regions
     q["q_cost_distance"] = _q_cost_distance
+    q["q_flow_accum"] = _q_flow_accum
+    q["q_basins"] = _q_basins
     q["q_map_algebra"] = _q_map_algebra
     q["q_aoi_measures"] = _q_aoi_measures
     q["q_resample"] = _q_resample

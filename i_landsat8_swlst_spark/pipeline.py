@@ -889,17 +889,24 @@ HALO_PLANE_SCHEMA = StructType([
     StructField("tile_y", IntegerType()),
     StructField("w", IntegerType()),
     StructField("h", IntegerType()),
-    StructField("pad_bytes", BinaryType()),   # (h+2r, w+2r) float32 LE
+    StructField("pad_bytes", BinaryType()),   # (h+2r, w+2r) float LE
+                                              # (dtype of the src plane)
 ])
 
 
 def halo_plane_tiles(tiles: DataFrame, r: int,
-                     src_col: str = "lst_bytes") -> DataFrame:
-    """Generic halo exchange for ONE f32 plane column of a tile table:
+                     src_col: str = "lst_bytes",
+                     dtype: str = "<f4") -> DataFrame:
+    """Generic halo exchange for ONE float plane column of a tile table:
     every tile comes back with an (h+2r, w+2r) NaN-padded plane holding
     r pixels of each 8-neighbor (missing neighbor = NaN = true scene
     edge). The window/gradient operators consume this to get EXACT
     whole-scene-mosaic semantics from tile-local kernels.
+
+    ``dtype`` is the plane encoding of ``src_col`` ("<f4" default; "<f8"
+    for planes where f32 rounding is not acceptable, e.g. upstream-cell
+    counts in hydro.flow_accum_tiles that must stay exact past 2**24).
+    ``pad_bytes`` comes back in the same dtype.
 
     Same shape as the band-pair halo in lst_tiles_halo: strips are
     r-wide (shuffle ~ (1 + 2r(w+h)/(wh)) x the plane bytes, not 9x), the
@@ -908,6 +915,11 @@ def halo_plane_tiles(tiles: DataFrame, r: int,
     """
     if r < 1:
         raise ValueError(f"halo margin must be >= 1, got {r}")
+    if dtype not in ("<f4", "<f8"):
+        raise ValueError(f"unsupported plane dtype {dtype!r}")
+
+    def _dec(buf: bytes, w: int, h: int) -> np.ndarray:
+        return np.frombuffer(buf, dtype=dtype).reshape(h, w)
     strip_schema = StructType([
         StructField("scene_id", StringType()),
         StructField("rx", IntegerType()),
@@ -929,7 +941,7 @@ def halo_plane_tiles(tiles: DataFrame, r: int,
             ap = {k: v.append for k, v in cols.items()}
             for row in _batch_rows(batch):
                 w, h = int(row.w), int(row.h)
-                plane = codecs.decode_f32bt(getattr(row, src_col), w, h)
+                plane = _dec(getattr(row, src_col), w, h)
                 for dx in (-1, 0, 1):
                     for dy in (-1, 0, 1):
                         rx, ry = row.tile_x + dx, row.tile_y + dy
@@ -941,7 +953,7 @@ def halo_plane_tiles(tiles: DataFrame, r: int,
                         else:
                             xs = slice(None) if dx == 0 else (slice(w - r, w) if dx == 1 else slice(0, r))
                             ys = slice(None) if dy == 0 else (slice(h - r, h) if dy == 1 else slice(0, r))
-                            p = np.ascontiguousarray(plane[ys, xs], dtype="<f4")
+                            p = np.ascontiguousarray(plane[ys, xs], dtype=dtype)
                             piece, (ph, pw) = p.tobytes(), p.shape
                         ap["scene_id"](row.scene_id); ap["rx"](rx); ap["ry"](ry)
                         ap["dx"](dx); ap["dy"](dy)
@@ -963,17 +975,17 @@ def halo_plane_tiles(tiles: DataFrame, r: int,
             if center is None:
                 return
             w, h = int(center.w), int(center.h)
-            pad = np.full((h + 2 * r, w + 2 * r), np.nan, dtype=np.float32)
+            pad = np.full((h + 2 * r, w + 2 * r), np.nan, dtype=dtype)
             for s in acc:
                 x0 = 0 if s.dx == 1 else (r + w if s.dx == -1 else r)
                 y0 = 0 if s.dy == 1 else (r + h if s.dy == -1 else r)
                 pad[y0:y0 + s.ph, x0:x0 + s.pw] = \
-                    np.frombuffer(s.piece, dtype="<f4").reshape(s.ph, s.pw)
+                    np.frombuffer(s.piece, dtype=dtype).reshape(s.ph, s.pw)
             ap["image_id"](center.image_id)
             ap["scene_id"](center.scene_id)
             ap["tile_x"](int(center.rx)); ap["tile_y"](int(center.ry))
             ap["w"](w); ap["h"](h)
-            ap["pad_bytes"](pad.astype("<f4").tobytes())
+            ap["pad_bytes"](pad.astype(dtype).tobytes())
 
         cur_key, acc = None, []
         cols: dict[str, list] = {f.name: [] for f in HALO_PLANE_SCHEMA}

@@ -279,3 +279,22 @@ def test_decontaminate_joins_are_equi(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan
+
+
+def test_basin_link_round_is_equi_join(spark):
+    """One pointer-doubling round of the watershed border-link table must be
+    an EQUI join on (scene_id, gid) — hash/sort-merge partitionable —
+    never a nested loop: at scale the link table is perimeter-sized but
+    still far too big for a Cartesian shape."""
+    import pandas as pd
+
+    from i_landsat8_swlst_spark.hydro import _link_round
+
+    links = spark.createDataFrame(pd.DataFrame([
+        {"scene_id": "S0", "gid": 1, "nxt": 2, "final": 0},
+        {"scene_id": "S0", "gid": 2, "nxt": 99, "final": 1},
+    ]))
+    plan = _plan(_link_round(links))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
