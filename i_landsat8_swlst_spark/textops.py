@@ -14,6 +14,7 @@ on both sides and rounded before ranking.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint strings (PEP 563)
 from pyspark.sql import Window, functions as F
 
 from .relational import _REGISTRY, load, register
@@ -1227,8 +1228,9 @@ def _decontaminate_sql() -> str:
        FROM train GROUP BY lang"""
 
 
-@register("q_decontaminate", _decontaminate_sql())
-def q_decontaminate(spark, sf_dir):
+def _decon_frames(spark, sf_dir):
+    """Shared front half of both decontamination variants: bucketed docs
+    (deterministic md5 split) and the df-capped (doc_id, shingle) table."""
     bkt = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
                16, 10).cast("long") % 100
@@ -1247,10 +1249,12 @@ def q_decontaminate(spark, sf_dir):
     )
     df = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     kept = sh.join(df.filter(F.col("df") <= _DF_CAP), "sh").select("doc_id", "sh")
-    test_sh = (kept.join(docs.filter("bkt >= 90").select("doc_id"), "doc_id")
-               .select("sh").distinct())
-    contam = kept.join(test_sh, "sh").select("doc_id").distinct() \
-                 .withColumn("bad", F.lit(True))
+    return docs, kept
+
+
+def _decon_report(docs, contam):
+    """Shared back half: left-mark train docs against the contaminated-id
+    set and fold the per-language report."""
     train = (docs.filter("bkt < 80").select("doc_id", "lang")
              .join(contam, "doc_id", "left")
              .withColumn("bad", F.col("bad").isNotNull()))
@@ -1262,3 +1266,113 @@ def q_decontaminate(spark, sf_dir):
          .alias("n_clean"),
         F.min(F.when(F.col("bad"), F.col("doc_id"))).alias("first_contaminated"),
     )
+
+
+@register("q_decontaminate", _decontaminate_sql())
+def q_decontaminate(spark, sf_dir):
+    docs, kept = _decon_frames(spark, sf_dir)
+    test_sh = (kept.join(docs.filter("bkt >= 90").select("doc_id"), "doc_id")
+               .select("sh").distinct())
+    contam = kept.join(test_sh, "sh").select("doc_id").distinct() \
+                 .withColumn("bad", F.lit(True))
+    return _decon_report(docs, contam)
+
+
+# --- Bloom-prefiltered decontamination (the 100 TB scale path) ---------------
+# At scale the train-side shingle table is petabyte-class while the held-out
+# test side is ~1000x smaller — but still too big to broadcast as an EXACT
+# set, so the contamination equi join degenerates to a sort-merge that
+# shuffles the entire train side. The standard fix (what Spark's runtime
+# row-level Bloom injection does for DPP-ineligible joins) made explicit:
+# fold the test-side shingles into an m-bit Bloom bitset (one distributed
+# map-side-combining bit_or agg -> m/64 longs on the driver), broadcast the
+# bitset, and drop ~all non-candidate train rows MAP-SIDE before the
+# shuffle. False positives only cost extra rows in the exact join that
+# follows; false negatives are impossible, so the result is bit-identical
+# to q_decontaminate (same oracle SQL attests both).
+
+_BLOOM_K = 4  # probes per key; m = 16n bits -> fp ~ 0.24%
+
+
+def bloom_build(df, col, n_bits=None):
+    """Build an m-bit Bloom bitset over df[col] (strings), distributed:
+    positions are derived with double hashing pos_i = (h1 + i*h2) mod m
+    (Kirsch-Mitzenmacher) from h1 = xxhash64(col), h2 = xxhash64(col, 1);
+    both hashes are reduced mod m BEFORE combining so the arithmetic never
+    overflows a long (Spark 4 runs ANSI). Each position becomes one
+    (word, 1<<bit) pair; ONE partial-aggregable bit_or groupBy folds them
+    to <= m/64 longs, which is the only thing collected.
+
+    Returns (bitset_bytes, m): little-endian int64 words.
+    """
+    import math
+
+    import numpy as np
+
+    if n_bits is None:
+        n = max(int(df.count()), 1)
+        n_bits = 1 << max(10, math.ceil(math.log2(16 * n)))
+    if n_bits % 64:
+        raise ValueError(f"n_bits must be a multiple of 64, got {n_bits}")
+    m = int(n_bits)
+    h1 = F.pmod(F.xxhash64(col), F.lit(m))
+    h2 = F.pmod(F.xxhash64(col, F.lit(1)), F.lit(m))
+    pos = (
+        df.select(h1.alias("h1"), h2.alias("h2"))
+        .select(F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("i"),
+                "h1", "h2")
+        .select(F.pmod(F.col("h1") + F.col("i") * F.col("h2"),
+                       F.lit(m)).alias("pos"))
+    )
+    words = (
+        pos.select(F.shiftright("pos", 6).alias("word"),
+                   F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"))
+        .groupBy("word").agg(F.expr("bit_or(mask)").alias("bits"))
+        .collect()
+    )
+    arr = np.zeros(m // 64, dtype="<i8")
+    for r in words:
+        arr[int(r["word"])] = np.int64(r["bits"])
+    return arr.tobytes(), m
+
+
+def bloom_might_contain(spark, bitset, m, col):
+    """Boolean Column: Bloom membership probe of string ``col`` against a
+    broadcast bitset from bloom_build. Arrow-batched pandas UDF over the
+    two xxhash64 values (computed JVM-side); the numpy probe replicates the
+    build's position arithmetic exactly (int64 floored mod == Spark pmod
+    for positive m), so members can never test false."""
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(bitset)
+    k, mm = _BLOOM_K, int(m)
+
+    @pandas_udf("boolean")
+    def _might(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        import numpy as np
+        import pandas as pd
+
+        w = np.frombuffer(bc.value, dtype="<i8")
+        a = h1.to_numpy(np.int64) % mm
+        b = h2.to_numpy(np.int64) % mm
+        ok = np.ones(len(a), dtype=bool)
+        for i in range(k):
+            p = (a + i * b) % mm  # < m*k, no overflow
+            # arithmetic >> then &1 reads the addressed bit regardless of sign
+            ok &= ((w[p >> 6] >> (p & 63)) & 1).astype(bool)
+        return pd.Series(ok)
+
+    return _might(F.xxhash64(col), F.xxhash64(col, F.lit(1)))
+
+
+@register("q_decontaminate_bloom", _decontaminate_sql())
+def q_decontaminate_bloom(spark, sf_dir):
+    docs, kept = _decon_frames(spark, sf_dir)
+    test_sh = (kept.join(docs.filter("bkt >= 90").select("doc_id"), "doc_id")
+               .select("sh").distinct())
+    test_sh.persist()  # consumed twice: bitset build (eager) + exact join
+    bits, m = bloom_build(test_sh, "sh")
+    cand = kept.filter(bloom_might_contain(spark, bits, m, "sh"))
+    contam = cand.join(test_sh, "sh").select("doc_id").distinct() \
+                 .withColumn("bad", F.lit(True))
+    return _decon_report(docs, contam)

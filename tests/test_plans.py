@@ -298,3 +298,32 @@ def test_basin_link_round_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_decontaminate_bloom_prefilter_is_map_side(spark):
+    """The Bloom probe must run as an Arrow-batched filter on the SCAN side
+    of the contamination join — before any exchange ships train-side
+    shingles — and every join must stay equi (hash/sort-merge)."""
+    plan = _plan(textops.q_decontaminate_bloom(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    # Catalyst pushes the deterministic probe through the sh-keyed joins
+    # (it may appear in several branches); at least one instance must sit
+    # DIRECTLY over a FileScan — i.e. rows drop before any Exchange ships
+    # them. Children print below their parent, so scanning downward from an
+    # ArrowEvalPython line, a FileScan must appear before any Exchange.
+    lines = plan.splitlines()
+    starts = [i for i, ln in enumerate(lines) if "ArrowEvalPython" in ln]
+    assert starts, "Bloom probe missing from the physical plan"
+
+    def scan_adjacent(i: int) -> bool:
+        for ln in lines[i + 1:]:
+            if "Exchange" in ln:
+                return False
+            if "FileScan" in ln:
+                return True
+        return False
+
+    assert any(scan_adjacent(i) for i in starts), \
+        "no Bloom probe is map-side (scan-adjacent before an Exchange)"

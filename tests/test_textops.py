@@ -218,3 +218,39 @@ def test_char_entropy_empty_doc_matches_duckdb(spark, tmp_path):
     e = exp.sort_values("doc_id").reset_index(drop=True)
     for c in ["n_chars", "alphabet", "entropy_bits"]:
         assert list(g[c].astype(float)) == list(e[c].astype(float)), c
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered decontamination: the bitset can never produce a false
+# negative (members always probe true), and the prefiltered pipeline is
+# row-identical to the exact q_decontaminate twin.
+# --------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from i_landsat8_swlst_spark.textops import bloom_build, bloom_might_contain
+
+    members = spark.range(500).select(
+        F.concat(F.lit("member-"), F.col("id")).alias("s"))
+    bits, m = bloom_build(members, "s")
+    probe = spark.range(2500).select(
+        F.when(F.col("id") < 500, F.concat(F.lit("member-"), F.col("id")))
+         .otherwise(F.concat(F.lit("other-"), F.col("id"))).alias("s"))
+    got = probe.select(
+        "s", bloom_might_contain(spark, bits, m, "s").alias("hit")).toPandas()
+    mem = got[got.s.str.startswith("member-")]
+    non = got[got.s.str.startswith("other-")]
+    assert mem.hit.all()            # zero false negatives, by construction
+    assert non.hit.mean() < 0.05    # m = 16n, k = 4 -> fp ~ 0.24%
+
+
+def test_decontaminate_bloom_matches_exact(spark):
+    from i_landsat8_swlst_spark.textops import (q_decontaminate,
+                                                q_decontaminate_bloom)
+
+    exact = q_decontaminate(spark, SF_DIR).toPandas() \
+        .sort_values("lang").reset_index(drop=True)
+    bloom = q_decontaminate_bloom(spark, SF_DIR).toPandas() \
+        .sort_values("lang").reset_index(drop=True)
+    pd.testing.assert_frame_equal(exact, bloom)
+    assert exact.n_contaminated.sum() > 0  # the case actually exercises hits
