@@ -175,6 +175,53 @@ def _q_map_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: distributed principal-component transform of the LST/CWV
+    plane stack (i.pca analog, multiband.pca_tiles) — per-tile exact f64
+    cross-moment partials + ONE map-side-combining agg (B(B+3)/2 doubles
+    per scene reach the driver, never pixels), driver-side eigh with a
+    deterministic sign convention, then a shuffle-free broadcast projection
+    pass. Whole-scene numpy-oracle parity in tests/test_multiband.py."""
+    from i_landsat8_swlst_spark import multiband, pipeline
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5)
+    out, model = multiband.pca_tiles(tiles, ["lst_bytes", "cwv_bytes"], k=2)
+    expl = spark.createDataFrame(
+        [(s, round(float(m["explained"][0]), 4)) for s, m in model.items()],
+        "scene_id string, pc1_explained double")
+    return (
+        out.groupBy("scene_id")
+        .agg(F.count(F.lit(1)).alias("n_tiles"),
+             F.sum("n_valid").alias("n_px"),
+             F.round(F.avg("pc1_mean"), 2).alias("pc1_tile_mean"))
+        .join(expl, "scene_id")
+        .orderBy("scene_id")
+    )
+
+
+def _q_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: global histogram equalization of the LST plane
+    (r.colors -e analog, multiband.stretch_tiles) — per-scene order
+    statistics from a fixed-bin histogram folded in ONE map-side-combining
+    agg (never a sort), LUT applied in a shuffle-free second pass.
+    Byte-exact whole-scene-oracle parity in tests/test_multiband.py."""
+    from i_landsat8_swlst_spark import multiband, pipeline
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5)
+    out, _ = multiband.stretch_tiles(tiles, "lst_bytes", mode="equalize")
+    return (
+        out.groupBy("scene_id")
+        .agg(F.count(F.lit(1)).alias("n_tiles"),
+             F.sum("n_valid").alias("n_px"),
+             F.round(F.avg("out_mean"), 1).alias("u8_mean"))
+        .orderBy("scene_id")
+    )
+
+
 def _q_extract_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: distributed raster connected-component labeling
     (regions.extract_regions) — threshold-region / hot-spot extraction with
@@ -916,6 +963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_flow_accum"] = _q_flow_accum
     q["q_basins"] = _q_basins
     q["q_map_algebra"] = _q_map_algebra
+    q["q_pca"] = _q_pca
+    q["q_equalize"] = _q_equalize
     q["q_aoi_measures"] = _q_aoi_measures
     q["q_resample"] = _q_resample
     q["q_gradient"] = _q_gradient

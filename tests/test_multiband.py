@@ -1,0 +1,189 @@
+"""Distributed PCA (i.pca analog) vs the whole-scene numpy oracle.
+
+The oracle recomputes everything serially from the mosaicked planes:
+mask rows with any NaN, np.cov (ddof=1), eigh, identical sign convention.
+Spark's cross-tile sum order is nondeterministic, so comparisons use
+1e-8 relative tolerance (per-tile partials are exact f64)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from i_landsat8_swlst_spark import multiband
+
+BANDS = ["b1_bytes", "b2_bytes", "b3_bytes", "b4_bytes"]
+
+
+def _synth_tiles(spark, seed=7, scenes=("S0", "S1"), tw=16, th=12,
+                 nx=3, ny=2):
+    """Ragged multi-band tile table with NaN holes; returns (df, mosaics)
+    where mosaics[scene] is the (H, W, B) whole-scene stack."""
+    rng = np.random.default_rng(seed)
+    rows, mosaics = [], {}
+    for s in scenes:
+        H, W = th * ny + 5, tw * nx + 7  # ragged right/bottom edges
+        stack = rng.normal(300.0, 25.0, (H, W, len(BANDS)))
+        # correlate bands so eigenvalues are distinct and loadings real
+        for b in range(1, len(BANDS)):
+            stack[:, :, b] = 0.6 * stack[:, :, 0] + (0.2 + 0.3 * b) * stack[:, :, b]
+        stack[rng.random((H, W)) < 0.07] = np.nan  # all-band holes
+        # single-band holes must also invalidate the pixel
+        hole = rng.random((H, W)) < 0.04
+        stack[hole, 2] = np.nan
+        mosaics[s] = stack
+        for ty in range(ny + 1):
+            for tx in range(nx + 1):
+                y0, x0 = ty * th, tx * tw
+                t = stack[y0:y0 + th, x0:x0 + tw]
+                if t.size == 0:
+                    continue
+                h, w = t.shape[:2]
+                row = {"image_id": f"{s}-img", "scene_id": s,
+                       "tile_x": tx, "tile_y": ty, "w": w, "h": h}
+                for b, c in enumerate(BANDS):
+                    row[c] = t[:, :, b].astype("<f4").tobytes()
+                rows.append(row)
+    return spark.createDataFrame(pd.DataFrame(rows)), mosaics
+
+
+def _oracle(stack, k):
+    x = stack.reshape(-1, stack.shape[2]).astype(np.float64)
+    # f32-quantized exactly as the planes are stored
+    x = x.astype(np.float32).astype(np.float64)
+    x = x[np.isfinite(x).all(axis=1)]
+    mean = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False, ddof=1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    vals, vecs = vals[order], vecs[:, order]
+    for j in range(k):
+        if vecs[np.argmax(np.abs(vecs[:, j])), j] < 0:
+            vecs[:, j] = -vecs[:, j]
+    return x.shape[0], mean, vecs, vals
+
+
+def test_pca_matches_whole_scene_numpy(spark):
+    df, mosaics = _synth_tiles(spark)
+    out, model = multiband.pca_tiles(df, BANDS, k=3)
+    pdf = out.toPandas()
+    for s, stack in mosaics.items():
+        n, mean, vecs, vals = _oracle(stack, 3)
+        m = model[s]
+        assert np.allclose(m["mean"], mean, rtol=1e-8)
+        assert np.allclose(m["eigvals"], vals, rtol=1e-8)
+        assert np.allclose(m["components"], vecs, rtol=1e-7, atol=1e-10)
+        assert 0.0 < sum(m["explained"]) < 1.0 + 1e-12  # k=3 of 4 bands
+        # projected planes: rebuild the mosaic from tiles, compare pixelwise
+        sp = pdf[pdf.scene_id == s]
+        assert int(sp.n_valid.sum()) == n
+        H, W = stack.shape[:2]
+        for i in (1, 2, 3):
+            got = np.full((H, W), np.nan, dtype=np.float32)
+            for _, r in sp.iterrows():
+                p = np.frombuffer(r[f"pc{i}_bytes"], "<f4").reshape(r.h, r.w)
+                got[r.tile_y * 12:r.tile_y * 12 + r.h,
+                    r.tile_x * 16:r.tile_x * 16 + r.w] = p
+            xs = stack.reshape(-1, 4).astype(np.float32).astype(np.float64)
+            ok = np.isfinite(xs).all(axis=1)
+            exp = np.full(H * W, np.nan)
+            exp[ok] = (xs[ok] - mean) @ vecs[:, i - 1]
+            exp = exp.reshape(H, W)
+            assert np.array_equal(np.isnan(got), np.isnan(exp))
+            assert np.allclose(got[~np.isnan(got)], exp[~np.isnan(exp)],
+                               rtol=1e-4, atol=1e-3)  # f32 plane storage
+
+
+def test_pca_explained_ordering_and_k(spark):
+    df, _ = _synth_tiles(spark, seed=11, scenes=("Z",), nx=2, ny=1)
+    _, model = multiband.pca_tiles(df, BANDS, k=4)
+    e = model["Z"]["explained"]
+    assert all(e[i] >= e[i + 1] for i in range(3))   # descending variance
+    assert abs(sum(e) - 1.0) < 1e-9                  # full rank: sums to 1
+    out2, m2 = multiband.pca_tiles(df, BANDS, k=2)
+    assert [c for c in out2.columns if c.endswith("_bytes")] == \
+        ["pc1_bytes", "pc2_bytes"]
+    assert np.allclose(m2["Z"]["components"],
+                       model["Z"]["components"][:, :2])
+
+
+def test_pca_rejects_degenerate_scene(spark):
+    import pyspark.sql.functions as F
+
+    df, _ = _synth_tiles(spark, scenes=("A",), nx=1, ny=1)
+    empty = np.full((12, 16), np.nan, dtype="<f4").tobytes()
+    one = df.filter("tile_x = 0 and tile_y = 0")
+    for c in BANDS:
+        one = one.withColumn(c, F.lit(empty))
+    with pytest.raises(Exception, match="PCA needs"):
+        multiband.pca_components(one, BANDS, k=2)
+
+
+# --------------------------------------------------------------------------
+# Global-histogram stretch / equalization vs a whole-scene serial oracle.
+# The binning formula is a shared contract (imported), so the comparison is
+# EXACT byte equality of the u8 planes, not a tolerance.
+# --------------------------------------------------------------------------
+
+
+def _mosaic_u8(pdf, scene, H, W, col, th=12, tw=16):
+    got = np.zeros((H, W), dtype=np.uint8)
+    for _, r in pdf[pdf.scene_id == scene].iterrows():
+        p = np.frombuffer(r[col], np.uint8).reshape(r.h, r.w)
+        got[r.tile_y * th:r.tile_y * th + r.h,
+            r.tile_x * tw:r.tile_x * tw + r.w] = p
+    return got
+
+
+def test_equalize_matches_serial_oracle_exactly(spark):
+    from i_landsat8_swlst_spark.multiband import _bin_plane, stretch_tiles
+
+    df, mosaics = _synth_tiles(spark, seed=3)
+    bins = 512
+    out, luts = stretch_tiles(df, "b1_bytes", mode="equalize", bins=bins)
+    pdf = out.toPandas()
+    for s, stack in mosaics.items():
+        x = stack[:, :, 0].astype(np.float32).astype(np.float64)
+        ok = np.isfinite(x)
+        vmin, vmax = float(x[ok].min()), float(x[ok].max())
+        h = np.bincount(_bin_plane(x[ok], vmin, vmax, bins), minlength=bins)
+        lut = np.round(np.cumsum(h) / h.sum() * 255.0).astype(np.uint8)
+        assert np.array_equal(lut, luts[s])
+        exp = np.zeros(x.shape, dtype=np.uint8)
+        exp[ok] = lut[_bin_plane(x[ok], vmin, vmax, bins)]
+        got = _mosaic_u8(pdf, s, *x.shape, "out_bytes")
+        assert np.array_equal(got, exp)
+        mask = _mosaic_u8(pdf, s, *x.shape, "mask_bytes").astype(bool)
+        assert np.array_equal(mask, ok)
+        # equalization property: output CDF is ~linear (within bin width)
+        vals = got[mask]
+        q = np.quantile(vals, [0.25, 0.5, 0.75])
+        assert np.all(np.abs(q - np.array([64, 128, 191])) < 8)
+
+
+def test_linear_stretch_clips_at_percentiles(spark):
+    from i_landsat8_swlst_spark.multiband import stretch_tiles
+
+    df, mosaics = _synth_tiles(spark, seed=5, scenes=("L",))
+    out, _ = stretch_tiles(df, "b2_bytes", mode="linear",
+                           lo_pct=2.0, hi_pct=98.0, bins=4096)
+    pdf = out.toPandas()
+    stack = mosaics["L"][:, :, 1]
+    ok = np.isfinite(stack)
+    got = _mosaic_u8(pdf, "L", *stack.shape, "out_bytes")
+    vals = got[_mosaic_u8(pdf, "L", *stack.shape, "mask_bytes").astype(bool)]
+    # ~2% of pixels pinned at each end (within histogram-bin resolution)
+    assert abs((vals == 0).mean() - 0.02) < 0.01
+    assert abs((vals == 255).mean() - 0.02) < 0.01
+    # interior is monotone in the source values
+    src = stack[ok].astype(np.float32)
+    order = np.argsort(src)
+    v = vals[order]
+    assert np.all(np.diff(v.astype(np.int16)) >= 0)
+
+
+def test_stretch_rejects_unknown_mode(spark):
+    from i_landsat8_swlst_spark.multiband import stretch_tiles
+
+    df, _ = _synth_tiles(spark, scenes=("M",), nx=1, ny=1)
+    with pytest.raises(ValueError, match="unknown stretch mode"):
+        stretch_tiles(df, "b1_bytes", mode="log")

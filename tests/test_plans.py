@@ -327,3 +327,25 @@ def test_decontaminate_bloom_prefilter_is_map_side(spark):
 
     assert any(scan_adjacent(i) for i in starts), \
         "no Bloom probe is map-side (scan-adjacent before an Exchange)"
+
+
+def test_pca_moments_single_aggregation_no_join(spark):
+    """The PCA moments pass must reach the driver as ONE map-side-combining
+    aggregation chain over tiny (scene, pos, v) rows — no join anywhere,
+    and no exchange of pixel-scale data (the only mapInArrow feeds the
+    partials, which are B(B+3)/2 doubles per TILE)."""
+    import pandas as pd
+    import numpy as np
+
+    from i_landsat8_swlst_spark import multiband
+
+    rows = []
+    for tx in range(2):
+        plane = np.full((4, 4), 1.0 + tx, dtype="<f4").tobytes()
+        rows.append({"image_id": "i", "scene_id": "S", "tile_x": tx,
+                     "tile_y": 0, "w": 4, "h": 4,
+                     "a_bytes": plane, "b_bytes": plane})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    plan = _plan(multiband.band_moments(df, ["a_bytes", "b_bytes"]))
+    assert "Join" not in plan
+    assert "HashAggregate" in plan  # partial/final pairs, map-side combine
