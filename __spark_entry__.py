@@ -343,6 +343,30 @@ def _q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_texture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: GLCM Haralick texture features of the LST plane
+    (r.texture analog, texture.glcm_texture_tiles) — global quantization
+    from one tiny range agg, ONE halo exchange, then a tile-local
+    box-filter kernel whose output is bit-identical to the whole-scene
+    mosaic. Brute-force per-window-histogram oracle parity in
+    tests/test_texture.py."""
+    from i_landsat8_swlst_spark import pipeline, texture
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5)
+    tex = texture.glcm_texture_tiles(tiles, window=5, levels=16)
+    return (
+        tex.groupBy("scene_id")
+        .agg(F.count(F.lit(1)).alias("n_tiles"),
+             F.sum("n_valid").alias("n_px"),
+             F.round(F.avg("contrast_mean"), 4).alias("avg_contrast"),
+             F.round(F.avg("entropy_mean"), 4).alias("avg_entropy"),
+             F.round(F.avg("energy_mean"), 4).alias("avg_energy"))
+        .orderBy("scene_id")
+    )
+
+
 def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: per-zone LST statistics (the r.univar-per-region consumer
     product) via spatial.zonal_stats — PIP zone assignment + ONE map-side-
@@ -958,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_pip_join"] = _q_pip_join
     q["q_zonal_stats"] = _q_zonal_stats
     q["q_focal_stats"] = _q_focal_stats
+    q["q_texture"] = _q_texture
     q["q_extract_regions"] = _q_extract_regions
     q["q_cost_distance"] = _q_cost_distance
     q["q_flow_accum"] = _q_flow_accum
