@@ -367,6 +367,48 @@ def _q_texture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: per-pixel temporal statistics across 4 revisits at PLANE
+    granularity (r.series analog, series.series_tiles) — one hash shuffle
+    of the plane bytes on the (footprint, tile) key, vectorized nan-stats
+    over the k-deep stack, pixels never explode to rows. Whole-scene
+    numpy-oracle parity in tests/test_series.py."""
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import constants as C, pipeline, series, synth
+
+    scenes = spark.createDataFrame(synth.revisit_scenes_pdf("tiny", scene=0, n_dates=4))
+    meta = spark.createDataFrame(synth.revisit_meta_pdf("tiny", scene=0, n_dates=4))
+    emis = spark.createDataFrame(pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5)
+    ser = series.series_tiles(tiles)
+    return (
+        ser.groupBy("footprint")
+        .agg(F.count(F.lit(1)).alias("n_tiles"),
+             F.max("n_dates").alias("n_dates"),
+             F.sum("n_px_any").alias("n_px_any"),
+             F.round(F.avg("median_mean"), 4).alias("avg_median"),
+             F.round(F.avg("stddev_mean"), 4).alias("avg_stddev"))
+        .orderBy("footprint")
+    )
+
+
+def _q_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: LST-class x CWV-class co-occurrence area table
+    (r.cross / r.stats analog, series.crosstab_tiles) — global per-scene
+    quantization, per-tile 2-D bincount, ONE map-side-combining sum; the
+    exchange carries occupied class cells, not pixels. Whole-scene
+    dict-count oracle parity in tests/test_series.py."""
+    from i_landsat8_swlst_spark import pipeline, series
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5)
+    ct = series.crosstab_tiles(tiles, levels_a=6, levels_b=4)
+    return ct.orderBy("scene_id", "class_a", "class_b")
+
+
 def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: per-zone LST statistics (the r.univar-per-region consumer
     product) via spatial.zonal_stats — PIP zone assignment + ONE map-side-
@@ -983,6 +1025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_zonal_stats"] = _q_zonal_stats
     q["q_focal_stats"] = _q_focal_stats
     q["q_texture"] = _q_texture
+    q["q_series"] = _q_series
+    q["q_crosstab"] = _q_crosstab
     q["q_extract_regions"] = _q_extract_regions
     q["q_cost_distance"] = _q_cost_distance
     q["q_flow_accum"] = _q_flow_accum

@@ -1,0 +1,218 @@
+"""Temporal raster series and raster cross-tabulation.
+
+Two classic map-stack products over the tile table, kept at PLANE
+granularity so pixels never explode into rows:
+
+``series_tiles`` — the r.series analog: per-pixel statistics (count,
+mean, stddev, min, max, median) across the revisits of one footprint.
+``composite_pixels``/``trend_pixels`` (pipeline.py) already cover the
+pixel-ROW path; this is the plane path — ONE shuffle of the plane bytes
+on the (footprint, tile) key, then a vectorized nan-stat over the
+k-deep stack per group. Group size is the revisit count k (bounded,
+~tens), and the exact per-pixel median inherently needs all k values at
+once, so the grouped-map buffering is the honest minimum — mean/min/
+max/count alone could stream through partial plane aggregates, but
+Spark has no binary-plane partial agg and k rows per group make the
+buffering moot. Shuffle bytes = the input planes, once.
+
+``crosstab_tiles`` — the r.cross / r.stats analog: the co-occurrence
+area table of two globally-quantized planes (e.g. LST class x CWV
+class). Quantization bins come from the per-scene finite ranges
+(`multiband.scene_ranges`, one scan + one tiny agg) exactly like
+texture/stretch, so every tile bins identically; then each tile folds
+to at most levels_a x levels_b tiny (scene, ca, cb, count) rows via one
+2-D ``np.bincount`` and the scene table is ONE map-side-combining SUM —
+the rows reaching the exchange are bounded by tiles x occupied cells,
+not pixels.
+
+Both are deterministic (within-group date order is sorted before any
+fp fold) and NaN-aware (a NaN observation simply doesn't count at that
+pixel; a pixel NaN in either crosstab plane is excluded and reported in
+the per-scene ``n_invalid``).
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
+)
+
+from .multiband import scene_ranges
+from .pipeline import _batch_from_cols, _batch_rows
+from .texture import _quantize
+
+SERIES_STATS = ("count", "mean", "stddev", "min", "max", "median")
+
+
+def series_stack_stats(stack: np.ndarray,
+                       stats: tuple[str, ...] = SERIES_STATS,
+                       ) -> dict[str, np.ndarray]:
+    """Nan-aware per-pixel stats over a (k, h, w) f64 stack — shared
+    verbatim with the whole-scene oracle in tests/test_series.py so
+    parity is exact. ``count`` is the finite-observation count;
+    ``stddev`` is the population stddev (ddof=0, the r.series
+    convention); pixels with zero observations get NaN everywhere
+    (count 0)."""
+    n = np.isfinite(stack).sum(axis=0).astype(np.float64)
+    out: dict[str, np.ndarray] = {}
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for s in stats:
+            if s == "count":
+                out[s] = n
+                continue
+            fn = {"mean": np.nanmean, "stddev": np.nanstd,
+                  "min": np.nanmin, "max": np.nanmax,
+                  "median": np.nanmedian}[s]
+            # nan* warn on all-NaN pixel columns; the warning is the
+            # expected zero-obs case, mapped to NaN below anyway
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                v = fn(stack, axis=0)
+            v[n == 0] = np.nan
+            out[s] = v
+    return out
+
+
+def _series_schema(stats: tuple[str, ...]) -> StructType:
+    fields = [
+        StructField("footprint", StringType()),
+        StructField("tile_x", IntegerType()),
+        StructField("tile_y", IntegerType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("n_dates", IntegerType()),
+        StructField("n_px_any", LongType()),
+    ]
+    for s in stats:
+        fields.append(StructField(f"{s}_bytes", BinaryType()))
+        fields.append(StructField(f"{s}_mean", DoubleType()))
+    return StructType(fields)
+
+
+def series_tiles(tiles: DataFrame, src_col: str = "lst_bytes",
+                 footprint=None,
+                 stats: tuple[str, ...] = SERIES_STATS) -> DataFrame:
+    """r.series analog: per-pixel temporal statistics across the revisits
+    of each footprint, at tile granularity.
+
+    ``footprint`` is the Column grouping revisits of one geographic
+    footprint; the default strips the ``R<k>`` revisit suffix from
+    ``scene_id`` (the same convention trend_pixels parses). Revisits of
+    one footprint are grid-aligned, so each (footprint, tile_x, tile_y)
+    group holds k same-shape planes; a shape mismatch inside a group
+    raises (mis-registered stacks must not silently truncate).
+
+    Plan: ONE hash shuffle of the plane bytes on the group key ->
+    grouped-map stat kernel. No pixel-row explosion, no join.
+    """
+    unknown = set(stats) - set(SERIES_STATS)
+    if unknown:
+        raise ValueError(f"unknown series stats {sorted(unknown)}")
+    fp = (footprint if footprint is not None
+          else F.regexp_replace("scene_id", r"R\d+$", ""))
+    schema = _series_schema(tuple(stats))
+    stats_t = tuple(stats)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic fp fold order regardless of shuffle arrival
+        pdf = pdf.sort_values("scene_id", kind="mergesort")
+        w, h = int(pdf.w.iloc[0]), int(pdf.h.iloc[0])
+        if (pdf.w != w).any() or (pdf.h != h).any():
+            fpv, tx, ty = (pdf.footprint.iloc[0], int(pdf.tile_x.iloc[0]),
+                           int(pdf.tile_y.iloc[0]))
+            raise ValueError(
+                f"series_tiles: mis-registered revisit stack for "
+                f"footprint={fpv!r} tile=({tx},{ty}): shapes "
+                f"{sorted(set(zip(pdf.w, pdf.h)))}")
+        stack = np.stack([
+            np.frombuffer(b, dtype="<f4").reshape(h, w).astype(np.float64)
+            for b in pdf[src_col]])
+        out = series_stack_stats(stack, stats_t)
+        row = {
+            "footprint": [pdf.footprint.iloc[0]],
+            "tile_x": [int(pdf.tile_x.iloc[0])],
+            "tile_y": [int(pdf.tile_y.iloc[0])],
+            "w": [w], "h": [h], "n_dates": [len(pdf)],
+            "n_px_any": [int((out["count"] > 0).sum())
+                         if "count" in out
+                         else int((np.isfinite(stack).sum(0) > 0).sum())],
+        }
+        for s in stats_t:
+            plane = out[s].astype("<f4")
+            row[f"{s}_bytes"] = [plane.tobytes()]
+            any_ok = bool(np.isfinite(plane).any())
+            row[f"{s}_mean"] = [float(np.nanmean(plane)) if any_ok else None]
+        return pd.DataFrame(row)
+
+    keyed = tiles.withColumn("footprint", fp)
+    return (keyed.select("footprint", "tile_x", "tile_y", "w", "h",
+                         "scene_id", src_col)
+            .groupBy("footprint", "tile_x", "tile_y")
+            .applyInPandas(fn, schema))
+
+
+_CROSSTAB_PART = StructType([
+    StructField("scene_id", StringType()),
+    StructField("class_a", IntegerType()),
+    StructField("class_b", IntegerType()),
+    StructField("n_px", LongType()),
+])
+
+
+def crosstab_tiles(tiles: DataFrame, col_a: str = "lst_bytes",
+                   col_b: str = "cwv_bytes", levels_a: int = 16,
+                   levels_b: int = 16) -> DataFrame:
+    """r.cross / r.stats analog: per-scene co-occurrence area table of two
+    globally-quantized planes.
+
+    Classes are linear bins over the per-scene finite (min, max) of each
+    plane (`multiband.scene_ranges` — one extra scan + tiny agg per
+    plane, the same global-quantization contract as texture/stretch).
+    Class -1 collects pixels NaN in either plane, so the table is a
+    complete partition of the raster: ``sum(n_px)`` == total pixels.
+
+    Plan: one mapInArrow fold (2-D bincount per tile -> at most
+    (levels_a+1)(levels_b+1) rows) then ONE map-side-combining SUM on
+    (scene, ca, cb). Pixels never reach the exchange.
+    """
+    if levels_a < 2 or levels_b < 2:
+        raise ValueError("levels must be >= 2")
+    ra = scene_ranges(tiles, col_a)
+    rb = scene_ranges(tiles, col_b)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in _CROSSTAB_PART}
+            ap = {k: v.append for k, v in cols.items()}
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                a = np.frombuffer(getattr(row, col_a), dtype="<f4") \
+                    .reshape(h, w).astype(np.float64)
+                b = np.frombuffer(getattr(row, col_b), dtype="<f4") \
+                    .reshape(h, w).astype(np.float64)
+                qa = _quantize(a, *ra[row.scene_id], levels_a)
+                qb = _quantize(b, *rb[row.scene_id], levels_b)
+                # -1 (NaN) folds into the 0 slot of a (levels+1)-wide grid
+                idx = ((qa.ravel() + 1).astype(np.int64) * (levels_b + 1)
+                       + (qb.ravel() + 1))
+                cnt = np.bincount(idx, minlength=(levels_a + 1) * (levels_b + 1))
+                for k in np.flatnonzero(cnt):
+                    ap["scene_id"](row.scene_id)
+                    ap["class_a"](int(k // (levels_b + 1)) - 1)
+                    ap["class_b"](int(k % (levels_b + 1)) - 1)
+                    ap["n_px"](int(cnt[k]))
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, _CROSSTAB_PART)
+
+    return (tiles.mapInArrow(fn, _CROSSTAB_PART)
+            .groupBy("scene_id", "class_a", "class_b")
+            .agg(F.sum("n_px").alias("n_px")))

@@ -1,0 +1,142 @@
+"""r.series / r.cross analogs vs whole-scene numpy oracles.
+
+series_tiles: the oracle stacks the mosaicked revisit planes (same sorted
+date order the kernel enforces) and runs the shared nan-stat formula on
+the whole scene — the tiled output must mosaic back bit-identically
+(same values, same op order, f32 cast at the same point).
+
+crosstab_tiles: the oracle quantizes the mosaicked planes and counts
+pairs with a dict — independent of the kernel's flattened bincount — and
+the summed table must match exactly; the table must also partition the
+raster (sum == H*W including the NaN classes).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from i_landsat8_swlst_spark import series
+from i_landsat8_swlst_spark.series import SERIES_STATS, series_stack_stats
+from i_landsat8_swlst_spark.texture import _quantize
+
+
+def _revisit_tiles(spark, k=4, H=23, W=29, th=9, tw=11, seed=3,
+                   footprints=("FA", "FB")):
+    """Ragged revisit tile table; returns (df, stacks) with
+    stacks[footprint] = (k, H, W) f64 whole-scene stack (f32-quantized
+    exactly as stored)."""
+    rng = np.random.default_rng(seed)
+    rows, stacks = [], {}
+    for fp in footprints:
+        planes = []
+        for d in range(k):
+            p = rng.uniform(260.0, 330.0, (H, W))
+            p[rng.random((H, W)) < 0.15] = np.nan
+            p[1, 2] = np.nan  # one pixel with ZERO observations, all dates
+            planes.append(p.astype(np.float32).astype(np.float64))
+        stacks[fp] = np.stack(planes)
+        for d in range(k):
+            p = stacks[fp][d]
+            for ty in range((H + th - 1) // th):
+                for tx in range((W + tw - 1) // tw):
+                    t = p[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+                    rows.append({
+                        "image_id": f"{fp}R{d}-i", "scene_id": f"{fp}R{d}",
+                        "tile_x": tx, "tile_y": ty,
+                        "w": t.shape[1], "h": t.shape[0],
+                        "lst_bytes": t.astype("<f4").tobytes()})
+    return spark.createDataFrame(pd.DataFrame(rows)), stacks
+
+
+def _mosaic(pdf, col, H, W, th=9, tw=11):
+    got = np.full((H, W), np.nan, dtype=np.float32)
+    for _, r in pdf.iterrows():
+        p = np.frombuffer(r[col], "<f4").reshape(r.h, r.w)
+        got[r.tile_y * th:r.tile_y * th + r.h,
+            r.tile_x * tw:r.tile_x * tw + r.w] = p
+    return got
+
+
+def test_series_matches_whole_scene_oracle(spark):
+    H, W = 23, 29
+    df, stacks = _revisit_tiles(spark, k=4, H=H, W=W)
+    pdf = series.series_tiles(df).toPandas()
+    assert set(pdf.footprint) == {"FA", "FB"}
+    assert (pdf.n_dates == 4).all()
+    for fp, stack in stacks.items():
+        exp = series_stack_stats(stack)
+        sub = pdf[pdf.footprint == fp]
+        for s in SERIES_STATS:
+            got = _mosaic(sub, f"{s}_bytes", H, W)
+            want = exp[s].astype(np.float32)
+            assert np.array_equal(got, want, equal_nan=True), (fp, s)
+        # zero-obs pixel: count plane 0, every stat NaN there
+        cnt = _mosaic(sub, "count_bytes", H, W)
+        assert cnt[1, 2] == 0
+        assert np.isnan(_mosaic(sub, "median_bytes", H, W)[1, 2])
+        assert int(sub.n_px_any.sum()) == int((np.isfinite(stack).sum(0) > 0).sum())
+
+
+def test_series_stat_subset_and_bad_stat(spark):
+    df, _ = _revisit_tiles(spark, k=2, H=9, W=11, footprints=("FX",))
+    pdf = series.series_tiles(df, stats=("mean", "max")).toPandas()
+    assert {"mean_bytes", "max_bytes"} <= set(pdf.columns)
+    assert "median_bytes" not in pdf.columns
+    with pytest.raises(ValueError, match="unknown series stats"):
+        series.series_tiles(df, stats=("mean", "mode"))
+
+
+def test_series_misregistered_stack_raises(spark):
+    rows = [{"image_id": "GR0-i", "scene_id": "GR0", "tile_x": 0, "tile_y": 0,
+             "w": 4, "h": 3,
+             "lst_bytes": np.ones((3, 4), "<f4").tobytes()},
+            {"image_id": "GR1-i", "scene_id": "GR1", "tile_x": 0, "tile_y": 0,
+             "w": 5, "h": 3,
+             "lst_bytes": np.ones((3, 5), "<f4").tobytes()}]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    with pytest.raises(Exception, match="mis-registered"):
+        series.series_tiles(df).toPandas()
+
+
+def _two_plane_tiles(spark, H=21, W=26, th=8, tw=10, seed=11, scene="S0"):
+    rng = np.random.default_rng(seed)
+    a = rng.uniform(270.0, 330.0, (H, W))
+    b = rng.uniform(0.5, 6.0, (H, W))
+    a[rng.random((H, W)) < 0.1] = np.nan
+    b[rng.random((H, W)) < 0.1] = np.nan
+    a = a.astype(np.float32).astype(np.float64)
+    b = b.astype(np.float32).astype(np.float64)
+    rows = []
+    for ty in range((H + th - 1) // th):
+        for tx in range((W + tw - 1) // tw):
+            ta = a[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+            tb = b[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+            rows.append({"image_id": f"{scene}-i", "scene_id": scene,
+                         "tile_x": tx, "tile_y": ty,
+                         "w": ta.shape[1], "h": ta.shape[0],
+                         "lst_bytes": ta.astype("<f4").tobytes(),
+                         "cwv_bytes": tb.astype("<f4").tobytes()})
+    return spark.createDataFrame(pd.DataFrame(rows)), a, b
+
+
+def test_crosstab_matches_whole_scene_oracle(spark):
+    la, lb = 5, 7
+    df, a, b = _two_plane_tiles(spark)
+    got = {(r.class_a, r.class_b): r.n_px
+           for r in series.crosstab_tiles(df, levels_a=la, levels_b=lb).collect()}
+    fa = a[np.isfinite(a)]
+    fb = b[np.isfinite(b)]
+    qa = _quantize(a, fa.min(), fa.max(), la)
+    qb = _quantize(b, fb.min(), fb.max(), lb)
+    exp: dict = {}
+    for ca, cb in zip(qa.ravel(), qb.ravel()):
+        exp[(int(ca), int(cb))] = exp.get((int(ca), int(cb)), 0) + 1
+    assert got == exp
+    # complete partition of the raster, NaN classes included
+    assert sum(got.values()) == a.size
+
+
+def test_crosstab_rejects_bad_levels(spark):
+    df, _, _ = _two_plane_tiles(spark, H=8, W=10)
+    with pytest.raises(ValueError, match="levels must be"):
+        series.crosstab_tiles(df, levels_a=1)
