@@ -394,6 +394,33 @@ def _q_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_landscape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: per-class landscape metrics (r.li analog,
+    landscape.class_metrics) — one pixel scan emitting O(perimeter +
+    classes) rows, then equi-join border stitching (regions decomposition)
+    and a directed cross-tile edge join; plus the scene-level Shannon
+    diversity roll-up. Brute flood-fill oracle parity in
+    tests/test_landscape.py."""
+    from i_landsat8_swlst_spark import landscape, pipeline
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5)
+    m = landscape.class_metrics(tiles, levels=6)
+    div = landscape.scene_diversity(m).select(
+        "scene_id", "richness", F.round("shannon_h", 4).alias("shannon_h"),
+        F.round("evenness", 4).alias("evenness"))
+    return (
+        m.groupBy("scene_id")
+        .agg(F.sum("area_px").alias("area_px"),
+             F.sum("edge_px").alias("edge_px"),
+             F.sum("n_patches").alias("n_patches"),
+             F.max("largest_patch_px").alias("largest_patch_px"))
+        .join(div, on="scene_id")
+        .orderBy("scene_id")
+    )
+
+
 def _q_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: LST-class x CWV-class co-occurrence area table
     (r.cross / r.stats analog, series.crosstab_tiles) — global per-scene
@@ -1027,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_texture"] = _q_texture
     q["q_series"] = _q_series
     q["q_crosstab"] = _q_crosstab
+    q["q_landscape"] = _q_landscape
     q["q_extract_regions"] = _q_extract_regions
     q["q_cost_distance"] = _q_cost_distance
     q["q_flow_accum"] = _q_flow_accum

@@ -349,3 +349,46 @@ def test_pca_moments_single_aggregation_no_join(spark):
     plan = _plan(multiband.band_moments(df, ["a_bytes", "b_bytes"]))
     assert "Join" not in plan
     assert "HashAggregate" in plan  # partial/final pairs, map-side combine
+
+
+def test_landscape_stitch_and_edge_joins_are_equi(spark):
+    """Both perimeter-row joins in landscape.class_metrics must stay EQUI:
+    the class-aware patch stitch on (scene, cls, gx, gy) and the directed
+    cross-tile edge join on (scene, gx, gy). Gated on the same dataframes
+    the operator builds (class_metrics itself runs eagerly)."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import landscape
+
+    rng = np.random.default_rng(71)
+    plane = np.kron(rng.uniform(260, 330, (4, 4)), np.ones((8, 8)))
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            t = plane[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16]
+            rows.append({"scene_id": "S", "tile_x": tx, "tile_y": ty,
+                         "w": 16, "h": 16,
+                         "lst_bytes": t.astype("<f4").tobytes()})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    from i_landsat8_swlst_spark.multiband import scene_ranges
+    ex = landscape._extract(tiles, "lst_bytes", 4,
+                            scene_ranges(tiles, "lst_bytes"))
+    cells = ex.filter("kind = 1").select("scene_id", "cls", "gx", "gy", "node")
+    probes = (ex.filter("kind = 2")
+              .select("scene_id", "cls", "gx", "gy",
+                      F.col("node").alias("pnode")))
+    plan = _plan(probes.join(cells, on=["scene_id", "cls", "gx", "gy"]))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+    ec = ex.filter("kind = 3").select("scene_id", "gx", "gy",
+                                      F.col("cls").alias("ca"))
+    ep = ex.filter("kind = 4").select("scene_id", "gx", "gy",
+                                      F.col("cls").alias("cb"))
+    plan = _plan(ep.join(ec, on=["scene_id", "gx", "gy"])
+                 .filter(F.col("ca") != F.col("cb")))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
