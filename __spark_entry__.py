@@ -845,7 +845,7 @@ _ATTEST_FIRST = [
     # NEW twins this round -> must attest in their first window
     "q_interval_overlap", "q_skyline", "q_grid_density", "q_hash_split",
     "q_stratified_sample", "q_cluster_canonical", "q_decontaminate",
-    "q_decontaminate_bloom",
+    "q_decontaminate_bloom", "q_unpivot", "q_mode_per_group",
 ]
 _ATTEST_LAST = [
     # green in r03, unchanged this round; 75 twins - 50 window = 25 demoted
@@ -854,9 +854,10 @@ _ATTEST_LAST = [
     "q_json_extract", "q_histogram", "q_pivot", "q_array_agg",
     "q_scalar_subquery", "q_explode_words",
     "q_ngram_jaccard", "q_simhash64", "q_repetition_ratio",
-    # demoted in r04 to make room for the 8 new twins (rotate back in r05)
+    # demoted in r04 to make room for the 10 new twins (rotate back in r05)
     "q_hamming_join", "q_range_frame", "q_upsert", "q_vector_explode",
     "q_fuzzy_join", "q_ntile_first_last", "q_lag_lead", "q_grouping_sets",
+    "q_asof_join", "q_session_window",
 ]
 
 

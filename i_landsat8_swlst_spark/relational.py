@@ -1533,3 +1533,59 @@ def q_grid_density(spark, sf_dir):
               .alias("bal_cents"),
              F.min("s_suppkey").alias("min_key"))
     )
+
+
+# --- UNPIVOT (wide -> long reshaping) -----------------------------------------
+# The melt/stack surface: per-nation aggregates reshaped into (key, metric,
+# value) rows. Spark's native unpivot and the oracle's portable UNION ALL
+# form are semantically identical; both metrics are exact integers (cents /
+# counts) so the hash compare is fp-free. At scale: one map-side-combining
+# agg then a zero-shuffle column explode (unpivot is a local generate).
+
+@register(
+    "q_unpivot",
+    """SELECT c_nationkey, 'bal_cents' AS metric,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS value
+        FROM customer GROUP BY c_nationkey
+        UNION ALL
+        SELECT c_nationkey, 'n_cust' AS metric,
+           CAST(count(*) AS BIGINT) AS value
+        FROM customer GROUP BY c_nationkey""",
+)
+def q_unpivot(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    agg = cust.groupBy("c_nationkey").agg(
+        F.sum(F.expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+         .cast("long").alias("bal_cents"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+    return agg.unpivot("c_nationkey", ["bal_cents", "n_cust"],
+                       "metric", "value")
+
+
+# --- deterministic per-group mode --------------------------------------------
+# Most frequent value per group with a total tie-break (count DESC, value
+# ASC), so the result is engine-independent. Two-stage: map-side-combining
+# count agg, then a window over GROUPS (cardinality = distinct pairs, not
+# rows) — the 100-TB shape is bounded by |type x brand|, never by |part|.
+
+@register(
+    "q_mode_per_group",
+    """SELECT p_type, p_brand AS mode_brand, CAST(cnt AS BIGINT) AS cnt
+        FROM (
+          SELECT p_type, p_brand, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY p_type
+                                    ORDER BY count(*) DESC, p_brand) AS rn
+          FROM part GROUP BY p_type, p_brand) t
+        WHERE rn = 1""",
+)
+def q_mode_per_group(spark, sf_dir):
+    from pyspark.sql import Window
+
+    part = load(spark, sf_dir, "part")
+    cnt = part.groupBy("p_type", "p_brand").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("p_type").orderBy(F.col("cnt").desc(), "p_brand")
+    return (cnt.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("p_type", F.col("p_brand").alias("mode_brand"), "cnt"))
