@@ -102,3 +102,40 @@ def test_knn_kernel_10k(benchmark):
         return top[rowi, np.argsort(d[rowi, top], axis=1)]
 
     benchmark(knn)
+
+
+# --- round-4 tile kernels ----------------------------------------------------
+
+_PLANE = BT10.astype(np.float64)  # 128x128 Kelvin-ish plane
+
+
+def test_glcm_texture_tile(benchmark):
+    """GLCM Haralick features, window=5, levels=8 — G(G+1)/2+1 box filters."""
+    from i_landsat8_swlst_spark import texture
+
+    r = 5 // 2 + 1
+    pad = np.pad(_PLANE, r, constant_values=np.nan)
+    benchmark(texture.glcm_features, pad, 128, 128, r, 5, (1, 0), 8,
+              float(np.nanmin(_PLANE)), float(np.nanmax(_PLANE)))
+
+
+def test_series_stack_stats8(benchmark):
+    """r.series nan-stats over an 8-revisit 128x128 stack."""
+    from i_landsat8_swlst_spark.series import series_stack_stats
+
+    stack = np.stack([_PLANE + i for i in range(8)])
+    stack[0, :4, :4] = np.nan
+    benchmark(series_stack_stats, stack)
+
+
+def test_landscape_label_tile(benchmark):
+    """Per-class run-union labeling, 4 classes on a 128x128 plane."""
+    from i_landsat8_swlst_spark.regions import label_tile
+    from i_landsat8_swlst_spark.texture import _quantize
+
+    q = _quantize(_PLANE, float(np.nanmin(_PLANE)), float(np.nanmax(_PLANE)), 4)
+
+    def run():
+        return [label_tile(q == c)[1] for c in range(4)]
+
+    benchmark(run)
