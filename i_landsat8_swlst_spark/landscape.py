@@ -81,7 +81,10 @@ def _extract(tiles: DataFrame, src_col: str, levels: int,
                 tx, ty = int(row.tile_x), int(row.tile_y)
                 plane = np.frombuffer(getattr(row, src_col), dtype="<f4") \
                     .reshape(h, w).astype(np.float64)
-                q = _quantize(plane, *ranges[row.scene_id], levels)
+                # all-NaN scene -> no range row; any range quantizes it
+                # identically (every pixel level -1)
+                q = _quantize(plane, *ranges.get(row.scene_id, (0.0, 1.0)),
+                              levels)
                 ox, oy = tx * w, ty * h
 
                 # within-tile edge credits: right + down valid-valid pairs

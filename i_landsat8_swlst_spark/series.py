@@ -199,8 +199,10 @@ def crosstab_tiles(tiles: DataFrame, col_a: str = "lst_bytes",
                     .reshape(h, w).astype(np.float64)
                 b = np.frombuffer(getattr(row, col_b), dtype="<f4") \
                     .reshape(h, w).astype(np.float64)
-                qa = _quantize(a, *ra[row.scene_id], levels_a)
-                qb = _quantize(b, *rb[row.scene_id], levels_b)
+                # all-NaN planes have no range row; any range quantizes
+                # them identically (class -1)
+                qa = _quantize(a, *ra.get(row.scene_id, (0.0, 1.0)), levels_a)
+                qb = _quantize(b, *rb.get(row.scene_id, (0.0, 1.0)), levels_b)
                 # -1 (NaN) folds into the 0 slot of a (levels+1)-wide grid
                 idx = ((qa.ravel() + 1).astype(np.int64) * (levels_b + 1)
                        + (qb.ravel() + 1))

@@ -181,7 +181,9 @@ def glcm_texture_tiles(tiles: DataFrame, src_col: str = "lst_bytes",
                 w, h = int(row.w), int(row.h)
                 pad = np.frombuffer(row.pad_bytes, dtype="<f4") \
                     .reshape(h + 2 * r, w + 2 * r).astype(np.float64)
-                vmin, vmax = ranges[row.scene_id]
+                # a scene with zero finite pixels has no range row; any
+                # range quantizes its all-NaN planes identically (level -1)
+                vmin, vmax = ranges.get(row.scene_id, (0.0, 1.0))
                 out = glcm_features(pad, h, w, r, window, (dx, dy),
                                     levels, vmin, vmax)
                 core = pad[r:r + h, r:r + w]

@@ -140,3 +140,18 @@ def test_crosstab_rejects_bad_levels(spark):
     df, _, _ = _two_plane_tiles(spark, H=8, W=10)
     with pytest.raises(ValueError, match="levels must be"):
         series.crosstab_tiles(df, levels_a=1)
+
+
+def test_crosstab_all_nan_plane_is_nan_class(spark):
+    """One plane entirely NaN: every pixel lands in its class -1 slot and
+    the table still partitions the raster (no range row exists for the
+    all-NaN column — the kernel must not KeyError)."""
+    rows = [{"image_id": "Z-i", "scene_id": "Z", "tile_x": 0, "tile_y": 0,
+             "w": 6, "h": 4,
+             "lst_bytes": np.full((4, 6), np.nan, "<f4").tobytes(),
+             "cwv_bytes": np.arange(24, dtype="<f4").tobytes()}]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    got = series.crosstab_tiles(df, levels_a=3, levels_b=3).collect()
+    assert all(r.class_a == -1 for r in got)
+    assert sum(r.n_px for r in got) == 24
+    assert {r.class_b for r in got} == {0, 1, 2}
