@@ -846,6 +846,7 @@ _ATTEST_FIRST = [
     "q_interval_overlap", "q_skyline", "q_grid_density", "q_hash_split",
     "q_stratified_sample", "q_cluster_canonical", "q_decontaminate",
     "q_decontaminate_bloom", "q_unpivot", "q_mode_per_group",
+    "q_token_shards",
 ]
 _ATTEST_LAST = [
     # green in r03, unchanged this round; 75 twins - 50 window = 25 demoted
@@ -857,7 +858,7 @@ _ATTEST_LAST = [
     # demoted in r04 to make room for the 10 new twins (rotate back in r05)
     "q_hamming_join", "q_range_frame", "q_upsert", "q_vector_explode",
     "q_fuzzy_join", "q_ntile_first_last", "q_lag_lead", "q_grouping_sets",
-    "q_asof_join", "q_session_window",
+    "q_asof_join", "q_session_window", "q_sessionize",
 ]
 
 

@@ -1376,3 +1376,89 @@ def q_decontaminate_bloom(spark, sf_dir):
     contam = cand.join(test_sh, "sh").select("doc_id").distinct() \
                  .withColumn("bad", F.lit(True))
     return _decon_report(docs, contam)
+
+
+# --- training-shard packing (fixed token budget) -----------------------------------
+# THE training-data sharding primitive: pack documents into shards of
+# <= `budget` tokens, in a content-stable md5-fold order (reproducible
+# across runs, engines, and cluster sizes). shard_id = (tokens before
+# this doc) DIV budget over the global order — exact integer algebra.
+#
+# The oracle states it as ONE global window cumsum (inherently a single
+# sorted pass); the Spark side runs the DISTRIBUTED decomposition a
+# 100-TB corpus needs: repartitionByRange on the order key (ranges are
+# disjoint + ascending, so global order = partition order x within-
+# partition order regardless of where the sampled boundaries land),
+# per-partition token totals -> tiny driver prefix sum -> one offset per
+# partition, then a streaming within-partition cumsum (mapInPandas,
+# carry across Arrow batches). Hash parity vs the window form proves the
+# two-pass decomposition exact. No single task ever sees more than its
+# range; the only full-data exchange is the range repartition itself.
+
+_SHARD_KEY_SQL = "'shard-' || CAST(doc_id AS VARCHAR)"
+
+
+def token_shards(d, budget: int = 8192, npart: int = 16):
+    """Doc-level shard assignment: (doc_id, n_tok, shard_id)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    hkey = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("shard-"),
+                                          F.col("doc_id").cast("string"))),
+                           1, 8), 16, 10).cast("long"))
+    t = (d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                  F.expr(_NTOK).cast("long").alias("n_tok"),
+                  hkey.alias("hkey"))
+         .repartitionByRange(npart, "hkey", "doc_id")
+         .sortWithinPartitions("hkey", "doc_id")
+         .withColumn("pid", F.spark_partition_id()))
+    t.persist()
+    try:
+        sums = {int(r["pid"]): int(r["s"]) for r in
+                t.groupBy("pid").agg(F.sum("n_tok").alias("s")).collect()}
+        offsets, run = {}, 0
+        for pid in range(npart):
+            offsets[pid] = run
+            run += sums.get(pid, 0)
+
+        schema = StructType([StructField("doc_id", LongType()),
+                             StructField("n_tok", LongType()),
+                             StructField("shard_id", LongType())])
+
+        def fn(batches):
+            carry = None  # tokens before the next row; seeded from offsets
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                if carry is None:
+                    carry = offsets[int(pdf["pid"].iloc[0])]
+                cum = pdf["n_tok"].cumsum() + carry - pdf["n_tok"]
+                out = pdf[["doc_id", "n_tok"]].copy()
+                out["shard_id"] = cum // budget
+                carry += int(pdf["n_tok"].sum())
+                yield out
+
+        out = t.mapInPandas(fn, schema)
+        # materialize before unpersist (mapInPandas is lazy)
+        out = out.localCheckpoint()
+        return out
+    finally:
+        t.unpersist()
+
+
+@register(
+    "q_token_shards",
+    f"""WITH t AS (
+          SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tok,
+                 {_md5_fold_sql(_SHARD_KEY_SQL)} AS hkey
+          FROM documents)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tok,
+           CAST((sum(n_tok) OVER (ORDER BY hkey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tok) // 8192 AS BIGINT) AS shard_id
+        FROM t""",
+)
+def q_token_shards(spark, sf_dir):
+    return token_shards(load(spark, sf_dir, "documents"), budget=8192)
