@@ -394,6 +394,43 @@ def _q_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sample_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: raster value at point locations (r.what / v.what.rast
+    analog, spatial.sample_raster) — broadcast bbox join, pure-Catalyst
+    inverse geocode, ONE cogrouped decode-once gather on the tile key.
+    Numpy lookup-oracle + centroid round-trip parity in
+    tests/test_sample_raster.py."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import pipeline, spatial
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    enriched = pipeline.build_enriched(scenes, meta, emis)
+    tiles = pipeline.lst_tiles(enriched, window=5)
+    parsed = pipeline.parse_scenes(scenes)
+    geom = (pipeline.scene_grids(parsed)
+            .join(meta.select("scene_id", "lon0", "lat0", "lon1", "lat1"),
+                  "scene_id"))
+    boxes = meta.select("lon0", "lat0", "lon1", "lat1").toPandas()
+    rng = np.random.default_rng(11)
+    n = 5000
+    pts = spark.createDataFrame(pd.DataFrame({
+        "pid": np.arange(n),
+        "lon": rng.uniform(boxes.lon0.min(), boxes.lon1.max(), n),
+        "lat": rng.uniform(boxes.lat0.min(), boxes.lat1.max(), n)}))
+    s = spatial.sample_raster(tiles, pts, geom)
+    return (
+        s.groupBy("scene_id")
+        .agg(F.count(F.lit(1)).alias("n_sampled"),
+             F.count("value").alias("n_valid"),
+             F.round(F.avg("value"), 4).alias("avg_lst"),
+             F.round(F.min("value"), 4).alias("min_lst"),
+             F.round(F.max("value"), 4).alias("max_lst"))
+        .orderBy("scene_id")
+    )
+
+
 def _q_landscape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: per-class landscape metrics (r.li analog,
     landscape.class_metrics) — one pixel scan emitting O(perimeter +
@@ -1057,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_series"] = _q_series
     q["q_crosstab"] = _q_crosstab
     q["q_landscape"] = _q_landscape
+    q["q_sample_raster"] = _q_sample_raster
     q["q_extract_regions"] = _q_extract_regions
     q["q_cost_distance"] = _q_cost_distance
     q["q_flow_accum"] = _q_flow_accum

@@ -1081,3 +1081,95 @@ def aoi_measures(spark, aoi) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return rings.mapInPandas(fn, out_schema)
+
+
+def _sample_gather(pts, tls, value_col, id_cols, out_schema):
+    """Cogroup kernel for sample_raster: decode the tile plane once,
+    gather every point's pixel."""
+    import numpy as np
+    import pandas as pd
+
+    if len(tls) == 0 or len(pts) == 0:
+        return pd.DataFrame({f.name: pd.Series(dtype=object)
+                             for f in out_schema})
+    t0 = tls.iloc[0]
+    w, h = int(t0["w"]), int(t0["h"])
+    plane = np.frombuffer(t0[value_col], dtype="<f4").reshape(h, w)
+    px = np.clip((pts["_fx"].to_numpy() * w).astype(np.int64), 0, w - 1)
+    py = np.clip((pts["_fy"].to_numpy() * h).astype(np.int64), 0, h - 1)
+    vals = plane[py, px].astype(np.float64)
+    out = pts[id_cols + ["_lon", "_lat", "scene_id", "tile_x", "tile_y"]].copy()
+    out["px"] = px.astype(np.int32)
+    out["py"] = py.astype(np.int32)
+    out["value"] = [None if not np.isfinite(x) else float(x) for x in vals]
+    return out
+
+
+def sample_raster(tiles: DataFrame, points: DataFrame, scene_geom: DataFrame,
+                  value_col: str = "lst_bytes",
+                  lon_col: str = "lon", lat_col: str = "lat",
+                  id_cols: tuple[str, ...] = ("pid",)) -> DataFrame:
+    """Raster value at point locations — the r.what / v.what.rast analog
+    (station lookup against the LST product).
+
+    ``scene_geom`` is the tiny per-scene geometry table (scene_id, lon0,
+    lat0, lon1, lat1, ntx, nty — `pipeline.scene_grids` joined to the
+    scene bbox). Plan, scale-shaped end to end:
+
+    1. broadcast bbox join point -> scene (a point inside several
+       overlapping scene footprints samples each — join semantics);
+    2. the INVERSE of the pixel-centroid geocode in pure Catalyst floor
+       arithmetic (half-open [lon0, lon1) x (lat0, lat1] so every in-bbox
+       point maps to exactly one pixel; the forward map puts the centroid
+       (px+0.5)/w strictly inside its cell, so lst_pixels centroids
+       round-trip to their own pixel bit-exactly);
+    3. ONE cogrouped hop on the tile key: each tile plane decodes ONCE and
+       gathers all its points — plane bytes and point rows each cross the
+       exchange exactly once, never plane-bytes-per-point.
+
+    Points outside every scene bbox are dropped (inner semantics); points
+    whose pixel is NaN return value = NULL (observed-but-invalid differs
+    from never-observed). Returns id_cols + lon/lat + scene_id + tile/px/
+    py + value.
+    """
+    from functools import partial
+
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StructField, StructType,
+    )
+
+    g = F.broadcast(scene_geom)
+    joined = points.join(
+        g,
+        (F.col(lon_col) >= F.col("lon0")) & (F.col(lon_col) < F.col("lon1"))
+        & (F.col(lat_col) > F.col("lat0")) & (F.col(lat_col) <= F.col("lat1")),
+    )
+    u = ((F.col(lon_col) - F.col("lon0"))
+         / (F.col("lon1") - F.col("lon0")) * F.col("ntx"))
+    v = ((F.col("lat1") - F.col(lat_col))
+         / (F.col("lat1") - F.col("lat0")) * F.col("nty"))
+    p = joined.select(
+        *id_cols, F.col(lon_col).alias("_lon"), F.col(lat_col).alias("_lat"),
+        "scene_id",
+        F.floor(u).cast("int").alias("tile_x"),
+        F.floor(v).cast("int").alias("tile_y"),
+        (u - F.floor(u)).alias("_fx"), (v - F.floor(v)).alias("_fy"),
+    )
+    key = ["scene_id", "tile_x", "tile_y"]
+    t = tiles.select(*key, "w", "h", value_col)
+    out_schema = StructType(
+        [points.schema[c] for c in id_cols]
+        + [StructField("_lon", DoubleType()),
+           StructField("_lat", DoubleType()),
+           tiles.schema["scene_id"],
+           StructField("tile_x", IntegerType()),
+           StructField("tile_y", IntegerType()),
+           StructField("px", IntegerType()),
+           StructField("py", IntegerType()),
+           StructField("value", DoubleType())])
+    gather = partial(_sample_gather, value_col=value_col,
+                     id_cols=list(id_cols), out_schema=out_schema)
+    res = (p.groupBy(*key).cogroup(t.groupBy(*key))
+           .applyInPandas(lambda pts, tls: gather(pts, tls), out_schema))
+    return (res.withColumnRenamed("_lon", lon_col)
+            .withColumnRenamed("_lat", lat_col))
