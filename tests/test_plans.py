@@ -392,3 +392,29 @@ def test_landscape_stitch_and_edge_joins_are_equi(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_sample_raster_bbox_join_is_broadcast(spark):
+    """sample_raster's point->scene bbox join is non-equi BY DESIGN (range
+    containment) and only survives at scale because the scene-geometry
+    side is explicitly broadcast — assert the broadcast actually happens,
+    and that the tile-side cogroup carries an equi hash exchange."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import spatial
+
+    plane = np.ones((8, 10), "<f4")
+    tiles = spark.createDataFrame(pd.DataFrame([
+        {"scene_id": "S", "tile_x": 0, "tile_y": 0, "w": 10, "h": 8,
+         "lst_bytes": plane.tobytes()}]))
+    geom = spark.createDataFrame(pd.DataFrame([
+        {"scene_id": "S", "lon0": 0.0, "lat0": 0.0, "lon1": 1.0,
+         "lat1": 1.0, "ntx": 1, "nty": 1}]))
+    pts = spark.createDataFrame(pd.DataFrame(
+        {"pid": [0], "lon": [0.5], "lat": [0.5]}))
+    plan = _plan(spatial.sample_raster(tiles, pts, geom))
+    assert "BroadcastNestedLoopJoin" in plan  # the sanctioned tiny-side NLJ
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan
