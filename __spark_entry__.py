@@ -431,6 +431,29 @@ def _q_sample_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: λ-flat-zone image segmentation (i.segment analog,
+    segment.segment_tiles) — tile-local vectorized Shiloach–Vishkin CC
+    over |Δ| <= λ adjacency, value-predicate border stitch, bounded-round
+    min-label reduction. Whole-scene BFS oracle parity in
+    tests/test_segment.py."""
+    from i_landsat8_swlst_spark import pipeline, segment
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5)
+    seg = segment.segment_tiles(tiles, lam=1.5)
+    return (
+        seg.groupBy("scene_id")
+        .agg(F.count(F.lit(1)).alias("n_segments"),
+             F.sum("area_px").alias("area_px"),
+             F.max("area_px").alias("largest_px"),
+             F.sum("n_parts").alias("n_parts"),
+             F.round(F.avg("mean_val"), 4).alias("avg_seg_mean"))
+        .orderBy("scene_id")
+    )
+
+
 def _q_landscape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: per-class landscape metrics (r.li analog,
     landscape.class_metrics) — one pixel scan emitting O(perimeter +
@@ -1095,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_crosstab"] = _q_crosstab
     q["q_landscape"] = _q_landscape
     q["q_sample_raster"] = _q_sample_raster
+    q["q_segment"] = _q_segment
     q["q_extract_regions"] = _q_extract_regions
     q["q_cost_distance"] = _q_cost_distance
     q["q_flow_accum"] = _q_flow_accum

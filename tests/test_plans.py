@@ -418,3 +418,34 @@ def test_sample_raster_bbox_join_is_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan
+
+
+def test_segment_stitch_is_equi(spark):
+    """The λ-segmentation border stitch must stay an EQUI join on
+    (scene_id, gx, gy) with the |Δ| <= λ predicate as a post-join filter —
+    never a nested loop over border rows."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import segment
+
+    rng = np.random.default_rng(83)
+    plane = np.kron(rng.uniform(260, 330, (4, 4)), np.ones((8, 8)))
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            t = plane[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16]
+            rows.append({"scene_id": "S", "tile_x": tx, "tile_y": ty,
+                         "w": 16, "h": 16,
+                         "lst_bytes": t.astype("<f4").tobytes()})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    ex = segment._seg_extract(tiles, 2.0, "lst_bytes")
+    cells = ex.filter("kind = 1").select("scene_id", "gx", "gy", "node", "val")
+    probes = (ex.filter("kind = 2")
+              .select("scene_id", "gx", "gy", F.col("node").alias("pnode"),
+                      F.col("val").alias("pval")))
+    plan = _plan(probes.join(cells, on=["scene_id", "gx", "gy"])
+                 .filter(F.abs(F.col("pval") - F.col("val")) <= 2.0))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
