@@ -1173,3 +1173,34 @@ def sample_raster(tiles: DataFrame, points: DataFrame, scene_geom: DataFrame,
            .applyInPandas(lambda pts, tls: gather(pts, tls), out_schema))
     return (res.withColumnRenamed("_lon", lon_col)
             .withColumnRenamed("_lat", lat_col))
+
+
+def transect(tiles: DataFrame, scene_geom: DataFrame,
+             lon_a: float, lat_a: float, lon_b: float, lat_b: float,
+             n: int = 256, value_col: str = "lst_bytes") -> DataFrame:
+    """Raster profile along a line — the r.profile / r.transect analog:
+    ``n`` evenly spaced samples from (lon_a, lat_a) to (lon_b, lat_b),
+    each annotated with its great-circle distance from the start.
+
+    The sample points are generated as a tiny Catalyst ``sequence``
+    (planar interpolation in lon/lat, matching the grids' plate-carree
+    geocode) and routed through `sample_raster`, so the plan inherits its
+    shape: broadcast bbox join + inverse geocode + decode-once cogroup.
+    Off-raster samples drop (inner semantics) — the returned step index
+    makes gaps visible.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    spark = tiles.sparkSession
+    pts = spark.range(n).select(
+        F.col("id").cast("int").alias("step"),
+        (F.lit(lon_a) + F.col("id") / (n - 1) * (lon_b - lon_a)).alias("lon"),
+        (F.lit(lat_a) + F.col("id") / (n - 1) * (lat_b - lat_a)).alias("lat"),
+    )
+    out = sample_raster(tiles, pts, scene_geom, value_col=value_col,
+                        id_cols=("step",))
+    dist = 2.0 * 6371.0088 * F.asin(F.sqrt(
+        F.pow(F.sin(F.radians(F.col("lat") - F.lit(lat_a)) / 2), 2)
+        + F.cos(F.radians(F.lit(lat_a))) * F.cos(F.radians("lat"))
+        * F.pow(F.sin(F.radians(F.col("lon") - F.lit(lon_a)) / 2), 2)))
+    return out.withColumn("dist_km", dist).orderBy("step", "scene_id")

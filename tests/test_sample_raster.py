@@ -112,3 +112,25 @@ def test_sample_overlapping_scenes_emit_one_row_each(spark):
     vals = {r.scene_id: r.value for r in got}
     assert vals["SA"] == float(p1[gy, gx])
     assert vals["SB"] == float(p2[gy, gx])
+
+
+def test_transect_profile(spark):
+    tiles, geom, plane = _fixture(spark)
+    n = 50
+    # horizontal transect through the middle of the scene
+    lat = (LAT0 + LAT1) / 2
+    got = spatial.transect(tiles, geom, LON0, lat, LON1 - 1e-9, lat,
+                          n=n).collect()
+    assert len(got) == n
+    assert [r.step for r in got] == list(range(n))
+    for r in got:
+        gx, gy = _oracle_pixel(r.lon, r.lat)
+        want = plane[gy, gx]
+        assert r.value == pytest.approx(float(want)), r.step
+    assert got[0].dist_km == pytest.approx(0.0)
+    # monotone distance, roughly the scene width (3 deg at ~47 km/deg @41N)
+    d = [r.dist_km for r in got]
+    assert all(b > a for a, b in zip(d, d[1:]))
+    assert 200 < d[-1] < 300
+    with pytest.raises(ValueError, match="n must be"):
+        spatial.transect(tiles, geom, LON0, lat, LON1, lat, n=1)
