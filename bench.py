@@ -152,6 +152,30 @@ def main() -> None:
     # reported as separate top-level fields (like the raster numbers), NOT
     # in the headline total — keeps total_headline_sec comparable across
     # rounds that predate this entry
+
+    # --- GLCM texture throughput (round-4 flagship raster-analysis kernel) ---
+    # Production shape: texture consumes a STORED LST product, so a tile
+    # subset is materialized to parquet first; the measured pass is
+    # scan -> range agg -> halo exchange -> integral-image kernel. Sized by
+    # env (default 2048 tiles ~ 33 Mpx) to keep the bench wall bounded —
+    # the per-core ceiling is in BENCH/MICRO.md.
+    from i_landsat8_swlst_spark import texture
+
+    n_tex = int(os.environ.get("SPARK_GRAFT_TEXTURE_TILES", "2048"))
+    tex_path = f"{tmp}/texture_tiles"
+    pipeline.lst_tiles(
+        pipeline.build_enriched(scenes, meta, emis),
+        window=C.DEFAULT_CWV_WINDOW).limit(n_tex) \
+        .write.mode("overwrite").parquet(tex_path)
+    ttiles = spark.read.parquet(tex_path)
+    tex_px = ttiles.select(
+        F.sum(F.col("w").cast("long") * F.col("h")).alias("p")).collect()[0].p
+    _materialize(texture.glcm_texture_tiles(ttiles, window=5, levels=8))  # warm
+    tex_sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _materialize(texture.glcm_texture_tiles(ttiles, window=5, levels=8))
+        tex_sec = min(tex_sec, time.perf_counter() - t0)
     shutil.rmtree(tmp, ignore_errors=True)
 
     # --- invariant re-validation (BASELINE.md: every bench run re-checks) ---
@@ -193,6 +217,9 @@ def main() -> None:
         "enrich_points": n_enrich,
         "enrich_sec": round(enrich_sec, 3),
         "enrich_points_per_sec": round(n_enrich / enrich_sec, 1),
+        "texture_pixels": int(tex_px),
+        "texture_sec": round(tex_sec, 3),
+        "texture_pixels_per_sec": round(tex_px / tex_sec, 1),
         "cpus": CPUS,
         "invariants": {"psnr_min_db": (None if psnr_min == float("inf")
                                        else round(psnr_min, 2)),
