@@ -46,6 +46,7 @@ from pyspark.sql.types import (
     IntegerType, LongType, StringType, StructField, StructType,
 )
 
+from . import codecs
 from .multiband import scene_ranges
 from .pipeline import _batch_from_cols, _batch_rows
 from .regions import _cc_min_label, _pack_node, label_tile
@@ -79,8 +80,7 @@ def _extract(tiles: DataFrame, src_col: str, levels: int,
             for row in _batch_rows(batch):
                 w, h = int(row.w), int(row.h)
                 tx, ty = int(row.tile_x), int(row.tile_y)
-                plane = np.frombuffer(getattr(row, src_col), dtype="<f4") \
-                    .reshape(h, w).astype(np.float64)
+                plane = codecs.decode_f32bt(getattr(row, src_col), w, h)
                 # all-NaN scene -> no range row; any range quantizes it
                 # identically (every pixel level -1)
                 q = _quantize(plane, *ranges.get(row.scene_id, (0.0, 1.0)),
@@ -147,7 +147,9 @@ def _extract(tiles: DataFrame, src_col: str, levels: int,
             if cols["scene_id"]:
                 yield _batch_from_cols(cols, _LS_SCHEMA)
 
-    return tiles.mapInArrow(fn, _LS_SCHEMA)
+    # mapInArrow cannot column-prune: select only what the kernel reads
+    src = tiles.select("scene_id", "tile_x", "tile_y", "w", "h", src_col)
+    return src.mapInArrow(fn, _LS_SCHEMA)
 
 
 def class_metrics(tiles: DataFrame, src_col: str = "lst_bytes",

@@ -242,7 +242,10 @@ def scene_ranges(tiles: DataFrame, src_col: str) -> dict[str, tuple]:
             if cols["scene_id"]:
                 yield _batch_from_cols(cols, _RANGE_SCHEMA)
 
-    agg = (tiles.mapInArrow(fn, _RANGE_SCHEMA)
+    # mapInArrow cannot column-prune: select only what the scan reads so
+    # sibling plane columns never serialize through Arrow for a range agg
+    agg = (tiles.select("scene_id", "w", "h", src_col)
+           .mapInArrow(fn, _RANGE_SCHEMA)
            .groupBy("scene_id")
            .agg(F.min("vmin").alias("vmin"), F.max("vmax").alias("vmax")))
     return {r["scene_id"]: (float(r["vmin"]), float(r["vmax"]))

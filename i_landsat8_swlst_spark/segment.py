@@ -42,6 +42,7 @@ from pyspark.sql.types import (
     DoubleType, IntegerType, LongType, StringType, StructField, StructType,
 )
 
+from . import codecs
 from .pipeline import _batch_from_cols, _batch_rows
 from .regions import _cc_min_label, _pack_node
 
@@ -141,8 +142,7 @@ def _seg_extract(tiles: DataFrame, lam: float, src_col: str) -> DataFrame:
             for row in _batch_rows(batch):
                 w, h = int(row.w), int(row.h)
                 tx, ty = int(row.tile_x), int(row.tile_y)
-                plane = np.frombuffer(getattr(row, src_col), dtype="<f4") \
-                    .reshape(h, w).astype(np.float64)
+                plane = codecs.decode_f32bt(getattr(row, src_col), w, h)
                 labels, n = lambda_label(plane, lam)
                 if n == 0:
                     continue
@@ -189,7 +189,9 @@ def _seg_extract(tiles: DataFrame, lam: float, src_col: str) -> DataFrame:
             if cols["scene_id"]:
                 yield _batch_from_cols(cols, _SEG_SCHEMA)
 
-    return tiles.mapInArrow(fn, _SEG_SCHEMA)
+    # mapInArrow cannot column-prune: select only what the kernel reads
+    src = tiles.select("scene_id", "tile_x", "tile_y", "w", "h", src_col)
+    return src.mapInArrow(fn, _SEG_SCHEMA)
 
 
 def segment_tiles(tiles: DataFrame, lam: float,

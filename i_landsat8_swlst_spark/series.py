@@ -27,8 +27,8 @@ not pixels.
 
 Both are deterministic (within-group date order is sorted before any
 fp fold) and NaN-aware (a NaN observation simply doesn't count at that
-pixel; a pixel NaN in either crosstab plane is excluded and reported in
-the per-scene ``n_invalid``).
+pixel; a pixel NaN in either crosstab plane lands in that plane's
+class ``-1`` row, so the table still partitions the raster exactly).
 """
 
 from __future__ import annotations
@@ -46,6 +46,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from . import codecs
 from .multiband import scene_ranges
 from .pipeline import _batch_from_cols, _batch_rows
 from .texture import _quantize
@@ -133,9 +134,8 @@ def series_tiles(tiles: DataFrame, src_col: str = "lst_bytes",
                 f"series_tiles: mis-registered revisit stack for "
                 f"footprint={fpv!r} tile=({tx},{ty}): shapes "
                 f"{sorted(set(zip(pdf.w, pdf.h)))}")
-        stack = np.stack([
-            np.frombuffer(b, dtype="<f4").reshape(h, w).astype(np.float64)
-            for b in pdf[src_col]])
+        stack = np.stack([codecs.decode_f32bt(b, w, h)
+                          for b in pdf[src_col]])
         out = series_stack_stats(stack, stats_t)
         row = {
             "footprint": [pdf.footprint.iloc[0]],
@@ -195,10 +195,8 @@ def crosstab_tiles(tiles: DataFrame, col_a: str = "lst_bytes",
             ap = {k: v.append for k, v in cols.items()}
             for row in _batch_rows(batch):
                 w, h = int(row.w), int(row.h)
-                a = np.frombuffer(getattr(row, col_a), dtype="<f4") \
-                    .reshape(h, w).astype(np.float64)
-                b = np.frombuffer(getattr(row, col_b), dtype="<f4") \
-                    .reshape(h, w).astype(np.float64)
+                a = codecs.decode_f32bt(getattr(row, col_a), w, h)
+                b = codecs.decode_f32bt(getattr(row, col_b), w, h)
                 # all-NaN planes have no range row; any range quantizes
                 # them identically (class -1)
                 qa = _quantize(a, *ra.get(row.scene_id, (0.0, 1.0)), levels_a)
@@ -215,6 +213,9 @@ def crosstab_tiles(tiles: DataFrame, col_a: str = "lst_bytes",
             if cols["scene_id"]:
                 yield _batch_from_cols(cols, _CROSSTAB_PART)
 
-    return (tiles.mapInArrow(fn, _CROSSTAB_PART)
+    # mapInArrow cannot column-prune: select only what the kernel reads so
+    # unrelated plane columns never serialize through Arrow
+    src = tiles.select("scene_id", "w", "h", col_a, col_b)
+    return (src.mapInArrow(fn, _CROSSTAB_PART)
             .groupBy("scene_id", "class_a", "class_b")
             .agg(F.sum("n_px").alias("n_px")))

@@ -53,7 +53,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .multiband import scene_ranges
+from . import codecs
+from .multiband import _bin_plane, scene_ranges
 from .pipeline import _batch_from_cols, _batch_rows, halo_plane_tiles
 
 FEATURES = ("contrast", "dissimilarity", "homogeneity", "energy", "entropy")
@@ -77,18 +78,20 @@ def _pair_box(p: np.ndarray, m: int, dy: int, dx: int) -> np.ndarray:
 
 
 def _quantize(x: np.ndarray, vmin: float, vmax: float, levels: int) -> np.ndarray:
-    """Global linear quantization to [0, levels); NaN -> -1 (never pairs)."""
-    span = max(vmax - vmin, 1e-300)
+    """Global linear quantization to [0, levels); NaN -> -1 (never pairs).
+    Finite cells bin through multiband._bin_plane — THE shared formula —
+    so texture/crosstab/landscape classes match the stretch/histogram
+    bins by construction, not by copy."""
     q = np.full(x.shape, -1, dtype=np.int16)
     ok = np.isfinite(x)
-    q[ok] = np.clip(((x[ok] - vmin) * (levels / span)).astype(np.int64),
-                    0, levels - 1)
+    q[ok] = _bin_plane(x[ok], vmin, vmax, levels)
     return q
 
 
 def glcm_features(pad: np.ndarray, h: int, w: int, r: int, window: int,
                   offset: tuple[int, int], levels: int,
-                  vmin: float, vmax: float) -> dict[str, np.ndarray]:
+                  vmin: float, vmax: float,
+                  features: tuple[str, ...] = FEATURES) -> dict[str, np.ndarray]:
     """The tile-local kernel over a NaN-padded (h+2r, w+2r) plane; returns
     (h, w) f64 feature planes for the core. Shared verbatim with the
     whole-scene oracle path in tests (pad = whole scene, r = margin)."""
@@ -106,7 +109,8 @@ def glcm_features(pad: np.ndarray, h: int, w: int, r: int, window: int,
     # T = total ordered pairs (each in-window pair counted in both matrix
     # directions) per window
     t = 2.0 * _pair_box(valid.astype(np.float64), m, dy, dx)
-    acc = {f: np.zeros((h, w), dtype=np.float64) for f in FEATURES}
+    want = set(features)
+    acc = {f: np.zeros((h, w), dtype=np.float64) for f in want}
     with np.errstate(divide="ignore", invalid="ignore"):
         for la in range(levels):
             ia = (a == la)
@@ -123,14 +127,20 @@ def glcm_features(pad: np.ndarray, h: int, w: int, r: int, window: int,
                     continue
                 p = k / t
                 d = la - lb
-                acc["contrast"] += mult * p * (d * d)
-                acc["dissimilarity"] += mult * p * abs(d)
-                acc["homogeneity"] += mult * p / (1.0 + d * d)
-                acc["energy"] += mult * p * p
-                ent = np.where(k > 0, p * np.log(np.where(k > 0, p, 1.0)), 0.0)
-                acc["entropy"] -= mult * ent
+                if "contrast" in want:
+                    acc["contrast"] += mult * p * (d * d)
+                if "dissimilarity" in want:
+                    acc["dissimilarity"] += mult * p * abs(d)
+                if "homogeneity" in want:
+                    acc["homogeneity"] += mult * p / (1.0 + d * d)
+                if "energy" in want:
+                    acc["energy"] += mult * p * p
+                if "entropy" in want:
+                    ent = np.where(k > 0,
+                                   p * np.log(np.where(k > 0, p, 1.0)), 0.0)
+                    acc["entropy"] -= mult * ent
         empty = t <= 0
-        for f in FEATURES:
+        for f in want:
             acc[f][empty] = np.nan
     return acc
 
@@ -159,6 +169,8 @@ def glcm_texture_tiles(tiles: DataFrame, src_col: str = "lst_bytes",
     planes (f32, NaN where the window has no valid pair)."""
     if window % 2 != 1 or window < 3:
         raise ValueError(f"window must be odd >= 3, got {window}")
+    if not 2 <= levels <= 64:
+        raise ValueError(f"levels must be in [2, 64], got {levels}")
     unknown = set(features) - set(FEATURES)
     if unknown:
         raise ValueError(f"unknown GLCM features {sorted(unknown)}")
@@ -179,13 +191,12 @@ def glcm_texture_tiles(tiles: DataFrame, src_col: str = "lst_bytes",
             ap = {k: v.append for k, v in cols.items()}
             for row in _batch_rows(batch):
                 w, h = int(row.w), int(row.h)
-                pad = np.frombuffer(row.pad_bytes, dtype="<f4") \
-                    .reshape(h + 2 * r, w + 2 * r).astype(np.float64)
+                pad = codecs.decode_f32bt(row.pad_bytes, w + 2 * r, h + 2 * r)
                 # a scene with zero finite pixels has no range row; any
                 # range quantizes its all-NaN planes identically (level -1)
                 vmin, vmax = ranges.get(row.scene_id, (0.0, 1.0))
                 out = glcm_features(pad, h, w, r, window, (dx, dy),
-                                    levels, vmin, vmax)
+                                    levels, vmin, vmax, tuple(features))
                 core = pad[r:r + h, r:r + w]
                 ap["image_id"](row.image_id)
                 ap["scene_id"](row.scene_id)

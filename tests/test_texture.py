@@ -125,5 +125,7 @@ def test_glcm_rejects_bad_args(spark):
         texture.glcm_texture_tiles(df, features=("contrast", "blur"))
     with pytest.raises(ValueError, match="offset must move"):
         texture.glcm_texture_tiles(df, offset=(0, 0))
+    with pytest.raises(ValueError, match="levels must be"):
+        texture.glcm_texture_tiles(df, levels=0)
     with pytest.raises(ValueError, match="exceeds window"):
         texture.glcm_texture_tiles(df, window=3, offset=(3, 0))
