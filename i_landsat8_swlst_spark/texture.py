@@ -163,10 +163,20 @@ def _texture_schema(features: tuple[str, ...]) -> StructType:
 
 def glcm_texture_tiles(tiles: DataFrame, src_col: str = "lst_bytes",
                        window: int = 5, levels: int = 16,
-                       offset: tuple[int, int] = (1, 0),
+                       offset=(1, 0),
                        features: tuple[str, ...] = FEATURES) -> DataFrame:
     """r.texture analog over a tile table: per-pixel GLCM Haralick feature
-    planes (f32, NaN where the window has no valid pair)."""
+    planes (f32, NaN where the window has no valid pair).
+
+    ``offset`` is one (dx, dy) pair, or a tuple of pairs for the
+    direction-AVERAGED features (the r.texture ``-a`` convention: each
+    direction's features are computed from its own symmetric GLCM, then
+    averaged per pixel — a pixel whose window has pairs in only some
+    directions averages over those). Multi-offset shares ONE halo
+    exchange (margin sized by the largest offset) and ONE quantization:
+    the marginal cost per extra direction is kernel-only, not another
+    scan.
+    """
     if window % 2 != 1 or window < 3:
         raise ValueError(f"window must be odd >= 3, got {window}")
     if not 2 <= levels <= 64:
@@ -174,15 +184,19 @@ def glcm_texture_tiles(tiles: DataFrame, src_col: str = "lst_bytes",
     unknown = set(features) - set(FEATURES)
     if unknown:
         raise ValueError(f"unknown GLCM features {sorted(unknown)}")
-    dx, dy = offset
-    if max(abs(dx), abs(dy)) < 1:
-        raise ValueError("offset must move at least one pixel")
-    if max(abs(dx), abs(dy)) > window - 1:
-        raise ValueError(
-            f"offset {offset} exceeds window {window}: no pixel pair at "
-            "that offset fits inside one window")
+    offsets = (tuple(offset),) if np.isscalar(offset[0]) else \
+        tuple(tuple(o) for o in offset)
+    if not offsets:
+        raise ValueError("need at least one offset")
+    for dx, dy in offsets:
+        if max(abs(dx), abs(dy)) < 1:
+            raise ValueError("offset must move at least one pixel")
+        if max(abs(dx), abs(dy)) > window - 1:
+            raise ValueError(
+                f"offset {(dx, dy)} exceeds window {window}: no pixel pair "
+                "at that offset fits inside one window")
     ranges = scene_ranges(tiles, src_col)
-    r = window // 2 + max(abs(dx), abs(dy))
+    r = window // 2 + max(max(abs(dx), abs(dy)) for dx, dy in offsets)
     schema = _texture_schema(tuple(features))
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -195,8 +209,18 @@ def glcm_texture_tiles(tiles: DataFrame, src_col: str = "lst_bytes",
                 # a scene with zero finite pixels has no range row; any
                 # range quantizes its all-NaN planes identically (level -1)
                 vmin, vmax = ranges.get(row.scene_id, (0.0, 1.0))
-                out = glcm_features(pad, h, w, r, window, (dx, dy),
-                                    levels, vmin, vmax, tuple(features))
+                per = [glcm_features(pad, h, w, r, window, o,
+                                     levels, vmin, vmax, tuple(features))
+                       for o in offsets]
+                if len(per) == 1:
+                    out = per[0]
+                else:  # nan-aware per-pixel direction average (-a)
+                    import warnings
+                    with warnings.catch_warnings():
+                        warnings.simplefilter("ignore", RuntimeWarning)
+                        out = {f: np.nanmean(np.stack([p[f] for p in per]),
+                                             axis=0)
+                               for f in features}
                 core = pad[r:r + h, r:r + w]
                 ap["image_id"](row.image_id)
                 ap["scene_id"](row.scene_id)

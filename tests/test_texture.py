@@ -129,3 +129,29 @@ def test_glcm_rejects_bad_args(spark):
         texture.glcm_texture_tiles(df, levels=0)
     with pytest.raises(ValueError, match="exceeds window"):
         texture.glcm_texture_tiles(df, window=3, offset=(3, 0))
+
+
+def test_glcm_direction_average_matches_per_offset_mean(spark):
+    """Multi-offset (-a) output == nan-aware per-pixel mean of the
+    single-offset whole-scene brute results, across tiles (one shared
+    halo must cover the largest offset)."""
+    rng = np.random.default_rng(29)
+    H, W = 18, 22
+    scene = rng.uniform(270.0, 330.0, (H, W))
+    scene[rng.random((H, W)) < 0.08] = np.nan
+    scene = scene.astype(np.float32).astype(np.float64)
+    vmin, vmax = np.nanmin(scene), np.nanmax(scene)
+    offsets = ((1, 0), (0, 1), (1, 1))
+    briefs = [_brute(scene, 3, o, 6, vmin, vmax) for o in offsets]
+    df = _tile_df(spark, scene)
+    pdf = texture.glcm_texture_tiles(df, window=3, levels=6,
+                                     offset=offsets).toPandas()
+    import warnings
+    for f in FEATURES:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            exp = np.nanmean(np.stack([b[f] for b in briefs]), axis=0)
+        got = _mosaic(pdf, f"{f}_bytes", H, W).astype(np.float64)
+        assert np.array_equal(np.isnan(got), np.isnan(exp)), f
+        ok = ~np.isnan(got)
+        assert np.allclose(got[ok], exp[ok], rtol=1e-5, atol=1e-6), f
