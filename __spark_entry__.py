@@ -481,6 +481,34 @@ def _q_landscape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: per-pixel thermal anomaly detection against the revisit
+    baseline (series.anomaly_tiles) — history folds through series_tiles
+    (one shuffle), current attaches via ONE equi join, z-scores computed
+    in a vectorized Arrow kernel. Numpy z-score oracle parity in
+    tests/test_series.py."""
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import constants as C, pipeline, series, synth
+
+    scenes = spark.createDataFrame(synth.revisit_scenes_pdf("tiny", scene=0, n_dates=4))
+    meta = spark.createDataFrame(synth.revisit_meta_pdf("tiny", scene=0, n_dates=4))
+    emis = spark.createDataFrame(pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5)
+    hist = tiles.filter(~F.col("scene_id").endswith("R3"))
+    cur = tiles.filter(F.col("scene_id").endswith("R3"))
+    an = series.anomaly_tiles(hist, cur, k=2.0)
+    return (
+        an.groupBy("footprint")
+        .agg(F.count(F.lit(1)).alias("n_tiles"),
+             F.sum("n_scored").alias("n_scored"),
+             F.sum("n_anomaly").alias("n_anomaly"),
+             F.round(F.max("max_abs_z"), 4).alias("max_abs_z"))
+        .orderBy("footprint")
+    )
+
+
 def _q_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: LST-class x CWV-class co-occurrence area table
     (r.cross / r.stats analog, series.crosstab_tiles) — global per-scene
@@ -1115,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_focal_stats"] = _q_focal_stats
     q["q_texture"] = _q_texture
     q["q_series"] = _q_series
+    q["q_anomaly"] = _q_anomaly
     q["q_crosstab"] = _q_crosstab
     q["q_landscape"] = _q_landscape
     q["q_sample_raster"] = _q_sample_raster

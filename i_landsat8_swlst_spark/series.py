@@ -219,3 +219,86 @@ def crosstab_tiles(tiles: DataFrame, col_a: str = "lst_bytes",
     return (src.mapInArrow(fn, _CROSSTAB_PART)
             .groupBy("scene_id", "class_a", "class_b")
             .agg(F.sum("n_px").alias("n_px")))
+
+
+_ANOM_SCHEMA = StructType([
+    StructField("footprint", StringType()),
+    StructField("scene_id", StringType()),
+    StructField("tile_x", IntegerType()),
+    StructField("tile_y", IntegerType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("z_bytes", BinaryType()),       # f32 LE robust z planes
+    StructField("n_scored", LongType()),
+    StructField("n_anomaly", LongType()),
+    StructField("max_abs_z", DoubleType()),
+])
+
+
+def anomaly_tiles(history: DataFrame, current: DataFrame, k: float = 3.0,
+                  src_col: str = "lst_bytes", footprint=None,
+                  min_obs: int = 2) -> DataFrame:
+    """Per-pixel thermal anomaly detection — THE consumer product of an
+    LST revisit series (fire/heat-event flagging): score each pixel of
+    the ``current`` revisit by z = (current - median_history) /
+    stddev_history and count |z| > k.
+
+    ``history`` and ``current`` are tile tables (the caller splits, so
+    the baseline is never contaminated by the scored revisit). Plan:
+    `series_tiles` folds the history (ONE shuffle of the history planes
+    on the tile key), then ONE equi join attaches the current plane and
+    a vectorized Arrow kernel scores it — every plane crosses the
+    exchange exactly once.
+
+    Semantics: a pixel scores only if it is finite in ``current`` AND
+    its history has >= ``min_obs`` observations; zero-spread history
+    (stddev == 0) gives z = 0 when current equals the median and
+    +/-inf otherwise (an always-anomaly — a change from a perfectly
+    stable baseline); unscored pixels are NaN in the z plane.
+    """
+    if not np.isfinite(k) or k <= 0:
+        raise ValueError(f"k must be finite and > 0, got {k}")
+    ser = series_tiles(history, src_col=src_col, footprint=footprint,
+                       stats=("count", "median", "stddev"))
+    fp = (footprint if footprint is not None
+          else F.regexp_replace("scene_id", r"R\d+$", ""))
+    cur = current.select(
+        fp.alias("footprint"), "scene_id", "tile_x", "tile_y", "w", "h",
+        F.col(src_col).alias("cur_bytes"))
+    joined = cur.join(
+        ser.select("footprint", "tile_x", "tile_y",
+                   "count_bytes", "median_bytes", "stddev_bytes"),
+        on=["footprint", "tile_x", "tile_y"])
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in _ANOM_SCHEMA}
+            ap = {kk: v.append for kk, v in cols.items()}
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                c = codecs.decode_f32bt(row.cur_bytes, w, h)
+                n = codecs.decode_f32bt(row.count_bytes, w, h)
+                med = codecs.decode_f32bt(row.median_bytes, w, h)
+                std = codecs.decode_f32bt(row.stddev_bytes, w, h)
+                ok = np.isfinite(c) & (n >= min_obs)
+                z = np.full((h, w), np.nan)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    zs = np.where(std > 0, (c - med) / std,
+                                  np.where(c == med, 0.0,
+                                           np.sign(c - med) * np.inf))
+                z[ok] = zs[ok]
+                anom = ok & (np.abs(z) > k)
+                ap["footprint"](row.footprint)
+                ap["scene_id"](row.scene_id)
+                ap["tile_x"](int(row.tile_x)); ap["tile_y"](int(row.tile_y))
+                ap["w"](w); ap["h"](h)
+                ap["z_bytes"](z.astype("<f4").tobytes())
+                ap["n_scored"](int(ok.sum()))
+                ap["n_anomaly"](int(anom.sum()))
+                fin = np.isfinite(z)
+                ap["max_abs_z"](float(np.abs(z[fin]).max()) if fin.any()
+                                else None)
+            if cols["footprint"]:
+                yield _batch_from_cols(cols, _ANOM_SCHEMA)
+
+    return joined.mapInArrow(fn, _ANOM_SCHEMA)

@@ -155,3 +155,50 @@ def test_crosstab_all_nan_plane_is_nan_class(spark):
     assert all(r.class_a == -1 for r in got)
     assert sum(r.n_px for r in got) == 24
     assert {r.class_b for r in got} == {0, 1, 2}
+
+
+def test_anomaly_matches_numpy_oracle(spark):
+    """anomaly_tiles == numpy z-score from the same history stack; the
+    spiked pixel flags, zero-spread semantics hold, and a thin history
+    (n < min_obs) never scores."""
+    df, stacks = _revisit_tiles(spark, k=4, H=23, W=29)
+    H, W = 23, 29
+    hist_stack = stacks["FA"][:3]
+    cur = stacks["FA"][3].copy()
+    cur[5, 6] = 500.0  # unambiguous thermal anomaly
+    hist = df.filter("scene_id IN ('FAR0','FAR1','FAR2')")
+    cur_rows = []
+    for ty in range((H + 9 - 1) // 9):
+        for tx in range((W + 11 - 1) // 11):
+            t = cur[ty * 9:(ty + 1) * 9, tx * 11:(tx + 1) * 11]
+            cur_rows.append({"image_id": "FAR3-i", "scene_id": "FAR3",
+                             "tile_x": tx, "tile_y": ty,
+                             "w": t.shape[1], "h": t.shape[0],
+                             "lst_bytes": t.astype("<f4").tobytes()})
+    cur_df = spark.createDataFrame(pd.DataFrame(cur_rows))
+    got = series.anomaly_tiles(hist, cur_df, k=3.0).toPandas()
+    assert (got.footprint == "FA").all() and (got.scene_id == "FAR3").all()
+    z = _mosaic(got, "z_bytes", H, W).astype(np.float64)
+    # oracle from the same stack (f32-stored planes, same op order)
+    exp_stats = series_stack_stats(
+        hist_stack, ("count", "median", "stddev"))
+    n = exp_stats["count"].astype("<f4").astype(np.float64)
+    med = exp_stats["median"].astype("<f4").astype(np.float64)
+    std = exp_stats["stddev"].astype("<f4").astype(np.float64)
+    c32 = cur.astype("<f4").astype(np.float64)
+    ok = np.isfinite(c32) & (n >= 2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ez = np.where(std > 0, (c32 - med) / std,
+                      np.where(c32 == med, 0.0, np.sign(c32 - med) * np.inf))
+    exp = np.full((H, W), np.nan)
+    exp[ok] = ez[ok]
+    exp32 = exp.astype(np.float32)
+    assert np.array_equal(z.astype(np.float32), exp32, equal_nan=True)
+    # the spike is flagged; totals reconcile
+    sy, sx = 5, 6
+    if ok[sy, sx]:
+        assert abs(exp32[sy, sx]) > 3.0
+        assert int(got.n_anomaly.sum()) >= 1
+    assert int(got.n_scored.sum()) == int(ok.sum())
+    with pytest.raises(ValueError, match="k must be"):
+        series.anomaly_tiles(hist, cur_df, k=0.0)
