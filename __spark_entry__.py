@@ -923,30 +923,27 @@ def _q_stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   _ATTEST_LAST  := (n_twins - 50) stable, unchanged twins that DID get a
 #                    row this round (they can safely sit out the next one).
 _ATTEST_FIRST = [
-    # demoted in r03 (newest row is r02) -> re-attest first in r04
-    "q_token_stats", "q_lang_id", "q_quality_score", "q_fingerprint",
-    "q_bpe_tokens", "q_winnow_fingerprint", "q_tfidf", "q_regr_manual",
-    "q_grouped_map", "q_agg_stats", "q_rollup", "q_cube", "q_percentile",
-    "q_semi_join", "q_anti_join", "q_caption_roundtrip", "q_salted_agg",
-    # changed this round -> re-attest (empty-doc guard on both engines)
-    "q_char_entropy",
-    # NEW twins this round -> must attest in their first window
-    "q_interval_overlap", "q_skyline", "q_grid_density", "q_hash_split",
-    "q_stratified_sample", "q_cluster_canonical", "q_decontaminate",
-    "q_decontaminate_bloom", "q_unpivot", "q_mode_per_group",
-    "q_token_shards",
-]
-_ATTEST_LAST = [
-    # green in r03, unchanged this round; 75 twins - 50 window = 25 demoted
+    # sat out r04 (newest row is r03) -> re-attest first in r05
     "q_sort_limit", "q_null_logic", "q_set_ops", "q_intersect",
     "q_except_all", "q_distinct_agg", "q_date_math", "q_string_funcs",
     "q_json_extract", "q_histogram", "q_pivot", "q_array_agg",
     "q_scalar_subquery", "q_explode_words",
     "q_ngram_jaccard", "q_simhash64", "q_repetition_ratio",
-    # demoted in r04 to make room for the 10 new twins (rotate back in r05)
     "q_hamming_join", "q_range_frame", "q_upsert", "q_vector_explode",
     "q_fuzzy_join", "q_ntile_first_last", "q_lag_lead", "q_grouping_sets",
     "q_asof_join", "q_session_window", "q_sessionize",
+]
+_ATTEST_LAST = [
+    # green in r04, unchanged this round; 78 twins - 50 window = 28 demoted
+    # (q_char_entropy, also green r04, stays in the window middle)
+    "q_token_stats", "q_lang_id", "q_quality_score", "q_fingerprint",
+    "q_bpe_tokens", "q_winnow_fingerprint", "q_tfidf", "q_regr_manual",
+    "q_grouped_map", "q_agg_stats", "q_rollup", "q_cube", "q_percentile",
+    "q_semi_join", "q_anti_join", "q_caption_roundtrip", "q_salted_agg",
+    "q_interval_overlap", "q_skyline", "q_grid_density", "q_hash_split",
+    "q_stratified_sample", "q_cluster_canonical", "q_decontaminate",
+    "q_decontaminate_bloom", "q_unpivot", "q_mode_per_group",
+    "q_token_shards",
 ]
 
 
