@@ -1128,6 +1128,47 @@ def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: reprojection onto a shared target grid (r.proj /
+    g.region-resampling analog) — two deliberately MIS-REGISTERED revisits
+    of one footprint (shifted bbox, different tiling) are warped onto one
+    GridSpec, then stacked with series_tiles (which raises on the raw,
+    unwarped stack — pinned in tests/test_warp.py along with whole-scene
+    numpy-oracle parity: nearest exact, bilinear to f32 precision)."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import series, warp
+
+    def scene(sid, seed, bbox, ntx, nty, tw, th):
+        rng = np.random.default_rng(seed)
+        plane = rng.uniform(270.0, 330.0, (nty * th, ntx * tw)).astype("<f4")
+        plane[3, 4] = np.nan
+        rows = [{"scene_id": sid, "tile_x": tx, "tile_y": ty, "w": tw,
+                 "h": th,
+                 "lst_bytes": plane[ty * th:(ty + 1) * th,
+                                    tx * tw:(tx + 1) * tw].tobytes()}
+                for ty in range(nty) for tx in range(ntx)]
+        geom = [{"scene_id": sid, "lon0": bbox[0], "lat0": bbox[1],
+                 "lon1": bbox[2], "lat1": bbox[3], "ntx": ntx, "nty": nty}]
+        return pd.DataFrame(rows), pd.DataFrame(geom)
+
+    t0, g0 = scene("WXR0", 11, (10.0, 40.0, 13.0, 42.0), 3, 2, 16, 12)
+    t1, g1 = scene("WXR1", 12, (10.3, 40.2, 13.3, 42.2), 4, 3, 12, 8)
+    tiles = spark.createDataFrame(pd.concat([t0, t1]))
+    geom = spark.createDataFrame(pd.concat([g0, g1]))
+    dst = warp.GridSpec(10.0, 40.0, 13.3, 42.2, ntx=3, nty=2,
+                        tile_w=15, tile_h=12)
+    warped = warp.warp_tiles(tiles, geom, dst, method="bilinear")
+    stacked = series.series_tiles(warped, src_col="out_bytes",
+                                  stats=("count", "mean", "min"))
+    return (stacked.select(
+        "footprint", "tile_x", "tile_y", "w", "h", "n_dates", "n_px_any",
+        F.round("mean_mean", 6).alias("mean_mean"),
+        F.round("min_mean", 6).alias("min_mean"))
+        .orderBy("tile_x", "tile_y"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _ordered(dict(relational.queries()))
     # rows-only (untwinned) entries go after every twinned query so they
@@ -1176,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_lst_composite"] = _q_lst_composite
     q["q_lst_mosaic"] = _q_lst_mosaic
     q["q_lst_trend"] = _q_lst_trend
+    q["q_warp"] = _q_warp
     return q
 
 

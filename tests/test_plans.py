@@ -449,3 +449,33 @@ def test_segment_stitch_is_equi(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_warp_is_one_exchange_plus_broadcast_geom(spark):
+    """warp_tiles: the scale shape is broadcast(geom) join -> ONE mapInArrow
+    fragment pass -> ONE hash exchange (the dst-tile assemble). Pixel bytes
+    cross the exchange exactly once as fragments; never per-point rows, no
+    nested loop, no second shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import warp
+    from i_landsat8_swlst_spark.warp import GridSpec
+
+    rng = np.random.default_rng(5)
+    rows = [{"scene_id": "S", "tile_x": tx, "tile_y": ty, "w": 8, "h": 8,
+             "lst_bytes": rng.uniform(270, 330, (8, 8)).astype("<f4").tobytes()}
+            for tx in range(2) for ty in range(2)]
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    geom = spark.createDataFrame(pd.DataFrame([{
+        "scene_id": "S", "lon0": 0.0, "lat0": 0.0, "lon1": 1.0, "lat1": 1.0,
+        "ntx": 2, "nty": 2}]))
+    dst = GridSpec(-0.1, -0.1, 1.1, 1.1, 2, 2, 9, 9)
+    plan = _plan(warp.warp_tiles(tiles, geom, dst))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan       # geom + nominal-dims join
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    # one for the tiny dims agg (metadata only), one for the assemble
+    assert n_exchanges <= 2, f"expected <=2 hash exchanges, plan had {n_exchanges}"
+    assert plan.count("MapInArrow") == 1
