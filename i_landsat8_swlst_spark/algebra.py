@@ -17,7 +17,9 @@ the table, names outside the inputs — raises at compile time, so a hostile
 expression cannot reach the executor.
 
 NaN is the NULL carrier exactly as in the rest of the engine (and in
-r.mapcalc: null() propagates through arithmetic).
+r.mapcalc: null() propagates through arithmetic, comparisons on NULL
+yield NULL, and ``if_`` with a NULL condition yields NULL — never the
+else arm).
 """
 
 from __future__ import annotations
@@ -36,8 +38,15 @@ from pyspark.sql.types import (
 from . import codecs
 from .pipeline import _batch_from_cols, _batch_rows, _finite_stats
 
+def _if_(c, a, b):
+    # GRASS r.mapcalc parity: if(NULL, a, b) is NULL, not the else arm —
+    # a cloud-masked condition pixel must not silently pick b
+    c = np.asarray(c, dtype=np.float64)
+    return np.where(np.isnan(c), np.nan, np.where(c != 0, a, b))
+
+
 _FUNCS = {
-    "if_": lambda c, a, b: np.where(np.nan_to_num(c) != 0, a, b),
+    "if_": _if_,
     "isnull": lambda x: np.isnan(np.asarray(x, dtype=np.float64)).astype(np.float64),
     "null": lambda: np.nan,
     "abs": np.abs,

@@ -65,7 +65,7 @@ _LS_SCHEMA = StructType([
 
 
 def _extract(tiles: DataFrame, src_col: str, levels: int,
-             ranges: dict) -> DataFrame:
+             ranges: dict, nom_w: int, nom_h: int) -> DataFrame:
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             cols: dict[str, list] = {f.name: [] for f in _LS_SCHEMA}
@@ -85,7 +85,9 @@ def _extract(tiles: DataFrame, src_col: str, levels: int,
                 # identically (every pixel level -1)
                 q = _quantize(plane, *ranges.get(row.scene_id, (0.0, 1.0)),
                               levels)
-                ox, oy = tx * w, ty * h
+                # nominal dims, not this tile's — ragged edge tiles would
+                # otherwise mis-place scene coords (see extract_regions)
+                ox, oy = tx * nom_w, ty * nom_h
 
                 # within-tile edge credits: right + down valid-valid pairs
                 for a, b in ((q[:, :-1], q[:, 1:]), (q[:-1, :], q[1:, :])):
@@ -166,7 +168,9 @@ def class_metrics(tiles: DataFrame, src_col: str = "lst_bytes",
     from pyspark import StorageLevel
 
     ranges = scene_ranges(tiles, src_col)
-    ex = _extract(tiles, src_col, levels, ranges) \
+    nom = tiles.agg(F.max("w").alias("w"), F.max("h").alias("h")).first()
+    nom_w, nom_h = int(nom["w"]), int(nom["h"])
+    ex = _extract(tiles, src_col, levels, ranges, nom_w, nom_h) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     try:
         patches = ex.filter("kind = 0")

@@ -678,9 +678,12 @@ def mosaic_pixels(pixels: DataFrame,
     combining shuffle with no per-group buffering (cheaper than the
     composite's exact percentile). ``priority`` accepts any Column; NaN
     priorities sort last under Spark ordering, so cloud-degraded
-    observations lose to clean ones automatically.
+    observations lose to clean ones automatically. A SQL NULL priority is
+    coalesced to NaN first — a bare NULL sorts FIRST in a struct min, which
+    would make the degraded observation beat every valid one.
     """
     pr = priority if priority is not None else F.col("cwv")
+    pr = F.coalesce(pr.cast("double"), F.lit(float("nan")))
     chosen = F.min(F.struct(pr.alias("p"), F.col("scene_id").alias("s"),
                             F.col("lst_k").alias("v")))
     agg = pixels.groupBy(*keys).agg(
@@ -941,6 +944,15 @@ def halo_plane_tiles(tiles: DataFrame, r: int,
             ap = {k: v.append for k, v in cols.items()}
             for row in _batch_rows(batch):
                 w, h = int(row.w), int(row.h)
+                if w < r or h < r:
+                    # slice(w - r, w) would wrap to the array end and the
+                    # assemble step would left-align the short strip — fail
+                    # loudly instead of silently corrupting the padded plane
+                    raise ValueError(
+                        f"halo margin r={r} exceeds tile dims {w}x{h} "
+                        f"(scene {row.scene_id}, tile "
+                        f"({int(row.tile_x)},{int(row.tile_y)})); retile "
+                        "with tiles at least r pixels on each side")
                 plane = _dec(getattr(row, src_col), w, h)
                 for dx in (-1, 0, 1):
                     for dy in (-1, 0, 1):

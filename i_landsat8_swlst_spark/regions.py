@@ -113,7 +113,8 @@ def label_tile(mask: np.ndarray) -> tuple[np.ndarray, int]:
     return labels, 0
 
 
-def _extract_pass(tiles: DataFrame, threshold: float, src_col: str) -> DataFrame:
+def _extract_pass(tiles: DataFrame, threshold: float, src_col: str,
+                  nom_w: int, nom_h: int) -> DataFrame:
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             cols: dict[str, list] = {f.name: [] for f in EXTRACT_SCHEMA}
@@ -136,7 +137,10 @@ def _extract_pass(tiles: DataFrame, threshold: float, src_col: str) -> DataFrame
                 if not mask.any():
                     continue
                 labels, n = label_tile(mask)
-                ox, oy = tx * w, ty * h
+                # NOMINAL dims, not this tile's: ragged right/bottom-edge
+                # tiles are shorter, and using the local w/h there would
+                # shift their scene coords so border cell/probe joins miss
+                ox, oy = tx * nom_w, ty * nom_h
 
                 m = labels >= 0
                 lab = labels[m]
@@ -215,17 +219,23 @@ def extract_regions(tiles: DataFrame, threshold: float,
     one row per 4-connected region of ``plane > threshold`` ACROSS tile
     borders, with exact area / value stats / scene-coordinate bbox.
 
-    Assumes the uniform tile grid the synth/reference scenes use (scene
-    pixel coords are tile_x * w + px). Returns: scene_id, region_id
-    (stable packed label), area_px, mean_val, min_val, max_val,
-    gx0/gy0/gx1/gy1, n_parts (tile-local parts merged into the region).
+    Scene pixel coords are tile_x * nom_w + px where nom_w/nom_h are the
+    NOMINAL (max-over-grid) tile dims, so ragged right/bottom-edge tiles
+    place correctly. Returns: scene_id, region_id (stable packed label),
+    area_px, mean_val, min_val, max_val, gx0/gy0/gx1/gy1, n_parts
+    (tile-local parts merged into the region).
     """
     # one decode+label pass; the extraction (regions + border cells) is
     # O(regions + perimeter) — tiny vs the pixel planes — so persisting it
     # for the multi-consumer graph below is the scale-correct move
     from pyspark import StorageLevel
 
-    ex = _extract_pass(tiles, threshold, src_col).persist(StorageLevel.MEMORY_AND_DISK)
+    # nominal (non-ragged) tile dims: one tiny metadata-only job (same
+    # convention as hydro.basin_tiles); every interior tile has these dims
+    nom = tiles.agg(F.max("w").alias("w"), F.max("h").alias("h")).first()
+    nom_w, nom_h = int(nom["w"]), int(nom["h"])
+    ex = _extract_pass(tiles, threshold, src_col, nom_w, nom_h) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     try:
         regions = ex.filter("kind = 0")
         cells = ex.filter("kind = 1").select("scene_id", "gx", "gy", "node")

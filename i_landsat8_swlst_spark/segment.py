@@ -122,7 +122,8 @@ _SEG_SCHEMA = StructType([
 ])
 
 
-def _seg_extract(tiles: DataFrame, lam: float, src_col: str) -> DataFrame:
+def _seg_extract(tiles: DataFrame, lam: float, src_col: str,
+                 nom_w: int, nom_h: int) -> DataFrame:
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             cols: dict[str, list] = {f.name: [] for f in _SEG_SCHEMA}
@@ -146,7 +147,9 @@ def _seg_extract(tiles: DataFrame, lam: float, src_col: str) -> DataFrame:
                 labels, n = lambda_label(plane, lam)
                 if n == 0:
                     continue
-                ox, oy = tx * w, ty * h
+                # nominal dims, not this tile's — ragged edge tiles would
+                # otherwise mis-place their scene coords (see extract_regions)
+                ox, oy = tx * nom_w, ty * nom_h
                 m = labels >= 0
                 lab = labels[m]
                 vals = plane[m]
@@ -200,14 +203,18 @@ def segment_tiles(tiles: DataFrame, lam: float,
     of the WHOLE scene — scene_id, segment_id (stable packed label),
     area_px, mean_val, min_val, max_val, scene-coordinate bbox, n_parts.
 
-    Same uniform-grid convention as regions.extract_regions (scene pixel
-    coords are tile_x * w + px).
+    Same grid convention as regions.extract_regions (scene pixel coords
+    are tile_x * nom_w + px with NOMINAL max-over-grid tile dims, so
+    ragged right/bottom-edge tiles place correctly).
     """
     if not np.isfinite(lam) or lam < 0:
         raise ValueError(f"lam must be finite and >= 0, got {lam}")
     from pyspark import StorageLevel
 
-    ex = _seg_extract(tiles, lam, src_col).persist(StorageLevel.MEMORY_AND_DISK)
+    nom = tiles.agg(F.max("w").alias("w"), F.max("h").alias("h")).first()
+    nom_w, nom_h = int(nom["w"]), int(nom["h"])
+    ex = _seg_extract(tiles, lam, src_col, nom_w, nom_h) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     try:
         segs = ex.filter("kind = 0")
         cells = ex.filter("kind = 1").select("scene_id", "gx", "gy",

@@ -46,12 +46,14 @@ def test_comparison_and_if_null_semantics():
     got = fn(env)
     exp = np.where(np.isnan(a), np.nan, (a > 300).astype(float))
     np.testing.assert_array_equal(got, exp)
-    # if_ treats NULL condition as false (nan_to_num) -> takes the else arm
-    fn2 = algebra.compile_expr("if_(a > 300, a - 273.15, null())", ["a", "b"])
+    # if_ propagates a NULL condition to NULL output (GRASS r.mapcalc:
+    # if(null(), a, b) is null, never the else arm)
+    fn2 = algebra.compile_expr("if_(a > 300, a - 273.15, b)", ["a", "b"])
     got2 = fn2(env)
-    sel = np.nan_to_num(exp) != 0
-    exp2 = np.where(sel, a - 273.15, np.nan)
+    exp2 = np.where(np.isnan(exp), np.nan,
+                    np.where(np.nan_to_num(exp) != 0, a - 273.15, b))
     np.testing.assert_array_equal(got2, exp2)
+    assert np.isnan(got2[np.isnan(a)]).all()
     # and/or combine 0/1 planes via min/max
     fn3 = algebra.compile_expr("(a > 300) and (b < 3)", ["a", "b"])
     ca = np.where(np.isnan(a), np.nan, (a > 300).astype(float))

@@ -214,3 +214,21 @@ def test_halo_cross_tile_mixed_bt_raises(spark):
         pipeline.build_enriched(scenes, meta_df, emis), window=WINDOW)
     with pytest.raises(Exception, match="mixed DN/BT strips"):
         halo.collect()
+
+
+def test_halo_plane_margin_exceeds_tile_raises(spark):
+    """Regression (ADVICE r4): a tile smaller than the halo margin must
+    fail loudly — slice(w - r, w) would wrap and silently corrupt the
+    padded plane."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from i_landsat8_swlst_spark.pipeline import halo_plane_tiles
+
+    t = np.arange(6, dtype="<f4").reshape(2, 3)
+    tiles = spark.createDataFrame(pd.DataFrame([{
+        "scene_id": "S", "tile_x": 0, "tile_y": 0, "w": 3, "h": 2,
+        "lst_bytes": t.tobytes()}]))
+    with pytest.raises(Exception, match="halo margin"):
+        halo_plane_tiles(tiles, r=3).collect()

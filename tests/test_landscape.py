@@ -129,3 +129,37 @@ def test_class_metrics_rejects_bad_levels(spark):
     df = _tile_df(spark, np.ones((8, 10)), scene_id="B")
     with pytest.raises(ValueError, match="levels must be"):
         landscape.class_metrics(df, levels=1)
+
+
+def test_class_metrics_ragged_grid(spark):
+    """Regression (ADVICE r4): ragged right/bottom edge tiles must derive
+    scene coords from NOMINAL tile dims or cross-tile patch merges and
+    edge crossings are silently lost."""
+    rng = np.random.default_rng(29)
+    H, W = 22, 27                       # 8x6 nominal -> ragged edges
+    scene = rng.uniform(270.0, 330.0, (H, W))
+    for _ in range(2):
+        scene[1:, :] = (scene[1:, :] + scene[:-1, :]) / 2
+        scene[:, 1:] = (scene[:, 1:] + scene[:, :-1]) / 2
+    scene[rng.random((H, W)) < 0.05] = np.nan
+    scene = scene.astype(np.float32).astype(np.float64)
+    exp = _brute(scene, 4)
+
+    rows = []
+    tw, th = 8, 6
+    for ty in range((H + th - 1) // th):
+        for tx in range((W + tw - 1) // tw):
+            t = scene[ty * th:min((ty + 1) * th, H),
+                      tx * tw:min((tx + 1) * tw, W)]
+            rows.append({"image_id": "RG-i", "scene_id": "RG",
+                         "tile_x": tx, "tile_y": ty,
+                         "w": t.shape[1], "h": t.shape[0],
+                         "lst_bytes": t.astype("<f4").tobytes()})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    got = landscape.class_metrics(tiles, levels=4).collect()
+    gm = {int(r.cls): r for r in got}
+    assert set(gm) == set(exp)
+    for c, (area, edge, n_p, sizes) in exp.items():
+        r = gm[c]
+        assert (r.area_px, r.edge_px, r.n_patches) == (area, edge, n_p), c
+        assert r.largest_patch_px == sizes[-1], c

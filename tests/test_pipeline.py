@@ -390,3 +390,29 @@ def test_halo_focal_and_gradient_equal_whole_scene(spark):
     # tile-locally this whole column is NaN; with 5% holes the 3x3 poison
     # rule still leaves a sizable finite fraction
     assert np.isfinite(border_col).sum() > 5
+
+
+def test_mosaic_pixels_null_priority_loses(spark):
+    """Regression (ADVICE r4): a SQL NULL priority must lose like NaN does
+    — a bare NULL sorts FIRST in the struct min, which would make the
+    degraded observation beat every valid one."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from i_landsat8_swlst_spark import pipeline
+
+    rows = pd.DataFrame([
+        # same pixel, three observations: NULL-priority, NaN-priority, valid
+        {"tile_x": 0, "tile_y": 0, "px": 1, "py": 2, "lon": 0.0, "lat": 0.0,
+         "scene_id": "A", "qual": None, "lst_k": 111.0},
+        {"tile_x": 0, "tile_y": 0, "px": 1, "py": 2, "lon": 0.0, "lat": 0.0,
+         "scene_id": "B", "qual": float("nan"), "lst_k": 222.0},
+        {"tile_x": 0, "tile_y": 0, "px": 1, "py": 2, "lon": 0.0, "lat": 0.0,
+         "scene_id": "C", "qual": 5.0, "lst_k": 333.0},
+    ])
+    pixels = spark.createDataFrame(rows)
+    got = pipeline.mosaic_pixels(pixels, priority=F.col("qual")).collect()
+    assert len(got) == 1
+    assert got[0].src_scene == "C" and got[0].lst_mosaic == 333.0
+    assert got[0].n_obs == 3

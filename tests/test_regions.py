@@ -160,3 +160,51 @@ def test_extract_regions_on_lst_product(spark):
         for a, b in zip(tuples, exp):
             assert a[0] == b[0] and a[2:] == b[2:]
             assert a[1] == pytest.approx(b[1], rel=1e-9)
+
+
+def _ragged_tiles_from_plane(scene_id: str, plane: np.ndarray,
+                             tw: int, th: int):
+    """Ceil-division tiling: right/bottom edge tiles are SHORTER than the
+    nominal (tw, th) when the plane dims don't divide evenly."""
+    H, W = plane.shape
+    rows = []
+    for ty in range((H + th - 1) // th):
+        for tx in range((W + tw - 1) // tw):
+            t = plane[ty * th:min((ty + 1) * th, H),
+                      tx * tw:min((tx + 1) * tw, W)]
+            rows.append({"scene_id": scene_id, "tile_x": tx, "tile_y": ty,
+                         "w": t.shape[1], "h": t.shape[0],
+                         "lst_bytes": t.astype("<f4").tobytes()})
+    return rows
+
+
+def test_extract_regions_ragged_grid(spark):
+    """Regression (ADVICE r4): scene coords must derive from NOMINAL tile
+    dims, so ragged right/bottom-edge tiles stitch correctly. A 90x90
+    plane tiled 32x32 leaves 26-px edge strips; with the old tx*w math the
+    edge tiles' border cells landed at wrong scene coords and cross-tile
+    merges silently failed."""
+    rng = np.random.default_rng(63)
+    base = rng.uniform(260.0, 330.0, (9, 9))
+    plane = np.kron(base, np.ones((10, 10)))          # 90x90, blocky blobs
+    plane += rng.uniform(-1.0, 1.0, plane.shape)
+    plane[rng.random(plane.shape) < 0.03] = np.nan
+    plane = plane.astype("<f4").astype(np.float64)
+    thr = 300.0
+
+    tiles = spark.createDataFrame(
+        pd.DataFrame(_ragged_tiles_from_plane("R0", plane, 32, 32)))
+    got = regions.extract_regions(tiles, thr).toPandas()
+
+    exp = _naive_regions(plane, thr)
+    tuples = sorted(
+        (int(r.area_px), round(float(r.mean_val * r.area_px), 6),
+         float(r.min_val), float(r.max_val),
+         int(r.gx0), int(r.gy0), int(r.gx1), int(r.gy1))
+        for r in got.itertuples())
+    assert len(tuples) == len(exp) > 5
+    for a, b in zip(tuples, exp):
+        assert a[0] == b[0] and a[2:] == b[2:]
+        assert a[1] == pytest.approx(b[1], rel=1e-9)
+    # the ragged fixture must actually exercise cross-tile merging
+    assert bool((got.n_parts > 1).any())

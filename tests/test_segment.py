@@ -128,3 +128,35 @@ def test_lambda_label_local_kernel():
     assert labels[0, 2] == labels[1, 2] == labels[2, 2]
     assert labels[2, 0] == labels[2, 1]
     assert len({labels[0, 0], labels[0, 2], labels[2, 0]}) == 3
+
+
+def _ragged_tile_df(spark, scene: np.ndarray, scene_id="RG0", tw=8, th=6):
+    """Ceil-division tiling — right/bottom edge tiles shorter than nominal."""
+    H, W = scene.shape
+    rows = []
+    for ty in range((H + th - 1) // th):
+        for tx in range((W + tw - 1) // tw):
+            t = scene[ty * th:min((ty + 1) * th, H),
+                      tx * tw:min((tx + 1) * tw, W)]
+            rows.append({"scene_id": scene_id, "tile_x": tx, "tile_y": ty,
+                         "w": t.shape[1], "h": t.shape[0],
+                         "lst_bytes": t.astype("<f4").tobytes()})
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_segment_ragged_grid(spark):
+    """Regression (ADVICE r4): nominal-dims scene coords make ragged
+    right/bottom edge tiles stitch correctly (22x27 plane, 8x6 nominal
+    tiles -> 3-px right strip, 4-px bottom strip)."""
+    rng = np.random.default_rng(44)
+    H, W = 22, 27
+    scene = rng.uniform(270.0, 330.0, (H, W))
+    for _ in range(2):
+        scene[1:, :] = (scene[1:, :] + scene[:-1, :]) / 2
+        scene[:, 1:] = (scene[:, 1:] + scene[:, :-1]) / 2
+    scene[rng.random((H, W)) < 0.05] = np.nan
+    scene = scene.astype(np.float32).astype(np.float64)
+    lam = 2.0
+    got = segment.segment_tiles(_ragged_tile_df(spark, scene), lam).collect()
+    assert _rows_key(got) == _brute(scene, lam)
+    assert any(r.n_parts > 1 for r in got)  # stitching actually exercised
