@@ -47,7 +47,7 @@ from pyspark.sql.types import (
 )
 
 from . import codecs
-from .multiband import scene_ranges
+from .multiband import scene_ranges_df
 from .pipeline import _batch_from_cols, _batch_rows
 from .regions import _cc_min_label, _pack_node, label_tile
 from .texture import _quantize
@@ -65,7 +65,7 @@ _LS_SCHEMA = StructType([
 
 
 def _extract(tiles: DataFrame, src_col: str, levels: int,
-             ranges: dict, nom_w: int, nom_h: int) -> DataFrame:
+             ranges_df: DataFrame, nom_w: int, nom_h: int) -> DataFrame:
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             cols: dict[str, list] = {f.name: [] for f in _LS_SCHEMA}
@@ -81,10 +81,11 @@ def _extract(tiles: DataFrame, src_col: str, levels: int,
                 w, h = int(row.w), int(row.h)
                 tx, ty = int(row.tile_x), int(row.tile_y)
                 plane = codecs.decode_f32bt(getattr(row, src_col), w, h)
-                # all-NaN scene -> no range row; any range quantizes it
-                # identically (every pixel level -1)
-                q = _quantize(plane, *ranges.get(row.scene_id, (0.0, 1.0)),
-                              levels)
+                # all-NaN scene -> no range row (NULL after the left join);
+                # any range quantizes it identically (every pixel level -1)
+                vmin = 0.0 if row.vmin is None else float(row.vmin)
+                vmax = 1.0 if row.vmin is None else float(row.vmax)
+                q = _quantize(plane, vmin, vmax, levels)
                 # nominal dims, not this tile's — ragged edge tiles would
                 # otherwise mis-place scene coords (see extract_regions)
                 ox, oy = tx * nom_w, ty * nom_h
@@ -149,8 +150,11 @@ def _extract(tiles: DataFrame, src_col: str, levels: int,
             if cols["scene_id"]:
                 yield _batch_from_cols(cols, _LS_SCHEMA)
 
-    # mapInArrow cannot column-prune: select only what the kernel reads
-    src = tiles.select("scene_id", "tile_x", "tile_y", "w", "h", src_col)
+    # mapInArrow cannot column-prune: select only what the kernel reads.
+    # The per-scene range rides as a tiny broadcast-joined DataFrame (a
+    # closure dict would grow O(scenes) and ship per task).
+    src = (tiles.select("scene_id", "tile_x", "tile_y", "w", "h", src_col)
+           .join(F.broadcast(ranges_df), on="scene_id", how="left"))
     return src.mapInArrow(fn, _LS_SCHEMA)
 
 
@@ -167,10 +171,10 @@ def class_metrics(tiles: DataFrame, src_col: str = "lst_bytes",
         raise ValueError(f"levels must be in [2, 64], got {levels}")
     from pyspark import StorageLevel
 
-    ranges = scene_ranges(tiles, src_col)
+    ranges_df = scene_ranges_df(tiles, src_col)
     nom = tiles.agg(F.max("w").alias("w"), F.max("h").alias("h")).first()
     nom_w, nom_h = int(nom["w"]), int(nom["h"])
-    ex = _extract(tiles, src_col, levels, ranges, nom_w, nom_h) \
+    ex = _extract(tiles, src_col, levels, ranges_df, nom_w, nom_h) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     try:
         patches = ex.filter("kind = 0")

@@ -13,9 +13,16 @@ contrast operations, structured for the 100 TB execution model:
   (bands, not pixels); ``np.linalg.eigh`` plus a deterministic sign
   convention (the largest-|loading| element of every component is
   positive, ties to the lower band index by eigh's ordering).
-- **Projection pass** (``pca_tiles``): components are a closure constant
-  (a few hundred bytes), applied per tile in a second mapInArrow hop —
-  embarrassingly parallel, no shuffle at all.
+- **Projection pass** (``pca_tiles``): the per-scene model rides as a TINY
+  DataFrame broadcast-joined onto the tile table on ``scene_id`` (never a
+  closure dict — a dict serializes into every task and grows O(scenes),
+  which at 10^5+ scenes is a multi-MB tax per task). The join is
+  broadcast, so tiles never shuffle; the projection itself is a second
+  mapInArrow hop reading the model columns off each row.
+  ``pca_model_df`` computes the eigendecomposition DISTRIBUTED
+  (applyInPandas per scene over the tiny moments rows), so no pixel- or
+  scene-proportional state ever lands on the driver unless the caller
+  asks for the dict form.
 
 Float caveat, stated rather than hidden: Spark's cross-tile ``sum`` order
 is nondeterministic, so moments (hence eigenvectors) can differ from a
@@ -121,6 +128,42 @@ def _eig_components(n: int, sums: list[float], b: int, k: int):
     return mean, vecs, vals, [float(v) / total for v in vals]
 
 
+_PCA_MODEL_SCHEMA = StructType([
+    StructField("scene_id", StringType()),
+    StructField("mean", ArrayType(DoubleType())),       # B values
+    StructField("comps", ArrayType(DoubleType())),      # (B, k) row-major
+    StructField("eigvals", ArrayType(DoubleType())),
+    StructField("explained", ArrayType(DoubleType())),
+])
+
+
+def pca_model_df(tiles: DataFrame, band_cols: list[str],
+                 k: int | None = None) -> DataFrame:
+    """Per-scene PCA model as a TINY DataFrame (one row per scene): the
+    eigendecomposition runs DISTRIBUTED via applyInPandas over the moments
+    rows, so nothing scene-proportional ever reaches the driver. This is
+    the scale path; ``pca_components`` is its collect()ed dict form."""
+    import pandas as pd
+
+    b = len(band_cols)
+    k = b if k is None else min(k, b)
+
+    def eig(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for r in pdf.itertuples():
+            mean, vecs, vals, expl = _eig_components(
+                int(r.n), list(r.sums), b, k)
+            out.append({"scene_id": r.scene_id,
+                        "mean": [float(v) for v in mean],
+                        "comps": [float(v) for v in np.asarray(vecs).ravel()],
+                        "eigvals": [float(v) for v in vals],
+                        "explained": expl})
+        return pd.DataFrame(out, columns=[f.name for f in _PCA_MODEL_SCHEMA])
+
+    return (band_moments(tiles, band_cols)
+            .groupBy("scene_id").applyInPandas(eig, _PCA_MODEL_SCHEMA))
+
+
 def pca_components(tiles: DataFrame, band_cols: list[str],
                    k: int | None = None) -> dict[str, dict]:
     """Collect the per-scene PCA model: {scene_id: {mean, components (B,k),
@@ -129,10 +172,12 @@ def pca_components(tiles: DataFrame, band_cols: list[str],
     b = len(band_cols)
     k = b if k is None else min(k, b)
     out = {}
-    for r in band_moments(tiles, band_cols).collect():
-        mean, vecs, vals, expl = _eig_components(int(r["n"]), list(r["sums"]), b, k)
-        out[r["scene_id"]] = {"mean": mean, "components": vecs,
-                              "eigvals": vals, "explained": expl}
+    for r in pca_model_df(tiles, band_cols, k).collect():
+        out[r["scene_id"]] = {
+            "mean": np.asarray(r["mean"]),
+            "components": np.asarray(r["comps"]).reshape(b, k),
+            "eigvals": list(r["eigvals"]),
+            "explained": list(r["explained"])}
     return out
 
 
@@ -157,22 +202,39 @@ def pca_tiles(tiles: DataFrame, band_cols: list[str], k: int | None = None,
     """i.pca analog: project every tile's band stack onto the per-scene
     principal components. Returns (DataFrame of pc planes, model dict).
 
-    The projection pass broadcasts nothing but the model closure (per
-    scene: B doubles + B×k doubles) and emits k f32 planes per tile with
-    NaN wherever ANY input band is NaN — the same all-bands validity rule
-    the moments pass used, so projected stats and moments agree."""
+    The model reaches the executors as a TINY DataFrame broadcast-joined
+    on scene_id (per scene: B + B×k doubles), NOT a closure dict — a
+    closure grows O(scenes) and re-serializes into every task. The
+    projection emits k f32 planes per tile with NaN wherever ANY input
+    band is NaN — the same all-bands validity rule the moments pass used,
+    so projected stats and moments agree."""
+    import pandas as pd
+
     b = len(band_cols)
     k = b if k is None else min(k, b)
-    model = pca_components(tiles, band_cols, k) if model is None else model
+    spark = tiles.sparkSession
+    if isinstance(model, DataFrame):
+        # the unbounded-scene path: a pca_model_df output joins straight in,
+        # the driver never materializes anything scene-proportional
+        model_df = model.select("scene_id", "mean", "comps")
+    else:
+        model = pca_components(tiles, band_cols, k) if model is None else model
+        model_df = spark.createDataFrame(
+            pd.DataFrame([{"scene_id": s,
+                           "mean": [float(v) for v in m["mean"]],
+                           "comps": [float(v) for v in
+                                     np.asarray(m["components"]).ravel()]}
+                          for s, m in model.items()]),
+            schema="scene_id string, mean array<double>, comps array<double>")
     schema = _pca_schema(k)
-    slim = {s: (m["mean"], m["components"]) for s, m in model.items()}
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             cols: dict[str, list] = {f.name: [] for f in schema}
             ap = {kk: v.append for kk, v in cols.items()}
             for row in _batch_rows(batch):
-                mean, vecs = slim[row.scene_id]
+                mean = np.asarray(row.mean)
+                vecs = np.asarray(row.comps).reshape(b, k)
                 w, h = int(row.w), int(row.h)
                 x = _decode_stack(row, band_cols)
                 ok = np.isfinite(x).all(axis=1)
@@ -191,7 +253,9 @@ def pca_tiles(tiles: DataFrame, band_cols: list[str], k: int | None = None,
             if cols["scene_id"]:
                 yield _batch_from_cols(cols, schema)
 
-    return tiles.mapInArrow(fn, schema), model
+    # inner join: a scene without a model row (degenerate) cannot project
+    src = tiles.join(F.broadcast(model_df), on="scene_id", how="inner")
+    return src.mapInArrow(fn, schema), model
 
 
 # --------------------------------------------------------------------------
@@ -227,8 +291,14 @@ def _plane64(row, src_col: str) -> np.ndarray:
         getattr(row, src_col), int(row.w), int(row.h)).astype(np.float64)
 
 
-def scene_ranges(tiles: DataFrame, src_col: str) -> dict[str, tuple]:
-    """Per-scene finite (min, max) of one plane column — one scan, one agg."""
+def scene_ranges_df(tiles: DataFrame, src_col: str) -> DataFrame:
+    """Per-scene finite (min, max) of one plane column as a TINY DataFrame
+    (scene_id, vmin, vmax) — one scan, one map-side-combining agg, nothing
+    on the driver. Consumers broadcast-join it back onto the tile table on
+    scene_id (texture / landscape / crosstab / stretch); a scene with zero
+    finite pixels has no row, so those joins are LEFT and the kernels fall
+    back to the (0.0, 1.0) dummy range (an all-NaN plane quantizes
+    identically under any range)."""
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             cols: dict[str, list] = {f.name: [] for f in _RANGE_SCHEMA}
@@ -244,12 +314,18 @@ def scene_ranges(tiles: DataFrame, src_col: str) -> dict[str, tuple]:
 
     # mapInArrow cannot column-prune: select only what the scan reads so
     # sibling plane columns never serialize through Arrow for a range agg
-    agg = (tiles.select("scene_id", "w", "h", src_col)
-           .mapInArrow(fn, _RANGE_SCHEMA)
-           .groupBy("scene_id")
-           .agg(F.min("vmin").alias("vmin"), F.max("vmax").alias("vmax")))
+    return (tiles.select("scene_id", "w", "h", src_col)
+            .mapInArrow(fn, _RANGE_SCHEMA)
+            .groupBy("scene_id")
+            .agg(F.min("vmin").alias("vmin"), F.max("vmax").alias("vmax")))
+
+
+def scene_ranges(tiles: DataFrame, src_col: str) -> dict[str, tuple]:
+    """Dict form of scene_ranges_df (collected) — for driver-side oracles
+    and small-scale callers; the engine's own consumers use the DataFrame
+    form joined on scene_id."""
     return {r["scene_id"]: (float(r["vmin"]), float(r["vmax"]))
-            for r in agg.collect()}
+            for r in scene_ranges_df(tiles, src_col).collect()}
 
 
 def _bin_plane(x: np.ndarray, vmin: float, vmax: float, bins: int) -> np.ndarray:
@@ -259,31 +335,51 @@ def _bin_plane(x: np.ndarray, vmin: float, vmax: float, bins: int) -> np.ndarray
     return np.clip(((x - vmin) * (bins / span)).astype(np.int64), 0, bins - 1)
 
 
-def scene_histograms(tiles: DataFrame, src_col: str,
-                     ranges: dict[str, tuple], bins: int) -> dict[str, np.ndarray]:
-    """Per-scene fixed-bin histogram: per-tile np.bincount, tiny
-    (scene, bin, cnt) rows, ONE map-side-combining agg."""
+def scene_histograms_df(tiles: DataFrame, src_col: str,
+                        ranges_df: DataFrame, bins: int) -> DataFrame:
+    """Per-scene fixed-bin histogram as (scene_id, bin, cnt) rows: the
+    per-scene range broadcast-joins onto the tiles, per-tile np.bincount,
+    ONE map-side-combining agg. Only non-empty bins emit, so the exchange
+    carries <= bins tiny rows per scene."""
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             cols: dict[str, list] = {f.name: [] for f in _HIST_SCHEMA}
             ap = {k: v.append for k, v in cols.items()}
             for row in _batch_rows(batch):
-                vmin, vmax = ranges[row.scene_id]
+                if row.vmin is None:
+                    continue  # zero-finite scene: no histogram rows
                 x = _plane64(row, src_col)
                 x = x[np.isfinite(x)]
                 if not x.size:
                     continue
-                c = np.bincount(_bin_plane(x, vmin, vmax, bins), minlength=bins)
+                c = np.bincount(_bin_plane(x, row.vmin, row.vmax, bins),
+                                minlength=bins)
                 for b in np.nonzero(c)[0]:
                     ap["scene_id"](row.scene_id)
                     ap["bin"](int(b)); ap["cnt"](int(c[b]))
             if cols["scene_id"]:
                 yield _batch_from_cols(cols, _HIST_SCHEMA)
 
-    agg = (tiles.mapInArrow(fn, _HIST_SCHEMA)
-           .groupBy("scene_id", "bin").agg(F.sum("cnt").alias("cnt")))
+    src = (tiles.select("scene_id", "w", "h", src_col)
+           .join(F.broadcast(ranges_df), on="scene_id", how="left"))
+    return (src.mapInArrow(fn, _HIST_SCHEMA)
+            .groupBy("scene_id", "bin").agg(F.sum("cnt").alias("cnt")))
+
+
+def scene_histograms(tiles: DataFrame, src_col: str,
+                     ranges: dict[str, tuple], bins: int) -> dict[str, np.ndarray]:
+    """Dict form of scene_histograms_df (collected) — oracle/small-scale
+    convenience; scenes present in ``ranges`` but with zero counted pixels
+    come back as all-zero histograms."""
+    import pandas as pd
+
+    spark = tiles.sparkSession
+    ranges_df = spark.createDataFrame(
+        pd.DataFrame([{"scene_id": s, "vmin": lo, "vmax": hi}
+                      for s, (lo, hi) in ranges.items()]),
+        schema="scene_id string, vmin double, vmax double")
     out = {s: np.zeros(bins, dtype=np.int64) for s in ranges}
-    for r in agg.collect():
+    for r in scene_histograms_df(tiles, src_col, ranges_df, bins).collect():
         out[r["scene_id"]][int(r["bin"])] = int(r["cnt"])
     return out
 
@@ -302,6 +398,54 @@ STRETCH_SCHEMA = StructType([
 ])
 
 
+_LUT_SCHEMA = StructType([
+    StructField("scene_id", StringType()),
+    StructField("vmin", DoubleType()),
+    StructField("vmax", DoubleType()),
+    StructField("lut_bytes", BinaryType()),   # bins x uint8
+])
+
+
+def stretch_luts_df(tiles: DataFrame, src_col: str = "lst_bytes",
+                    mode: str = "equalize", lo_pct: float = 2.0,
+                    hi_pct: float = 98.0, bins: int = 4096) -> DataFrame:
+    """Per-scene stretch model as a TINY DataFrame (scene_id, vmin, vmax,
+    lut_bytes): range agg, histogram agg, then the LUT derivation runs
+    DISTRIBUTED (applyInPandas over each scene's <= bins histogram rows).
+    Nothing scene-proportional touches the driver."""
+    import pandas as pd
+
+    if mode not in ("equalize", "linear"):
+        raise ValueError(f"unknown stretch mode {mode!r}")
+    ranges_df = scene_ranges_df(tiles, src_col)
+    hist = scene_histograms_df(tiles, src_col, ranges_df, bins)
+    joined = hist.join(ranges_df, on="scene_id")  # both tiny, same key
+
+    def mk(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf["scene_id"].iloc[0]
+        vmin, vmax = float(pdf["vmin"].iloc[0]), float(pdf["vmax"].iloc[0])
+        h = np.zeros(bins, dtype=np.int64)
+        h[pdf["bin"].to_numpy()] = pdf["cnt"].to_numpy()
+        n = int(h.sum())
+        if n == 0:
+            lut = np.zeros(bins, dtype=np.uint8)
+        elif mode == "equalize":
+            lut = np.round(np.cumsum(h) / n * 255.0).astype(np.uint8)
+        else:
+            width = max(vmax - vmin, 1e-300) / bins
+            edges = vmin + width * np.arange(bins + 1)
+            cum = np.concatenate([[0], np.cumsum(h)]) / n * 100.0
+            cut_lo = float(np.interp(lo_pct, cum, edges))
+            cut_hi = float(np.interp(hi_pct, cum, edges))
+            centers = edges[:-1] + width / 2
+            scaled = (centers - cut_lo) / max(cut_hi - cut_lo, 1e-300)
+            lut = np.round(np.clip(scaled, 0.0, 1.0) * 255.0).astype(np.uint8)
+        return pd.DataFrame([{"scene_id": s, "vmin": vmin, "vmax": vmax,
+                              "lut_bytes": lut.tobytes()}])
+
+    return joined.groupBy("scene_id").applyInPandas(mk, _LUT_SCHEMA)
+
+
 def stretch_tiles(tiles: DataFrame, src_col: str = "lst_bytes",
                   mode: str = "equalize", lo_pct: float = 2.0,
                   hi_pct: float = 98.0, bins: int = 4096):
@@ -310,44 +454,34 @@ def stretch_tiles(tiles: DataFrame, src_col: str = "lst_bytes",
     (histogram equalization, r.colors -e); ``mode="linear"`` clips at the
     lo/hi percentile cuts (interpolated within their bin — the standard
     2-98% satellite stretch) and scales linearly. Three scans total (range,
-    histogram, apply), zero pixel shuffles; the LUT rides as a closure
-    constant. Returns (DataFrame, luts) where luts[scene] is the bins->u8
-    mapping used (test oracle replays it serially)."""
-    if mode not in ("equalize", "linear"):
-        raise ValueError(f"unknown stretch mode {mode!r}")
-    ranges = scene_ranges(tiles, src_col)
-    hists = scene_histograms(tiles, src_col, ranges, bins)
-    luts: dict[str, np.ndarray] = {}
-    for s, h in hists.items():
-        n = int(h.sum())
-        if n == 0:
-            luts[s] = np.zeros(bins, dtype=np.uint8)
-            continue
-        if mode == "equalize":
-            cdf = np.cumsum(h) / n
-            luts[s] = np.round(cdf * 255.0).astype(np.uint8)
-        else:
-            vmin, vmax = ranges[s]
-            width = max(vmax - vmin, 1e-300) / bins
-            edges = vmin + width * np.arange(bins + 1)
-            cum = np.concatenate([[0], np.cumsum(h)]) / n * 100.0
-            cut_lo = float(np.interp(lo_pct, cum, edges))
-            cut_hi = float(np.interp(hi_pct, cum, edges))
-            centers = edges[:-1] + width / 2
-            scaled = (centers - cut_lo) / max(cut_hi - cut_lo, 1e-300)
-            luts[s] = np.round(np.clip(scaled, 0.0, 1.0) * 255.0).astype(np.uint8)
+    histogram, apply), zero pixel shuffles; the per-scene LUT rides as a
+    TINY DataFrame broadcast-joined onto the tiles (never a closure dict —
+    that grows O(scenes) and re-serializes per task). A scene with zero
+    finite pixels gets no LUT row and degrades to an all-zero output plane
+    with an all-zero mask. Returns (DataFrame, luts) where luts[scene] is
+    the bins->u8 mapping used (test oracle replays it serially; the dict
+    is a driver collect of the tiny LUT table — use stretch_luts_df
+    directly when scene count makes even that undesirable)."""
+    # materialize the tiny LUT table ONCE (it feeds both the broadcast join
+    # and the returned dict; without this the range+histogram scans would
+    # re-run inside the apply pass's lineage)
+    luts_df = stretch_luts_df(tiles, src_col, mode, lo_pct, hi_pct,
+                              bins).localCheckpoint()
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             cols: dict[str, list] = {f.name: [] for f in STRETCH_SCHEMA}
             ap = {k: v.append for k, v in cols.items()}
             for row in _batch_rows(batch):
-                vmin, vmax = ranges[row.scene_id]
-                lut = luts[row.scene_id]
                 x = _plane64(row, src_col)
-                ok = np.isfinite(x)
-                out = np.zeros(x.shape, dtype=np.uint8)
-                out[ok] = lut[_bin_plane(x[ok], vmin, vmax, bins)]
+                if row.lut_bytes is None:     # zero-finite scene: no model
+                    ok = np.zeros(x.shape, dtype=bool)
+                    out = np.zeros(x.shape, dtype=np.uint8)
+                else:
+                    lut = np.frombuffer(row.lut_bytes, dtype=np.uint8)
+                    ok = np.isfinite(x)
+                    out = np.zeros(x.shape, dtype=np.uint8)
+                    out[ok] = lut[_bin_plane(x[ok], row.vmin, row.vmax, bins)]
                 ap["image_id"](getattr(row, "image_id", None))
                 ap["scene_id"](row.scene_id)
                 ap["tile_x"](row.tile_x); ap["tile_y"](row.tile_y)
@@ -359,4 +493,7 @@ def stretch_tiles(tiles: DataFrame, src_col: str = "lst_bytes",
             if cols["scene_id"]:
                 yield _batch_from_cols(cols, STRETCH_SCHEMA)
 
-    return tiles.mapInArrow(fn, STRETCH_SCHEMA), luts
+    src = tiles.join(F.broadcast(luts_df), on="scene_id", how="left")
+    luts = {r["scene_id"]: np.frombuffer(r["lut_bytes"], dtype=np.uint8)
+            for r in luts_df.collect()}
+    return src.mapInArrow(fn, STRETCH_SCHEMA), luts

@@ -47,7 +47,7 @@ from pyspark.sql.types import (
 )
 
 from . import codecs
-from .multiband import scene_ranges
+from .multiband import scene_ranges_df
 from .pipeline import _batch_from_cols, _batch_rows
 from .texture import _quantize
 
@@ -186,8 +186,12 @@ def crosstab_tiles(tiles: DataFrame, col_a: str = "lst_bytes",
     """
     if levels_a < 2 or levels_b < 2:
         raise ValueError("levels must be >= 2")
-    ra = scene_ranges(tiles, col_a)
-    rb = scene_ranges(tiles, col_b)
+    # per-scene ranges as tiny DataFrames broadcast-joined on scene_id (a
+    # closure dict would grow O(scenes) and ship per task)
+    ra = scene_ranges_df(tiles, col_a).select(
+        "scene_id", F.col("vmin").alias("vmin_a"), F.col("vmax").alias("vmax_a"))
+    rb = scene_ranges_df(tiles, col_b).select(
+        "scene_id", F.col("vmin").alias("vmin_b"), F.col("vmax").alias("vmax_b"))
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -197,10 +201,12 @@ def crosstab_tiles(tiles: DataFrame, col_a: str = "lst_bytes",
                 w, h = int(row.w), int(row.h)
                 a = codecs.decode_f32bt(getattr(row, col_a), w, h)
                 b = codecs.decode_f32bt(getattr(row, col_b), w, h)
-                # all-NaN planes have no range row; any range quantizes
-                # them identically (class -1)
-                qa = _quantize(a, *ra.get(row.scene_id, (0.0, 1.0)), levels_a)
-                qb = _quantize(b, *rb.get(row.scene_id, (0.0, 1.0)), levels_b)
+                # all-NaN planes have no range row (NULL after the left
+                # join); any range quantizes them identically (class -1)
+                qa = _quantize(a, *((0.0, 1.0) if row.vmin_a is None
+                                    else (row.vmin_a, row.vmax_a)), levels_a)
+                qb = _quantize(b, *((0.0, 1.0) if row.vmin_b is None
+                                    else (row.vmin_b, row.vmax_b)), levels_b)
                 # -1 (NaN) folds into the 0 slot of a (levels+1)-wide grid
                 idx = ((qa.ravel() + 1).astype(np.int64) * (levels_b + 1)
                        + (qb.ravel() + 1))
@@ -215,7 +221,9 @@ def crosstab_tiles(tiles: DataFrame, col_a: str = "lst_bytes",
 
     # mapInArrow cannot column-prune: select only what the kernel reads so
     # unrelated plane columns never serialize through Arrow
-    src = tiles.select("scene_id", "w", "h", col_a, col_b)
+    src = (tiles.select("scene_id", "w", "h", col_a, col_b)
+           .join(F.broadcast(ra), on="scene_id", how="left")
+           .join(F.broadcast(rb), on="scene_id", how="left"))
     return (src.mapInArrow(fn, _CROSSTAB_PART)
             .groupBy("scene_id", "class_a", "class_b")
             .agg(F.sum("n_px").alias("n_px")))

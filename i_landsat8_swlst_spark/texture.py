@@ -47,14 +47,14 @@ from typing import Iterator
 import numpy as np
 import pyarrow as pa
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     BinaryType, DoubleType, IntegerType, LongType, StringType, StructField,
     StructType,
 )
 
 from . import codecs
-from .multiband import _bin_plane, scene_ranges
+from .multiband import _bin_plane, scene_ranges_df
 from .pipeline import _batch_from_cols, _batch_rows, halo_plane_tiles
 
 FEATURES = ("contrast", "dissimilarity", "homogeneity", "energy", "entropy")
@@ -195,7 +195,9 @@ def glcm_texture_tiles(tiles: DataFrame, src_col: str = "lst_bytes",
             raise ValueError(
                 f"offset {(dx, dy)} exceeds window {window}: no pixel pair "
                 "at that offset fits inside one window")
-    ranges = scene_ranges(tiles, src_col)
+    # per-scene range as a tiny DataFrame broadcast-joined onto the halo
+    # output (a closure dict would grow O(scenes) and ship per task)
+    ranges_df = scene_ranges_df(tiles, src_col)
     r = window // 2 + max(max(abs(dx), abs(dy)) for dx, dy in offsets)
     schema = _texture_schema(tuple(features))
 
@@ -206,9 +208,11 @@ def glcm_texture_tiles(tiles: DataFrame, src_col: str = "lst_bytes",
             for row in _batch_rows(batch):
                 w, h = int(row.w), int(row.h)
                 pad = codecs.decode_f32bt(row.pad_bytes, w + 2 * r, h + 2 * r)
-                # a scene with zero finite pixels has no range row; any
-                # range quantizes its all-NaN planes identically (level -1)
-                vmin, vmax = ranges.get(row.scene_id, (0.0, 1.0))
+                # a scene with zero finite pixels has no range row (NULL
+                # after the left join); any range quantizes its all-NaN
+                # planes identically (level -1)
+                vmin = 0.0 if row.vmin is None else float(row.vmin)
+                vmax = 1.0 if row.vmin is None else float(row.vmax)
                 per = [glcm_features(pad, h, w, r, window, o,
                                      levels, vmin, vmax, tuple(features))
                        for o in offsets]
@@ -236,4 +240,6 @@ def glcm_texture_tiles(tiles: DataFrame, src_col: str = "lst_bytes",
             if cols["scene_id"]:
                 yield _batch_from_cols(cols, schema)
 
-    return halo_plane_tiles(tiles, r=r, src_col=src_col).mapInArrow(fn, schema)
+    src = (halo_plane_tiles(tiles, r=r, src_col=src_col)
+           .join(F.broadcast(ranges_df), on="scene_id", how="left"))
+    return src.mapInArrow(fn, schema)

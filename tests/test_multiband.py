@@ -187,3 +187,54 @@ def test_stretch_rejects_unknown_mode(spark):
     df, _ = _synth_tiles(spark, scenes=("M",), nx=1, ny=1)
     with pytest.raises(ValueError, match="unknown stretch mode"):
         stretch_tiles(df, "b1_bytes", mode="log")
+
+
+def test_many_scene_models_stay_off_the_driver(spark):
+    """VERDICT-r4 item 4: 10^4 scenes must work with the model as a
+    DataFrame join, and the fully-distributed path (pca_model_df ->
+    pca_tiles(model=df), stretch_luts_df) must never materialize a
+    per-scene dict on the driver. Spot-check correctness on two scenes."""
+    import pyspark.sql.functions as F
+
+    n_scenes = 10_000
+    rng = np.random.default_rng(17)
+    # one 8x8 tile per scene; two correlated bands
+    b1 = rng.uniform(260, 330, (n_scenes, 64)).astype("<f4")
+    b2 = (0.5 * b1 + rng.uniform(0, 30, (n_scenes, 64))).astype("<f4")
+    pdf = pd.DataFrame({
+        "image_id": [f"S{i}-i" for i in range(n_scenes)],
+        "scene_id": [f"S{i}" for i in range(n_scenes)],
+        "tile_x": 0, "tile_y": 0, "w": 8, "h": 8,
+        "b1_bytes": [r.tobytes() for r in b1],
+        "b2_bytes": [r.tobytes() for r in b2],
+    })
+    tiles = spark.createDataFrame(pdf).repartition(32)
+
+    # fully-distributed PCA: model never leaves the cluster as a dict
+    model_df = multiband.pca_model_df(tiles, ["b1_bytes", "b2_bytes"], k=1)
+    out, ret = multiband.pca_tiles(tiles, ["b1_bytes", "b2_bytes"], k=1,
+                                   model=model_df)
+    assert ret is model_df  # no driver dict materialized on this path
+    agg = out.agg(F.count("*").alias("n"),
+                  F.sum("n_valid").alias("nv")).first()
+    assert agg["n"] == n_scenes and agg["nv"] == n_scenes * 64
+
+    # spot-check one scene against the serial oracle
+    sid = "S1234"
+    row = out.filter(F.col("scene_id") == sid).first()
+    stack = np.stack([b1[1234].astype(np.float64),
+                      b2[1234].astype(np.float64)], axis=1)
+    _, mean, vecs, _ = _oracle(stack.reshape(8, 8, 2), 1)
+    exp = ((stack - mean) @ vecs[:, 0]).astype("<f4")
+    got = np.frombuffer(row["pc1_bytes"], "<f4")
+    assert np.allclose(got, exp, rtol=1e-4, atol=1e-3)
+
+    # distributed stretch LUTs: one tiny row per scene, applied via join
+    luts_df = multiband.stretch_luts_df(tiles, "b1_bytes", bins=32)
+    assert luts_df.count() == n_scenes
+    r = luts_df.filter(F.col("scene_id") == sid).first()
+    x = b1[1234].astype(np.float64)
+    h = np.bincount(multiband._bin_plane(
+        x, x.min(), x.max(), 32), minlength=32)
+    exp_lut = np.round(np.cumsum(h) / h.sum() * 255.0).astype(np.uint8)
+    assert np.array_equal(np.frombuffer(r["lut_bytes"], np.uint8), exp_lut)

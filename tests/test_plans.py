@@ -240,7 +240,7 @@ def test_extract_regions_stitch_is_equi(spark):
                          "w": 24, "h": 24,
                          "lst_bytes": t.astype("<f4").tobytes()})
     tiles = spark.createDataFrame(pd.DataFrame(rows))
-    ex = regions._extract_pass(tiles, 300.0, "lst_bytes")
+    ex = regions._extract_pass(tiles, 300.0, "lst_bytes", 32, 32)
     cells = ex.filter("kind = 1").select("scene_id", "gx", "gy", "node")
     probes = (ex.filter("kind = 2")
               .select("scene_id", "gx", "gy", F.col("node").alias("pnode")))
@@ -371,9 +371,9 @@ def test_landscape_stitch_and_edge_joins_are_equi(spark):
                          "w": 16, "h": 16,
                          "lst_bytes": t.astype("<f4").tobytes()})
     tiles = spark.createDataFrame(pd.DataFrame(rows))
-    from i_landsat8_swlst_spark.multiband import scene_ranges
+    from i_landsat8_swlst_spark.multiband import scene_ranges_df
     ex = landscape._extract(tiles, "lst_bytes", 4,
-                            scene_ranges(tiles, "lst_bytes"))
+                            scene_ranges_df(tiles, "lst_bytes"), 16, 16)
     cells = ex.filter("kind = 1").select("scene_id", "cls", "gx", "gy", "node")
     probes = (ex.filter("kind = 2")
               .select("scene_id", "cls", "gx", "gy",
@@ -439,7 +439,7 @@ def test_segment_stitch_is_equi(spark):
                          "w": 16, "h": 16,
                          "lst_bytes": t.astype("<f4").tobytes()})
     tiles = spark.createDataFrame(pd.DataFrame(rows))
-    ex = segment._seg_extract(tiles, 2.0, "lst_bytes")
+    ex = segment._seg_extract(tiles, 2.0, "lst_bytes", 8, 8)
     cells = ex.filter("kind = 1").select("scene_id", "gx", "gy", "node", "val")
     probes = (ex.filter("kind = 2")
               .select("scene_id", "gx", "gy", F.col("node").alias("pnode"),
@@ -479,3 +479,38 @@ def test_warp_is_one_exchange_plus_broadcast_geom(spark):
     # one for the tiny dims agg (metadata only), one for the assemble
     assert n_exchanges <= 2, f"expected <=2 hash exchanges, plan had {n_exchanges}"
     assert plan.count("MapInArrow") == 1
+
+
+def test_scene_model_passes_are_broadcast_joins(spark):
+    """VERDICT-r4 item 4: the per-scene models (PCA components, stretch
+    LUTs, quantization ranges) must reach the executors as broadcast-joined
+    tiny DataFrames, NOT closure dicts — a closure grows O(scenes) and
+    re-serializes into every task. Gate: every consumer pass's plan shows a
+    BroadcastHashJoin and no hash-partitioning exchange of the tile side
+    before the Python stage."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import multiband, series, texture
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for s in range(3):
+        for tx in range(2):
+            t = rng.uniform(260, 330, (8, 8)).astype("<f4")
+            rows.append({"image_id": f"S{s}-i", "scene_id": f"S{s}",
+                         "tile_x": tx, "tile_y": 0, "w": 8, "h": 8,
+                         "lst_bytes": t.tobytes(), "cwv_bytes": t.tobytes()})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+
+    out, _ = multiband.pca_tiles(tiles, ["lst_bytes", "cwv_bytes"], k=2)
+    assert "BroadcastHashJoin" in _plan(out)
+
+    out, _ = multiband.stretch_tiles(tiles, "lst_bytes", bins=64)
+    assert "BroadcastHashJoin" in _plan(out)
+
+    plan = _plan(texture.glcm_texture_tiles(tiles, window=3, levels=4))
+    assert "BroadcastHashJoin" in plan
+
+    plan = _plan(series.crosstab_tiles(tiles, levels_a=4, levels_b=4))
+    assert "BroadcastHashJoin" in plan
