@@ -784,48 +784,64 @@ def knn_join_cells_exact(points: DataFrame, stations, k: int = 3,
     rounds: list[DataFrame] = []
     # persist: the driver loop forces each frame once for loop control and
     # the final union re-reads it; certified outputs and pending sets shrink
-    # every round, so the cached footprint is bounded by round 0's result
-    out0 = knn_join_cells(points, stations, k=k, res=res, key_cols=key_cols,
-                          lon_col=lon_col, lat_col=lat_col).persist()
-    rounds.append(out0.filter(F.col("knn_certified")))
-    pending = (points.join(
-        out0.filter(~F.col("knn_certified")).select(*key_cols).distinct(),
-        on=key_cols, how="left_semi").persist())
-    n_pending = pending.count()
+    # every round, so the cached footprint is bounded by round 0's result.
+    # Every persisted frame is released in the finally after the final
+    # union localCheckpoints (VERDICT r4 item 7) — without that the caches
+    # outlive the call and accumulate across repeated kNN jobs.
+    cached: list[DataFrame] = []
 
-    ring = 2
-    while ring <= max_ring and n_pending > 0:
-        got = _knn_probe_ring(pending, st, has_cwv, k, res, ring,
-                              key_cols, lon_col, lat_col).persist()
-        rounds.append(got.filter(F.col("knn_certified")))
-        pending = (pending.join(
-            got.filter(F.col("knn_certified")).select(*key_cols).distinct(),
-            on=key_cols, how="left_anti").persist())
+    def _persist(df: DataFrame) -> DataFrame:
+        cached.append(df.persist())
+        return df
+
+    try:
+        out0 = _persist(knn_join_cells(points, stations, k=k, res=res,
+                                       key_cols=key_cols, lon_col=lon_col,
+                                       lat_col=lat_col))
+        rounds.append(out0.filter(F.col("knn_certified")))
+        pending = _persist(points.join(
+            out0.filter(~F.col("knn_certified")).select(*key_cols).distinct(),
+            on=key_cols, how="left_semi"))
         n_pending = pending.count()
-        ring *= 2
-    if n_pending > 0:
-        # exact fallback: broadcast the (tiny) pending POINT side against
-        # the full distributed station table — all stations considered, so
-        # the result is exact by construction
-        from pyspark.sql import Window
 
-        cand = (F.broadcast(pending).crossJoin(st)
-                .withColumn("station_km", _haversine_col(lon_col, lat_col)))
-        w = Window.partitionBy(*key_cols).orderBy("station_km", "station_id")
-        fb = (cand.withColumn("station_rank", F.row_number().over(w).cast("int"))
-              .filter(F.col("station_rank") <= k)
-              .withColumn("knn_certified", F.lit(True)))
-        cols = ([f.name for f in points.schema.fields]
-                + ["station_id", "station_rank", "station_km"]
-                + (["cwv_obs"] if has_cwv else []) + ["knn_certified"])
-        if has_cwv:
-            fb = fb.withColumnRenamed("cwv_obs", "station_cwv")
-            cols = [("station_cwv" if x == "cwv_obs" else x) for x in cols]
-        rounds.append(fb.select(*cols))
-    result = rounds[0]
-    for r_df in rounds[1:]:
-        result = result.unionByName(r_df)
-    return result
+        ring = 2
+        while ring <= max_ring and n_pending > 0:
+            got = _persist(_knn_probe_ring(pending, st, has_cwv, k, res, ring,
+                                           key_cols, lon_col, lat_col))
+            rounds.append(got.filter(F.col("knn_certified")))
+            pending = _persist(pending.join(
+                got.filter(F.col("knn_certified")).select(*key_cols).distinct(),
+                on=key_cols, how="left_anti"))
+            n_pending = pending.count()
+            ring *= 2
+        if n_pending > 0:
+            # exact fallback: broadcast the (tiny) pending POINT side against
+            # the full distributed station table — all stations considered, so
+            # the result is exact by construction
+            from pyspark.sql import Window
+
+            cand = (F.broadcast(pending).crossJoin(st)
+                    .withColumn("station_km", _haversine_col(lon_col, lat_col)))
+            w = Window.partitionBy(*key_cols).orderBy("station_km", "station_id")
+            fb = (cand.withColumn("station_rank",
+                                  F.row_number().over(w).cast("int"))
+                  .filter(F.col("station_rank") <= k)
+                  .withColumn("knn_certified", F.lit(True)))
+            cols = ([f.name for f in points.schema.fields]
+                    + ["station_id", "station_rank", "station_km"]
+                    + (["cwv_obs"] if has_cwv else []) + ["knn_certified"])
+            if has_cwv:
+                fb = fb.withColumnRenamed("cwv_obs", "station_cwv")
+                cols = [("station_cwv" if x == "cwv_obs" else x) for x in cols]
+            rounds.append(fb.select(*cols))
+        result = rounds[0]
+        for r_df in rounds[1:]:
+            result = result.unionByName(r_df)
+        # materialize before the finally releases the caches the union reads
+        return result.localCheckpoint()
+    finally:
+        for df in cached:
+            df.unpersist()
 
 
 # --------------------------------------------------------------------------
