@@ -923,6 +923,8 @@ def _q_stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   _ATTEST_LAST  := (n_twins - 50) stable, unchanged twins that DID get a
 #                    row this round (they can safely sit out the next one).
 _ATTEST_FIRST = [
+    # changed in r05 (IVF nprobe 3 -> 5, VERDICT r4 item 9) -> attest first
+    "q_ann_ivf",
     # sat out r04 (newest row is r03) -> re-attest first in r05
     "q_sort_limit", "q_null_logic", "q_set_ops", "q_intersect",
     "q_except_all", "q_distinct_agg", "q_date_math", "q_string_funcs",

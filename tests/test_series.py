@@ -202,3 +202,80 @@ def test_anomaly_matches_numpy_oracle(spark):
     assert int(got.n_scored.sum()) == int(ok.sum())
     with pytest.raises(ValueError, match="k must be"):
         series.anomaly_tiles(hist, cur_df, k=0.0)
+
+
+def test_median_approx_within_bin_width():
+    """Property (VERDICT r4 item 8): |median_approx - exact median| <= one
+    bin width = finite range / bins, on random NaN-holed stacks."""
+    rng = np.random.default_rng(83)
+    for trial in range(8):
+        k = int(rng.integers(2, 40))
+        stack = rng.uniform(200.0, 400.0, (k, 7, 9))
+        stack[rng.random(stack.shape) < 0.2] = np.nan
+        stack[:, 0, 0] = np.nan  # zero-obs pixel
+        for bins in (16, 256):
+            out = series_stack_stats(
+                stack, ("median", "median_approx"), approx_bins=bins)
+            fin = stack[np.isfinite(stack)]
+            width = (fin.max() - fin.min()) / bins
+            d = np.abs(out["median_approx"] - out["median"])
+            ok = np.isfinite(out["median"])
+            assert np.isnan(out["median_approx"][0, 0])
+            assert (np.isnan(out["median_approx"]) == ~ok).all()
+            assert float(np.nanmax(d[ok])) <= width + 1e-12, (trial, bins)
+
+
+def test_series_tiles_deep_matches_exact_kernel(spark):
+    """The streaming histogram fold (series_tiles_deep) vs the buffering
+    kernel on the same revisit fixture: count/min/max bit-exact,
+    median_approx EXACTLY equal (shared bin-center contract), mean/stddev
+    to fp tolerance (one-pass vs two-pass moments), and median_approx
+    within one bin width of the exact median."""
+    H, W = 23, 29
+    df, stacks = _revisit_tiles(spark, k=5, H=H, W=W, seed=9)
+    exact = series.series_tiles(
+        df, stats=("count", "mean", "stddev", "min", "max", "median",
+                   "median_approx")).toPandas()
+    deep = series.series_tiles_deep(df, bins=series.SERIES_APPROX_BINS) \
+        .toPandas()
+    assert set(deep.footprint) == set(stacks)
+    assert (deep.n_dates == 5).all()
+    for fp in stacks:
+        e = exact[exact.footprint == fp]
+        g = deep[deep.footprint == fp]
+        assert int(g.n_px_any.sum()) == int(e.n_px_any.sum())
+        for s, exact_eq in (("count", True), ("min", True), ("max", True),
+                            ("median_approx", True),
+                            ("mean", False), ("stddev", False)):
+            em = _mosaic(e, f"{s}_bytes", H, W)
+            gm = _mosaic(g, f"{s}_bytes", H, W)
+            if exact_eq:
+                assert np.array_equal(gm, em, equal_nan=True), (fp, s)
+            else:
+                assert np.array_equal(np.isnan(gm), np.isnan(em)), (fp, s)
+                np.testing.assert_allclose(
+                    gm[~np.isnan(gm)], em[~np.isnan(em)], rtol=2e-5,
+                    err_msg=f"{fp}/{s}")
+        # bin-width bound vs the exact median, per (footprint, tile) range
+        med = _mosaic(e, "median_bytes", H, W).astype(np.float64)
+        apx = _mosaic(g, "median_approx_bytes", H, W).astype(np.float64)
+        for r in g.itertuples():
+            y0, x0 = r.tile_y * 9, r.tile_x * 11
+            sub = stacks[fp][:, y0:y0 + r.h, x0:x0 + r.w]
+            fin = sub[np.isfinite(sub)]
+            if not fin.size:
+                continue
+            width = (fin.max() - fin.min()) / series.SERIES_APPROX_BINS
+            dm = np.abs(apx[y0:y0 + r.h, x0:x0 + r.w]
+                        - med[y0:y0 + r.h, x0:x0 + r.w])
+            assert np.nanmax(dm) <= width + 1e-9
+
+
+def test_series_tiles_deep_misregistered_raises(spark):
+    df, _ = _revisit_tiles(spark, k=2, H=9, W=11, footprints=("FZ",))
+    bad = spark.createDataFrame(pd.DataFrame([{
+        "image_id": "FZR9-i", "scene_id": "FZR9", "tile_x": 0, "tile_y": 0,
+        "w": 5, "h": 5,
+        "lst_bytes": np.ones((5, 5), "<f4").tobytes()}]))
+    with pytest.raises(Exception, match="mis-registered"):
+        series.series_tiles_deep(df.unionByName(bad)).toPandas()

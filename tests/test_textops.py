@@ -107,8 +107,8 @@ def test_embed_neardup_lsh_matches_bruteforce(spark):
 def test_ann_ivf_recall_vs_bruteforce(spark):
     """IVF ANN quality gate: recall@5 vs the exact brute-force top-5 over the
     SAME query set / ranking semantics (cos rounded to 4, ties by neighbor_id
-    asc). nprobe=3 of ~n/97 centroids measured 0.82 at this scale — assert
-    the floor so a quantizer regression can't pass silently."""
+    asc). nprobe=5 of ~n/97 centroids measured 0.96 at this scale — assert
+    the 0.9 floor so a quantizer regression can't pass silently."""
     import pyarrow.parquet as pq
 
     from i_landsat8_swlst_spark.textops import q_ann_ivf
@@ -128,7 +128,7 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
         ivf5 = set(got[got.query_id == ids[qi]].neighbor_id.tolist())
         recalls.append(len(brute5 & ivf5) / 5)
     assert len(recalls) >= 5
-    assert float(np.mean(recalls)) >= 0.8
+    assert float(np.mean(recalls)) >= 0.9
 
 
 def test_sketch_error_bounds(spark):
