@@ -1171,6 +1171,131 @@ def _q_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("tile_x", "tile_y"))
 
 
+def _q_cost_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: distributed cost ALLOCATION (r.cost "nearest" output /
+    cost-weighted Voronoi) — every reachable pixel labeled with the target
+    cell its least-cost path terminates at, lexicographic (dist, label)
+    fixpoint so equal-cost ties resolve canonically to the lowest label
+    regardless of tiling (costdist.cost_allocation_tiles). Exact lex-min
+    Dijkstra-oracle parity (labels AND distances) in
+    tests/test_costdist.py."""
+    from i_landsat8_swlst_spark import costdist, pipeline
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5)
+    a = costdist.cost_allocation_tiles(tiles, threshold=305.0, cell=30.0)
+    return (
+        a.groupBy("scene_id")
+        .agg(F.count(F.lit(1)).alias("n_tiles"),
+             F.sum("n_reached").alias("n_reached_px"),
+             F.sum("n_labels").alias("sum_tile_labels"),
+             F.round(F.max("dist_max"), 4).alias("farthest_m"))
+        .orderBy("scene_id")
+    )
+
+
+def _q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: pan-sharpening (i.pansharpen analog, Brovey fusion) —
+    tile-local bilinear band upsample to a 2x pan grid + ratio fusion, one
+    mapInArrow hop, zero shuffle (multiband.pansharpen_tiles). Per-tile
+    numpy-oracle parity + band-ratio invariant in tests/test_multiband.py.
+    The pan plane is synthesized deterministically from the LST product
+    (2x nearest upsample + a fixed checker offset) so the query needs no
+    extra input table."""
+    import numpy as np
+
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from i_landsat8_swlst_spark import multiband, pipeline
+    from i_landsat8_swlst_spark.algebra import resample_plane
+    from i_landsat8_swlst_spark.pipeline import (_batch_from_cols,
+                                                 _batch_rows)
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5)
+    src = tiles.select("image_id", "scene_id", "tile_x", "tile_y", "w", "h",
+                       "lst_bytes", "cwv_bytes")
+    out_schema = StructType(list(src.schema.fields)
+                            + [StructField("pan_bytes", BinaryType())])
+
+    def synth_pan(batches):
+        from i_landsat8_swlst_spark import codecs
+        for batch in batches:
+            cols = {f.name: [] for f in out_schema}
+            ap = {k: v.append for k, v in cols.items()}
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                lst = codecs.decode_f32bt(row.lst_bytes, w, h)
+                pan = resample_plane(lst.astype("float64"), h * 2, w * 2,
+                                     "nearest")
+                yy, xx = np.meshgrid(np.arange(h * 2), np.arange(w * 2),
+                                     indexing="ij")
+                pan = pan + ((yy + xx) % 2) * 0.5
+                for name in out_schema.names[:-1]:
+                    ap[name](getattr(row, name))
+                ap["pan_bytes"](pan.astype("<f4").tobytes())
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, out_schema)
+
+    with_pan = src.mapInArrow(synth_pan, out_schema)
+    ps = multiband.pansharpen_tiles(with_pan, "pan_bytes",
+                                    ["lst_bytes", "cwv_bytes"])
+    return (ps.groupBy("scene_id")
+            .agg(F.count(F.lit(1)).alias("n_tiles"),
+                 F.sum("n_valid").alias("n_valid_px"),
+                 F.round(F.avg("ps1_mean"), 4).alias("avg_ps1"))
+            .orderBy("scene_id"))
+
+
+def _q_histo_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: histogram matching (i.histo.match analog) — every
+    scene's LST distribution remapped onto the first scene's via fixed-bin
+    CDF matching; distributed LUT derivation + broadcast-join apply
+    (multiband.histo_match_tiles). Byte-exact serial-oracle parity in
+    tests/test_multiband.py."""
+    from i_landsat8_swlst_spark import multiband, pipeline
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5)
+    ref = tiles.select("scene_id").orderBy("scene_id").first()["scene_id"]
+    out, _ = multiband.histo_match_tiles(tiles, ref, "lst_bytes", bins=1024)
+    return (out.groupBy("scene_id")
+            .agg(F.count(F.lit(1)).alias("n_tiles"),
+                 F.sum("n_valid").alias("n_valid_px"),
+                 F.round(F.avg("out_mean"), 4).alias("avg_matched"))
+            .orderBy("scene_id"))
+
+
+def _q_series_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: deep-archive r.series (series.series_tiles_deep) — the
+    streaming histogram fold holding O(bins) state planes instead of
+    buffering all k revisit planes; median_approx within one bin width of
+    the exact median and bit-identical to the grouped kernel's
+    median_approx (tests/test_series.py)."""
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import constants as C, pipeline, series, synth
+
+    scenes = spark.createDataFrame(
+        synth.revisit_scenes_pdf("tiny", scene=0, n_dates=3))
+    meta = spark.createDataFrame(
+        synth.revisit_meta_pdf("tiny", scene=0, n_dates=3))
+    emis = spark.createDataFrame(
+        pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5)
+    ser = series.series_tiles_deep(tiles)
+    return (ser.groupBy("footprint")
+            .agg(F.count(F.lit(1)).alias("n_tiles"),
+                 F.sum("n_px_any").alias("n_px_any"),
+                 F.round(F.avg("median_approx_mean"), 4).alias("avg_med"))
+            .orderBy("footprint"))
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _ordered(dict(relational.queries()))
     # rows-only (untwinned) entries go after every twinned query so they
@@ -1220,6 +1345,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_lst_mosaic"] = _q_lst_mosaic
     q["q_lst_trend"] = _q_lst_trend
     q["q_warp"] = _q_warp
+    q["q_cost_allocation"] = _q_cost_allocation
+    q["q_pansharpen"] = _q_pansharpen
+    q["q_histo_match"] = _q_histo_match
+    q["q_series_deep"] = _q_series_deep
     return q
 
 

@@ -360,3 +360,315 @@ def buffer_tiles(tiles: DataFrame, threshold: float, distances: list[float],
                 yield _batch_from_cols(cols, BUFFER_SCHEMA)
 
     return d.mapInArrow(fn, BUFFER_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Cost ALLOCATION — the r.cost "nearest" output / cost-weighted Voronoi:
+# every reachable cell also gets the LABEL of the target cell its least-cost
+# path terminates at. Labels relax JOINTLY with distance under the
+# lexicographic order (dist, label): a candidate replaces the current pair
+# when its distance is smaller, or equal with a smaller label. Lex-min is
+# associative/commutative, so the fixpoint is CANONICAL — independent of
+# sweep order AND of the tile decomposition (ties on equal-cost boundaries
+# always resolve to the lowest label), which is what makes the tiled result
+# comparable bit-for-bit with a whole-scene oracle.
+# ---------------------------------------------------------------------------
+
+_LBIG = np.int64(1) << 60   # "no label" sentinel, larger than any real label
+
+
+def _seg_cummin_pairs(v: np.ndarray, lab: np.ndarray) -> tuple:
+    """Lexicographic prefix minimum of (v, lab): for every x, the smallest
+    (v_j, lab_j) over j <= x, compared by v then label.
+
+    m = running min of v is a plain accumulate. The matching label needs
+    "min label over all j <= x with v_j == m[x]": positions where m is
+    constant form segments (m is non-increasing, dropping strictly at
+    segment starts); within a segment the qualifying labels are exactly
+    those with v_j equal to their OWN running min, so the answer is a
+    SEGMENTED cummin of q = (lab where v==m else sentinel) — earlier
+    segments can never qualify because their v values strictly exceed the
+    later segment's m. numpy has no segmented scan; the per-segment loop
+    runs over the strict-drop boundaries (few in practice, O(n) worst).
+    """
+    n = v.shape[0]
+    m = np.minimum.accumulate(v)
+    q = np.where(v == m, lab, _LBIG)
+    drops = np.flatnonzero(m[1:] < m[:-1]) + 1
+    if drops.size == 0:
+        return m, np.minimum.accumulate(q)
+    lab_min = np.empty(n, dtype=np.int64)
+    bounds = np.concatenate(([0], drops, [n]))
+    for i in range(len(bounds) - 1):
+        s, t = bounds[i], bounds[i + 1]
+        lab_min[s:t] = np.minimum.accumulate(q[s:t])
+    return m, lab_min
+
+
+def _row_relax_lab(d: np.ndarray, lab: np.ndarray,
+                   e: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """_row_relax with a label carried through the prefix relaxation under
+    the lexicographic (dist, label) order, one scan direction."""
+    w = d.shape[0]
+    barrier = e >= _CLIP
+
+    def one_segment(dd, ll, ee):
+        nseg = dd.shape[0]
+        W = np.empty(nseg)
+        W[0] = 0.0
+        np.cumsum(ee, out=W[1:])
+        v = dd - W
+        m, lm = _seg_cummin_pairs(v, ll)
+        cand = m + W
+        improve = cand < dd
+        tie = (cand == dd) & (lm < ll)
+        out_d = np.where(improve, cand, dd)
+        out_l = np.where(improve | tie, lm, ll)
+        return out_d, out_l
+
+    if not barrier.any():
+        return one_segment(d, lab, e)
+    out_d, out_l = d.copy(), lab.copy()
+    starts = np.flatnonzero(np.concatenate(([True], barrier)))
+    bounds = np.append(starts, w)
+    for i in range(len(starts)):
+        s, t = bounds[i], bounds[i + 1]
+        if t - s < 2:
+            continue
+        out_d[s:t], out_l[s:t] = one_segment(d[s:t], lab[s:t], e[s:t - 1])
+    return out_d, out_l
+
+
+def _shift_relax_lab(d_row, l_row, cand, cand_lab):
+    improve = cand < d_row
+    tie = (cand == d_row) & (cand_lab < l_row)
+    return (np.where(improve, cand, d_row),
+            np.where(improve | tie, cand_lab, l_row))
+
+
+def chamfer_relax_lab(dist: np.ndarray, lab: np.ndarray,
+                      cost: np.ndarray | None = None,
+                      max_sweeps: int = 256) -> tuple:
+    """chamfer_relax carrying an int64 label plane under the lexicographic
+    (dist, label) order. ``lab`` is the CURRENT label state — the target's
+    own label at target cells, a neighbor-tile label on halo ring cells,
+    _LBIG where unlabeled — and relaxes jointly with dist (pure
+    relaxation, so seeding with upper-bound (dist, label) pairs is sound
+    exactly like chamfer_relax). Returns (dist, lab, sweeps) — dist as in
+    chamfer_relax; lab = _LBIG where unreached/barrier."""
+    h, w = dist.shape
+    barrier = np.isnan(dist)
+    if cost is not None:
+        barrier |= np.isnan(cost)
+    d = np.where(barrier, _BIG, dist)
+    L = np.where(barrier | ~np.isfinite(dist.astype(np.float64))
+                 | (lab < 0), _LBIG, lab).astype(np.int64)
+    eh, ev, edr, edl = _edge_weights(cost, barrier, h, w)
+    sweeps = 0
+    while sweeps < max_sweeps:
+        prev_d, prev_l = d.copy(), L.copy()
+        for y in range(h):
+            if y > 0:
+                up, ul = d[y - 1], L[y - 1]
+                d[y], L[y] = _shift_relax_lab(d[y], L[y], up + ev[y - 1], ul)
+                d[y][1:], L[y][1:] = _shift_relax_lab(
+                    d[y][1:], L[y][1:], up[:-1] + edr[y - 1], ul[:-1])
+                d[y][:-1], L[y][:-1] = _shift_relax_lab(
+                    d[y][:-1], L[y][:-1], up[1:] + edl[y - 1], ul[1:])
+            d[y], L[y] = _row_relax_lab(d[y], L[y], eh[y])
+        rd, rl = _row_relax_lab(d[h - 1][::-1], L[h - 1][::-1],
+                                eh[h - 1][::-1])
+        d[h - 1], L[h - 1] = rd[::-1], rl[::-1]
+        for y in range(h - 2, -1, -1):
+            dn, dl = d[y + 1], L[y + 1]
+            d[y], L[y] = _shift_relax_lab(d[y], L[y], dn + ev[y], dl)
+            d[y][:-1], L[y][:-1] = _shift_relax_lab(
+                d[y][:-1], L[y][:-1], dn[1:] + edr[y], dl[1:])
+            d[y][1:], L[y][1:] = _shift_relax_lab(
+                d[y][1:], L[y][1:], dn[:-1] + edl[y], dl[:-1])
+            rd, rl = _row_relax_lab(d[y][::-1], L[y][::-1], eh[y][::-1])
+            d[y], L[y] = rd[::-1], rl[::-1]
+        d[barrier] = _BIG
+        L[barrier] = _LBIG
+        sweeps += 1
+        if np.array_equal(d, prev_d) and np.array_equal(L, prev_l):
+            break
+    out = np.where(d >= _CLIP, np.inf, d)
+    out[barrier] = np.nan
+    return out, L, sweeps
+
+
+_ALLOC_STATE_SCHEMA = StructType([
+    StructField("scene_id", StringType()),
+    StructField("tile_x", IntegerType()),
+    StructField("tile_y", IntegerType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("dist_bytes", BinaryType()),    # f32: dist | +inf | NaN barrier
+    StructField("alloc_bytes", BinaryType()),   # f64: label | _LBIG | NaN barrier
+    StructField("changed", BooleanType()),
+])
+
+COST_ALLOCATION_SCHEMA = StructType([
+    StructField("scene_id", StringType()),
+    StructField("tile_x", IntegerType()),
+    StructField("tile_y", IntegerType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("dist_bytes", BinaryType()),    # f32 cell units; NaN = barrier/unreached
+    StructField("alloc_bytes", BinaryType()),   # <i8 target label; -1 = unreached
+    StructField("n_reached", LongType()),
+    StructField("n_labels", LongType()),        # distinct targets serving this tile
+    StructField("dist_max", DoubleType()),
+])
+
+_LBL_SHIFT = 26  # label = gy << 26 | gx (scene pixel coords; exact in f64)
+
+
+def cost_allocation_tiles(tiles: DataFrame, threshold: float,
+                          src_col: str = "lst_bytes",
+                          cost_col: str | None = None,
+                          cell: float = 1.0,
+                          max_rounds: int = 64) -> DataFrame:
+    """Cost ALLOCATION across tile borders — the r.cost ``nearest`` output
+    (cost-weighted Voronoi): every reachable cell gets the distance to AND
+    the label of the target cell (``plane >= threshold``) its least-cost
+    path terminates at.
+
+    Labels are the target cell's scene pixel coordinates packed as
+    ``gy << 26 | gx`` (nominal-grid coords, so the labeling is independent
+    of the tiling), and ties on equal cost resolve to the LOWEST label —
+    the lexicographic (dist, label) fixpoint is canonical, so the tiled
+    result equals a whole-scene solve exactly (uniform cost; cost planes
+    agree to fp tolerance like cost_distance_tiles).
+
+    Plan: same halo iteration as cost_distance_tiles with TWO state
+    planes — each round exchanges a 1-px halo of the f32 distance plane
+    and the f64 label plane (~2.1x plane bytes per round vs 1.06x for
+    distance-only) joined back on the tile key, re-relaxes tile-locally,
+    and stops when no tile changes.
+    """
+    nom = tiles.agg(F.max("w").alias("w"), F.max("h").alias("h")).first()
+    nom_w, nom_h = int(nom["w"]), int(nom["h"])
+
+    def init_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols = {f.name: [] for f in _ALLOC_STATE_SCHEMA}
+            ap = {k: v.append for k, v in cols.items()}
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                plane = codecs.decode_f32bt(getattr(row, src_col), w, h)
+                cost = (codecs.decode_f32bt(getattr(row, cost_col), w, h)
+                        if cost_col else None)
+                with np.errstate(invalid="ignore"):
+                    target = plane >= threshold
+                dist = np.where(target, 0.0, np.inf)
+                dist[np.isnan(plane)] = np.nan
+                gx0, gy0 = int(row.tile_x) * nom_w, int(row.tile_y) * nom_h
+                yy, xx = np.meshgrid(np.arange(h), np.arange(w),
+                                     indexing="ij")
+                lab = np.full((h, w), _LBIG, dtype=np.int64)
+                lab[target] = ((gy0 + yy[target]).astype(np.int64)
+                               << _LBL_SHIFT) | (gx0 + xx[target])
+                dist, lab, _ = chamfer_relax_lab(dist, lab, cost)
+                ap["scene_id"](row.scene_id)
+                ap["tile_x"](row.tile_x); ap["tile_y"](row.tile_y)
+                ap["w"](w); ap["h"](h)
+                ap["dist_bytes"](dist.astype("<f4").tobytes())
+                ap["alloc_bytes"](lab.astype(np.float64)
+                                  .astype("<f8").tobytes())
+                ap["changed"](True)
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, _ALLOC_STATE_SCHEMA)
+
+    state = tiles.mapInArrow(init_fn, _ALLOC_STATE_SCHEMA).localCheckpoint()
+
+    cost_pad = None
+    if cost_col is not None:
+        cost_pad = (
+            halo_plane_tiles(tiles, r=1, src_col=cost_col)
+            .select("scene_id", "tile_x", "tile_y",
+                    F.col("pad_bytes").alias("cost_pad"))
+            .localCheckpoint()
+        )
+
+    key = ["scene_id", "tile_x", "tile_y"]
+
+    def resweep_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols = {f.name: [] for f in _ALLOC_STATE_SCHEMA}
+            ap = {k: v.append for k, v in cols.items()}
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                dist = codecs.decode_f32bt(row.pad_bytes, w + 2, h + 2) \
+                    .astype(np.float64)
+                lab_pad = np.frombuffer(row.lab_pad, dtype="<f8") \
+                    .reshape(h + 2, w + 2)
+                lab = np.where(np.isnan(lab_pad), _LBIG,
+                               lab_pad).astype(np.int64)
+                old_d = dist[1:-1, 1:-1].copy()
+                old_l = lab[1:-1, 1:-1].copy()
+                cost = (codecs.decode_f32bt(row.cost_pad, w + 2, h + 2)
+                        if hasattr(row, "cost_pad") else None)
+                new_d, new_l, _ = chamfer_relax_lab(dist, lab, cost)
+                in_d, in_l = new_d[1:-1, 1:-1], new_l[1:-1, 1:-1]
+                changed = (not np.array_equal(in_d.astype("<f4"),
+                                              old_d.astype("<f4"),
+                                              equal_nan=True)
+                           or not np.array_equal(in_l, old_l))
+                ap["scene_id"](row.scene_id)
+                ap["tile_x"](row.tile_x); ap["tile_y"](row.tile_y)
+                ap["w"](w); ap["h"](h)
+                ap["dist_bytes"](in_d.astype("<f4").tobytes())
+                ap["alloc_bytes"](in_l.astype(np.float64)
+                                  .astype("<f8").tobytes())
+                ap["changed"](changed)
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, _ALLOC_STATE_SCHEMA)
+
+    for _ in range(max_rounds):
+        d_halo = halo_plane_tiles(state, r=1, src_col="dist_bytes")
+        l_halo = (halo_plane_tiles(state, r=1, src_col="alloc_bytes",
+                                   dtype="<f8")
+                  .select(*key, F.col("pad_bytes").alias("lab_pad")))
+        haloed = d_halo.join(l_halo, on=key)
+        if cost_pad is not None:
+            haloed = haloed.join(cost_pad, on=key)
+        new = haloed.mapInArrow(resweep_fn, _ALLOC_STATE_SCHEMA) \
+            .localCheckpoint()
+        n_changed = new.filter("changed").count()
+        state = new
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"cost_allocation did not converge in {max_rounds} rounds")
+
+    scale = cell / 3.0
+
+    def final_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols = {f.name: [] for f in COST_ALLOCATION_SCHEMA}
+            ap = {k: v.append for k, v in cols.items()}
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                d = codecs.decode_f32bt(row.dist_bytes, w, h)
+                lab = np.frombuffer(row.alloc_bytes, dtype="<f8") \
+                    .reshape(h, w).astype(np.int64)
+                d[~np.isfinite(d)] = np.nan
+                d = d * scale
+                finite = np.isfinite(d)
+                alloc = np.where(finite, lab, -1)
+                ap["scene_id"](row.scene_id)
+                ap["tile_x"](row.tile_x); ap["tile_y"](row.tile_y)
+                ap["w"](w); ap["h"](h)
+                ap["dist_bytes"](d.astype("<f4").tobytes())
+                ap["alloc_bytes"](alloc.astype("<i8").tobytes())
+                ap["n_reached"](int(finite.sum()))
+                ap["n_labels"](int(np.unique(alloc[finite]).size)
+                               if finite.any() else 0)
+                ap["dist_max"](float(d[finite].max()) if finite.any() else None)
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, COST_ALLOCATION_SCHEMA)
+
+    return state.drop("changed").mapInArrow(final_fn, COST_ALLOCATION_SCHEMA)

@@ -497,3 +497,221 @@ def stretch_tiles(tiles: DataFrame, src_col: str = "lst_bytes",
     luts = {r["scene_id"]: np.frombuffer(r["lut_bytes"], dtype=np.uint8)
             for r in luts_df.collect()}
     return src.mapInArrow(fn, STRETCH_SCHEMA), luts
+
+
+# --------------------------------------------------------------------------
+# Pan-sharpening — the i.pansharpen analog (Brovey and IHS fusion of a
+# high-resolution panchromatic plane with lower-resolution spectral
+# planes). Purely tile-local: the pan plane lives at an integer multiple of
+# the band grid inside the SAME tile row, the bands upsample bilinearly
+# (algebra.resample_plane — cell-center aligned, NULL-poisoning), and the
+# fusion is closed-form arithmetic. One mapInArrow hop, zero shuffle.
+# --------------------------------------------------------------------------
+
+
+def _pansharp_schema(n_bands: int) -> StructType:
+    fields = [
+        StructField("image_id", StringType()),
+        StructField("scene_id", StringType()),
+        StructField("tile_x", IntegerType()),
+        StructField("tile_y", IntegerType()),
+        StructField("w", IntegerType()),      # OUTPUT (pan) dims
+        StructField("h", IntegerType()),
+        StructField("n_valid", LongType()),
+    ]
+    for i in range(1, n_bands + 1):
+        fields.append(StructField(f"ps{i}_bytes", BinaryType()))
+        fields.append(StructField(f"ps{i}_mean", DoubleType()))
+    return StructType(fields)
+
+
+def pansharpen_tiles(tiles: DataFrame, pan_col: str, band_cols: list[str],
+                     method: str = "brovey", ratio: int = 2) -> DataFrame:
+    """i.pansharpen analog: fuse a high-res pan plane with co-registered
+    lower-res spectral planes of the SAME tile.
+
+    ``pan_col`` holds a (ratio*h, ratio*w) f32 plane per tile (the Landsat
+    15 m pan vs 30 m MS shape at the default ratio=2); a pan payload whose
+    byte length disagrees raises. Bands upsample bilinearly to the pan
+    grid, then:
+
+    - ``method="brovey"``: out_i = band_i * pan / mean(bands) — the band
+      ratios are preserved exactly, intensity comes from pan;
+    - ``method="ihs"``: out_i = band_i + (pan - mean(bands)) — the
+      classic intensity substitution in the simplified (I = channel
+      mean) form.
+
+    NULL semantics: an output pixel is NaN when the pan pixel is NaN or
+    ANY upsampled band contribution is NaN (resample_plane's 4-corner
+    poisoning); a zero Brovey intensity divides to NaN rather than +-inf.
+    """
+    from .algebra import resample_plane
+
+    if method not in ("brovey", "ihs"):
+        raise ValueError(f"unknown pansharpen method {method!r}")
+    if len(band_cols) < 2:
+        raise ValueError("pansharpen needs at least 2 spectral bands")
+    if ratio < 1:
+        raise ValueError(f"ratio must be >= 1, got {ratio}")
+    nb = len(band_cols)
+    schema = _pansharp_schema(nb)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in schema}
+            ap = {k: v.append for k, v in cols.items()}
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                pw, ph = w * ratio, h * ratio
+                pan_bytes = getattr(row, pan_col)
+                if len(pan_bytes) != pw * ph * 4:
+                    raise ValueError(
+                        f"pan payload is {len(pan_bytes)} bytes, expected "
+                        f"{pw}x{ph} f32 = {pw * ph * 4} (ratio={ratio}, "
+                        f"scene {row.scene_id}, tile "
+                        f"({int(row.tile_x)},{int(row.tile_y)}))")
+                pan = codecs.decode_f32bt(pan_bytes, pw, ph) \
+                    .astype(np.float64)
+                bands = [resample_plane(
+                    codecs.decode_f32bt(getattr(row, c), w, h)
+                    .astype(np.float64), ph, pw, "bilinear")
+                    for c in band_cols]
+                stack = np.stack(bands)
+                intensity = stack.mean(axis=0)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    if method == "brovey":
+                        gain = np.where(intensity == 0, np.nan,
+                                        pan / intensity)
+                        out = stack * gain
+                    else:
+                        out = stack + (pan - intensity)
+                ok = np.isfinite(out).all(axis=0)
+                ap["image_id"](getattr(row, "image_id", None))
+                ap["scene_id"](row.scene_id)
+                ap["tile_x"](row.tile_x); ap["tile_y"](row.tile_y)
+                ap["w"](pw); ap["h"](ph)
+                ap["n_valid"](int(ok.sum()))
+                for i in range(nb):
+                    plane = out[i].astype("<f4")
+                    ap[f"ps{i+1}_bytes"](plane.tobytes())
+                    any_ok = bool(np.isfinite(plane).any())
+                    ap[f"ps{i+1}_mean"](
+                        float(np.nanmean(plane)) if any_ok else None)
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, schema)
+
+    # mapInArrow cannot column-prune: ship only what the kernel reads
+    src = tiles.select(
+        "scene_id", "tile_x", "tile_y", "w", "h", pan_col, *band_cols,
+        *[c for c in ("image_id",) if c in tiles.columns])
+    return src.mapInArrow(fn, schema)
+
+
+# --------------------------------------------------------------------------
+# Histogram matching — the i.histo.match analog (make every scene's plane
+# distribution match a reference scene's, the standard radiometric
+# normalization before mosaicking heterogeneous acquisitions). Reuses the
+# fixed-bin histogram machinery: per-scene histograms fold distributed,
+# the per-scene matching LUT derives DISTRIBUTED (applyInPandas per scene
+# against the broadcast reference CDF), and the apply pass broadcast-joins
+# the LUT — the stretch_tiles plan shape exactly.
+# --------------------------------------------------------------------------
+
+_MATCH_LUT_SCHEMA = StructType([
+    StructField("scene_id", StringType()),
+    StructField("vmin", DoubleType()),
+    StructField("vmax", DoubleType()),
+    StructField("lut_bytes", BinaryType()),   # bins x f32 matched values
+])
+
+HISTO_MATCH_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("scene_id", StringType()),
+    StructField("tile_x", IntegerType()),
+    StructField("tile_y", IntegerType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("out_bytes", BinaryType()),   # f32 matched plane; NaN = NULL
+    StructField("n_valid", LongType()),
+    StructField("out_mean", DoubleType()),
+])
+
+
+def histo_match_tiles(tiles: DataFrame, ref_scene: str,
+                      src_col: str = "lst_bytes",
+                      bins: int = 4096):
+    """i.histo.match analog: remap every scene's plane so its distribution
+    matches the reference scene's, via CDF matching on fixed-bin
+    histograms (the shared multiband._bin_plane contract).
+
+    For a source value in bin i, the matched value is the reference
+    quantile at the source CDF level of bin i's center rank —
+    ``interp(cdf_src(i), cdf_ref, ref_bin_centers)`` — so both the bin
+    width of the source range and of the reference range bound the
+    approximation (documented contract, same as stretch/texture). The
+    reference scene maps onto (approximately) itself; NaN stays NaN.
+
+    Plan: range scan + histogram scan (both fold map-side to tiny rows),
+    the reference histogram broadcasts into a DISTRIBUTED per-scene LUT
+    derivation, and ONE shuffle-free apply pass broadcast-joins the LUTs.
+    Returns (DataFrame, luts_df) where luts_df is the tiny per-scene LUT
+    table (scene_id, vmin, vmax, lut_bytes as f32[bins])."""
+    import pandas as pd
+
+    ranges_df = scene_ranges_df(tiles, src_col)
+    hist = scene_histograms_df(tiles, src_col, ranges_df, bins)
+    ref_rows = (hist.filter(F.col("scene_id") == ref_scene)
+                .join(ranges_df, on="scene_id").collect())
+    if not ref_rows:
+        raise ValueError(f"reference scene {ref_scene!r} has no histogram "
+                         "(unknown scene or zero finite pixels)")
+    ref_h = np.zeros(bins, dtype=np.int64)
+    for r in ref_rows:
+        ref_h[int(r["bin"])] = int(r["cnt"])
+    ref_vmin, ref_vmax = float(ref_rows[0]["vmin"]), float(ref_rows[0]["vmax"])
+    ref_width = max(ref_vmax - ref_vmin, 1e-300) / bins
+    ref_centers = ref_vmin + (np.arange(bins) + 0.5) * ref_width
+    ref_cdf = np.cumsum(ref_h) / max(int(ref_h.sum()), 1)
+
+    def mk(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf["scene_id"].iloc[0]
+        vmin, vmax = float(pdf["vmin"].iloc[0]), float(pdf["vmax"].iloc[0])
+        h = np.zeros(bins, dtype=np.int64)
+        h[pdf["bin"].to_numpy()] = pdf["cnt"].to_numpy()
+        n = max(int(h.sum()), 1)
+        # CDF at each source bin's center rank (half the bin's own mass):
+        # strictly inside (0, 1], monotone, so the interp is well-defined
+        cdf = (np.cumsum(h) - h / 2.0) / n
+        lut = np.interp(cdf, ref_cdf, ref_centers,
+                        left=ref_centers[0], right=ref_centers[-1])
+        return pd.DataFrame([{"scene_id": s, "vmin": vmin, "vmax": vmax,
+                              "lut_bytes": lut.astype("<f4").tobytes()}])
+
+    luts_df = (hist.join(ranges_df, on="scene_id")
+               .groupBy("scene_id").applyInPandas(mk, _MATCH_LUT_SCHEMA)
+               .localCheckpoint())
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in HISTO_MATCH_SCHEMA}
+            ap = {k: v.append for k, v in cols.items()}
+            for row in _batch_rows(batch):
+                x = _plane64(row, src_col)
+                out = np.full(x.shape, np.nan, dtype=np.float64)
+                if row.lut_bytes is not None:
+                    lut = np.frombuffer(row.lut_bytes, dtype="<f4")
+                    ok = np.isfinite(x)
+                    out[ok] = lut[_bin_plane(x[ok], row.vmin, row.vmax, bins)]
+                ok = np.isfinite(out)
+                ap["image_id"](getattr(row, "image_id", None))
+                ap["scene_id"](row.scene_id)
+                ap["tile_x"](row.tile_x); ap["tile_y"](row.tile_y)
+                ap["w"](int(row.w)); ap["h"](int(row.h))
+                ap["out_bytes"](out.astype("<f4").tobytes())
+                ap["n_valid"](int(ok.sum()))
+                ap["out_mean"](float(out[ok].mean()) if ok.any() else None)
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, HISTO_MATCH_SCHEMA)
+
+    src = tiles.join(F.broadcast(luts_df), on="scene_id", how="left")
+    return src.mapInArrow(fn, HISTO_MATCH_SCHEMA), luts_df

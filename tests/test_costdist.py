@@ -234,3 +234,125 @@ def test_buffer_zones(spark):
     exp[~fin] = np.nan           # barrier AND unreachable -> NaN
     assert np.array_equal(got, exp, equal_nan=True)
     assert set(np.unique(got[~np.isnan(got)])) >= {0.0, 1.0, 2.0, 3.0}
+
+
+# ---------------------------------------------------------------------------
+# Cost ALLOCATION (r.cost "nearest" / cost-weighted Voronoi)
+# ---------------------------------------------------------------------------
+
+
+def dijkstra_alloc(dist0, lab0, cost=None):
+    """Lexicographic (dist, label) Dijkstra: min dist, ties to lowest label."""
+    h, w = dist0.shape
+    barrier = np.isnan(dist0)
+    if cost is not None:
+        barrier |= np.isnan(cost)
+    d = np.full((h, w), np.inf)
+    lab = np.full((h, w), -1, dtype=np.int64)
+    heap = []
+    for y, x in zip(*np.nonzero(dist0 == 0)):
+        if not barrier[y, x]:
+            d[y, x] = 0.0
+            lab[y, x] = lab0[y, x]
+            heap.append((0.0, int(lab0[y, x]), int(y), int(x)))
+    heapq.heapify(heap)
+    steps = [(-1, -1, 4.0), (-1, 0, 3.0), (-1, 1, 4.0), (0, -1, 3.0),
+             (0, 1, 3.0), (1, -1, 4.0), (1, 0, 3.0), (1, 1, 4.0)]
+    while heap:
+        dv, lv, y, x = heapq.heappop(heap)
+        if (dv, lv) != (d[y, x], lab[y, x]):
+            continue
+        for dy, dx, sw in steps:
+            ny, nx = y + dy, x + dx
+            if 0 <= ny < h and 0 <= nx < w and not barrier[ny, nx]:
+                e = sw if cost is None else sw * (cost[y, x] + cost[ny, nx]) / 2.0
+                nd = dv + e
+                if nd < d[ny, nx] or (nd == d[ny, nx] and lv < lab[ny, nx]):
+                    d[ny, nx] = nd
+                    lab[ny, nx] = lv
+                    heapq.heappush(heap, (nd, lv, ny, nx))
+    d[barrier] = np.nan
+    return d, lab
+
+
+def _labels_for(plane, threshold=1.0):
+    h, w = plane.shape
+    lab = np.full((h, w), costdist._LBIG, dtype=np.int64)
+    with np.errstate(invalid="ignore"):
+        tgt = plane >= threshold
+    yy, xx = np.nonzero(tgt)
+    lab[yy, xx] = (yy.astype(np.int64) << 26) | xx
+    return lab
+
+
+def _assemble_alloc(pdf, h, w, tile):
+    out = np.full((h, w), -1, dtype=np.int64)
+    for r in pdf.itertuples():
+        p = np.frombuffer(r.alloc_bytes, dtype="<i8").reshape(tile, tile)
+        out[r.tile_y * tile:(r.tile_y + 1) * tile,
+            r.tile_x * tile:(r.tile_x + 1) * tile] = p
+    return out
+
+
+def test_allocation_matches_lex_dijkstra_random(spark):
+    """Distributed allocation == lex-min Dijkstra oracle: exact labels
+    (canonical lowest-label tie-break) and exact uniform-cost distances,
+    across tile borders."""
+    rng = np.random.default_rng(11)
+    n, tile = 48, 16
+    plane = rng.uniform(0.0, 0.9, (n, n))
+    plane[rng.random((n, n)) < 0.04] = 2.0       # scattered targets
+    plane[rng.random((n, n)) < 0.08] = np.nan    # barriers
+    got = costdist.cost_allocation_tiles(
+        _tiles_df(spark, plane, tile), threshold=1.0).toPandas()
+    gd = _assemble(got, n, n, tile)              # cell units, f32 stored
+    gl = _assemble_alloc(got, n, n, tile)
+    exp_d, exp_l = dijkstra_alloc(_init_dist(plane), _labels_for(plane))
+    exp_d[np.isinf(exp_d)] = np.nan
+    exp_l[~np.isfinite(exp_d)] = -1
+    # the emitted plane is f32 of (exact chamfer int / 3): compare there
+    np.testing.assert_array_equal(gd.astype(np.float32),
+                                  (exp_d / 3.0).astype(np.float32))
+    assert np.array_equal(gl, exp_l)
+    # non-trivial: several targets serve several tiles
+    assert len(np.unique(gl[gl >= 0])) > 3
+    assert (got.n_labels >= 1).any()
+
+
+def test_allocation_spiral_multi_round(spark):
+    """The spiral corridor forces many halo rounds; the single center
+    target must win every reachable cell, labels included."""
+    plane = _spiral_plane(48)
+    got = costdist.cost_allocation_tiles(
+        _tiles_df(spark, plane, 16), threshold=1.0).toPandas()
+    gl = _assemble_alloc(got, 48, 48, 16)
+    exp_d, exp_l = dijkstra_alloc(_init_dist(plane), _labels_for(plane))
+    reach = np.isfinite(exp_d) & (exp_d < np.inf)
+    lbl = (24 << 26) | 24
+    assert set(np.unique(gl[reach])) == {lbl}
+    assert (gl[~reach & ~np.isnan(plane)] == -1).all()
+
+
+def test_allocation_cost_plane_exact(spark):
+    """Half-integer traversal costs keep every edge weight an exact binary
+    fraction, so even the cost-weighted case is bit-exact vs the lex
+    Dijkstra — distances AND labels."""
+    rng = np.random.default_rng(13)
+    n, tile = 32, 16
+    plane = rng.uniform(0.0, 0.9, (n, n))
+    plane[rng.random((n, n)) < 0.05] = 2.0
+    cost = rng.integers(1, 5, (n, n)) / 2.0       # 0.5 .. 2.0 half-integers
+    cost[rng.random((n, n)) < 0.05] = np.nan
+    got = costdist.cost_allocation_tiles(
+        _tiles_df(spark, plane, tile, cost=cost), threshold=1.0,
+        cost_col="cost_bytes").toPandas()
+    gd = _assemble(got, n, n, tile)
+    gl = _assemble_alloc(got, n, n, tile)
+    exp_d, exp_l = dijkstra_alloc(_init_dist(plane), _labels_for(plane), cost)
+    exp_d[np.isinf(exp_d)] = np.nan
+    exp_l[~np.isfinite(exp_d)] = -1
+    # f32 storage rounds the exact binary-fraction sums at encode: compare
+    # in the stored (scaled, f32) encoding
+    np.testing.assert_array_equal(gd.astype(np.float32),
+                                  (exp_d / 3.0).astype(np.float32))
+    assert np.array_equal(gl, exp_l)

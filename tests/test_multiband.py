@@ -238,3 +238,166 @@ def test_many_scene_models_stay_off_the_driver(spark):
         x, x.min(), x.max(), 32), minlength=32)
     exp_lut = np.round(np.cumsum(h) / h.sum() * 255.0).astype(np.uint8)
     assert np.array_equal(np.frombuffer(r["lut_bytes"], np.uint8), exp_lut)
+
+
+# --------------------------------------------------------------------------
+# Pan-sharpening (i.pansharpen analog) vs a serial numpy oracle.
+# --------------------------------------------------------------------------
+
+
+def _pansharp_fixture(spark, seed=19, scenes=("P0", "P1"), tw=10, th=8,
+                      nx=2, ny=2, ratio=2):
+    from i_landsat8_swlst_spark.algebra import resample_plane
+
+    rng = np.random.default_rng(seed)
+    rows, truth = [], {}
+    for s in scenes:
+        H, W = th * ny, tw * nx
+        ms = rng.uniform(50.0, 200.0, (H, W, 3))
+        ms[rng.random((H, W)) < 0.05] = np.nan
+        pan = rng.uniform(40.0, 220.0, (H * ratio, W * ratio))
+        pan[rng.random(pan.shape) < 0.03] = np.nan
+        ms = ms.astype(np.float32).astype(np.float64)
+        pan = pan.astype(np.float32).astype(np.float64)
+        truth[s] = (ms, pan)
+        for ty in range(ny):
+            for tx in range(nx):
+                row = {"image_id": f"{s}-i", "scene_id": s,
+                       "tile_x": tx, "tile_y": ty, "w": tw, "h": th}
+                for b in range(3):
+                    t = ms[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw, b]
+                    row[f"b{b+1}_bytes"] = t.astype("<f4").tobytes()
+                tp = pan[ty * th * ratio:(ty + 1) * th * ratio,
+                         tx * tw * ratio:(tx + 1) * tw * ratio]
+                row["pan_bytes"] = tp.astype("<f4").tobytes()
+                rows.append(row)
+    return spark.createDataFrame(pd.DataFrame(rows)), truth
+
+
+def _pansharp_oracle(ms_tile, pan_tile, method):
+    """Per-tile oracle: the operator is tile-local by design, so the oracle
+    replays the identical per-tile math (bilinear upsample is tile-local,
+    exactly like resample_tiles)."""
+    from i_landsat8_swlst_spark.algebra import resample_plane
+
+    ph, pw = pan_tile.shape
+    bands = np.stack([resample_plane(ms_tile[:, :, b], ph, pw, "bilinear")
+                      for b in range(ms_tile.shape[2])])
+    inten = bands.mean(axis=0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if method == "brovey":
+            out = bands * np.where(inten == 0, np.nan, pan_tile / inten)
+        else:
+            out = bands + (pan_tile - inten)
+    return out
+
+
+@pytest.mark.parametrize("method", ["brovey", "ihs"])
+def test_pansharpen_matches_numpy_oracle(spark, method):
+    df, truth = _pansharp_fixture(spark)
+    got = multiband.pansharpen_tiles(
+        df, "pan_bytes", ["b1_bytes", "b2_bytes", "b3_bytes"],
+        method=method).toPandas()
+    assert len(got) == 8  # 2 scenes x 4 tiles
+    tw, th, ratio = 10, 8, 2
+    for r in got.itertuples():
+        ms, pan = truth[r.scene_id]
+        ms_t = ms[r.tile_y * th:(r.tile_y + 1) * th,
+                  r.tile_x * tw:(r.tile_x + 1) * tw]
+        pan_t = pan[r.tile_y * th * ratio:(r.tile_y + 1) * th * ratio,
+                    r.tile_x * tw * ratio:(r.tile_x + 1) * tw * ratio]
+        exp = _pansharp_oracle(ms_t, pan_t, method)
+        assert (r.w, r.h) == (tw * ratio, th * ratio)
+        for b in range(3):
+            gp = np.frombuffer(getattr(r, f"ps{b+1}_bytes"),
+                               "<f4").reshape(r.h, r.w)
+            ep = exp[b].astype(np.float32)
+            assert np.array_equal(np.isnan(gp), np.isnan(ep))
+            np.testing.assert_allclose(gp[~np.isnan(gp)], ep[~np.isnan(ep)],
+                                       rtol=1e-6)
+        ok = np.isfinite(exp).all(axis=0)
+        assert r.n_valid == int(ok.sum())
+
+
+def test_pansharpen_brovey_preserves_band_ratios(spark):
+    """Brovey invariant: out_i / out_j == band_i / band_j wherever valid."""
+    df, truth = _pansharp_fixture(spark, scenes=("R0",), nx=1, ny=1)
+    got = multiband.pansharpen_tiles(
+        df, "pan_bytes", ["b1_bytes", "b2_bytes", "b3_bytes"]).toPandas()
+    r = got.iloc[0]
+    p1 = np.frombuffer(r.ps1_bytes, "<f4").reshape(r.h, r.w).astype(np.float64)
+    p2 = np.frombuffer(r.ps2_bytes, "<f4").reshape(r.h, r.w).astype(np.float64)
+    from i_landsat8_swlst_spark.algebra import resample_plane
+
+    ms, _ = truth["R0"]
+    b1 = resample_plane(ms[:, :, 0], r.h, r.w, "bilinear")
+    b2 = resample_plane(ms[:, :, 1], r.h, r.w, "bilinear")
+    ok = np.isfinite(p1) & np.isfinite(p2) & (np.abs(p2) > 1e-9)
+    np.testing.assert_allclose((p1 / p2)[ok], (b1 / b2)[ok], rtol=1e-4)
+
+
+def test_pansharpen_rejects_bad_args(spark):
+    df, _ = _pansharp_fixture(spark, scenes=("B0",), nx=1, ny=1)
+    with pytest.raises(ValueError, match="unknown pansharpen method"):
+        multiband.pansharpen_tiles(df, "pan_bytes",
+                                   ["b1_bytes", "b2_bytes"], method="pca2")
+    with pytest.raises(ValueError, match="at least 2"):
+        multiband.pansharpen_tiles(df, "pan_bytes", ["b1_bytes"])
+    with pytest.raises(Exception, match="pan payload"):
+        multiband.pansharpen_tiles(df, "pan_bytes",
+                                   ["b1_bytes", "b2_bytes"],
+                                   ratio=3).collect()
+
+
+# --------------------------------------------------------------------------
+# Histogram matching (i.histo.match analog) vs a serial numpy oracle.
+# --------------------------------------------------------------------------
+
+
+def test_histo_match_matches_serial_oracle(spark):
+    from i_landsat8_swlst_spark.multiband import (_bin_plane,
+                                                  histo_match_tiles)
+
+    df, mosaics = _synth_tiles(spark, seed=21)
+    bins = 512
+    out, luts_df = histo_match_tiles(df, "S0", "b1_bytes", bins=bins)
+    pdf = out.toPandas()
+
+    # serial oracle: same binning contract, same center-rank CDF interp
+    planes = {s: stack[:, :, 0].astype(np.float32).astype(np.float64)
+              for s, stack in mosaics.items()}
+    rh, rv = None, None
+    xr = planes["S0"]
+    okr = np.isfinite(xr)
+    rmin, rmax = float(xr[okr].min()), float(xr[okr].max())
+    rw = max(rmax - rmin, 1e-300) / bins
+    rcent = rmin + (np.arange(bins) + 0.5) * rw
+    rhist = np.bincount(_bin_plane(xr[okr], rmin, rmax, bins), minlength=bins)
+    rcdf = np.cumsum(rhist) / rhist.sum()
+    for s, x in planes.items():
+        ok = np.isfinite(x)
+        vmin, vmax = float(x[ok].min()), float(x[ok].max())
+        h = np.bincount(_bin_plane(x[ok], vmin, vmax, bins), minlength=bins)
+        cdf = (np.cumsum(h) - h / 2.0) / h.sum()
+        lut = np.interp(cdf, rcdf, rcent, left=rcent[0], right=rcent[-1])
+        exp = np.full(x.shape, np.nan, dtype=np.float32)
+        exp[ok] = lut.astype("<f4")[_bin_plane(x[ok], vmin, vmax, bins)]
+        got = np.full(x.shape, np.nan, dtype=np.float32)
+        for _, r in pdf[pdf.scene_id == s].iterrows():
+            p = np.frombuffer(r.out_bytes, "<f4").reshape(r.h, r.w)
+            got[r.tile_y * 12:r.tile_y * 12 + r.h,
+                r.tile_x * 16:r.tile_x * 16 + r.w] = p
+        assert np.array_equal(got, exp, equal_nan=True), s
+        # distribution actually matched: quantiles land near the ref's
+        if s != "S0":
+            q_got = np.nanquantile(got.astype(np.float64), [0.25, 0.5, 0.75])
+            q_ref = np.nanquantile(xr, [0.25, 0.5, 0.75])
+            assert np.all(np.abs(q_got - q_ref) < 4 * rw + 1e-6), s
+
+
+def test_histo_match_unknown_ref_raises(spark):
+    from i_landsat8_swlst_spark.multiband import histo_match_tiles
+
+    df, _ = _synth_tiles(spark, scenes=("A",), nx=1, ny=1)
+    with pytest.raises(ValueError, match="reference scene"):
+        histo_match_tiles(df, "NOPE", "b1_bytes")
