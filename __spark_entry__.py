@@ -925,6 +925,8 @@ def _q_stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ATTEST_FIRST = [
     # changed in r05 (IVF nprobe 3 -> 5, VERDICT r4 item 9) -> attest first
     "q_ann_ivf",
+    # new twins in r05 -> attest first
+    "q_string_agg", "q_bit_ops", "q_percent_rank_band",
     # sat out r04 (newest row is r03) -> re-attest first in r05
     "q_sort_limit", "q_null_logic", "q_set_ops", "q_intersect",
     "q_except_all", "q_distinct_agg", "q_date_math", "q_string_funcs",
@@ -946,6 +948,9 @@ _ATTEST_LAST = [
     "q_stratified_sample", "q_cluster_canonical", "q_decontaminate",
     "q_decontaminate_bloom", "q_unpivot", "q_mode_per_group",
     "q_token_shards",
+    # green r04, displaced by the 3 new r05 twins (81 twins, 50 slots);
+    # they re-enter the window in r06 under the standing rotation
+    "q_embed_cosine_topk", "q_ann_lsh_buckets", "q_embed_neardup",
 ]
 
 

@@ -1589,3 +1589,88 @@ def q_mode_per_group(spark, sf_dir):
     return (cnt.withColumn("rn", F.row_number().over(w))
             .filter("rn = 1")
             .select("p_type", F.col("p_brand").alias("mode_brand"), "cnt"))
+
+
+# --- ordered string aggregation (listagg) ------------------------------------
+# Deterministic by construction: the aggregation ORDER is part of both
+# queries (DuckDB ORDER BY inside string_agg; Spark array_sort before
+# concat_ws), so the concatenated strings are byte-identical.
+
+@register(
+    "q_string_agg",
+    """SELECT r.r_regionkey,
+              string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+              CAST(count(*) AS BIGINT) AS n_nations
+       FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+       GROUP BY r.r_regionkey""",
+)
+def q_string_agg(spark, sf_dir):
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        region.join(nation, region.r_regionkey == nation.n_regionkey)
+        .groupBy("r_regionkey")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_list("n_name")))
+             .alias("nations"),
+             F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+# --- bitwise aggregates -------------------------------------------------------
+# Exact integer algebra on both engines; AND/OR/XOR are order-independent
+# folds so the hash match is trivial-exact.
+
+@register(
+    "q_bit_ops",
+    """SELECT o_orderpriority,
+              CAST(bit_and(o_custkey) AS BIGINT) AS and_cust,
+              CAST(bit_or(o_custkey)  AS BIGINT) AS or_cust,
+              CAST(bit_xor(o_custkey) AS BIGINT) AS xor_cust,
+              CAST(count(*) AS BIGINT) AS n
+       FROM orders GROUP BY o_orderpriority""",
+)
+def q_bit_ops(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.expr("bit_and(o_custkey)").alias("and_cust"),
+             F.expr("bit_or(o_custkey)").alias("or_cust"),
+             F.expr("bit_xor(o_custkey)").alias("xor_cust"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- percent_rank quartile banding --------------------------------------------
+# percent_rank = (rank - 1) / (n - 1): both engines divide the SAME exact
+# integers in IEEE double, so the band comparisons are bit-identical and the
+# emitted counts are exact ints.
+
+@register(
+    "q_percent_rank_band",
+    """SELECT band, CAST(count(*) AS BIGINT) AS n,
+              CAST(round(min(s_acctbal) * 100) AS BIGINT) AS min_bal_cents
+       FROM (
+         SELECT s_acctbal,
+                CASE WHEN pr <= 0.25 THEN 'q1' WHEN pr <= 0.5 THEN 'q2'
+                     WHEN pr <= 0.75 THEN 'q3' ELSE 'q4' END AS band
+         FROM (SELECT s_acctbal,
+                      percent_rank() OVER (ORDER BY s_acctbal, s_suppkey) AS pr
+               FROM supplier) t) b
+       GROUP BY band""",
+)
+def q_percent_rank_band(spark, sf_dir):
+    from pyspark.sql import Window
+
+    supplier = load(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    pr = F.percent_rank().over(w)
+    banded = supplier.select(
+        "s_acctbal",
+        F.when(pr <= 0.25, "q1").when(pr <= 0.5, "q2")
+        .when(pr <= 0.75, "q3").otherwise("q4").alias("band"))
+    return (banded.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 # explicit round: CAST(double AS BIGINT) truncates on Spark
+                 # but rounds on DuckDB (the q_radiance micro-unit lesson)
+                 F.round(F.min("s_acctbal") * 100, 0).cast("long")
+                 .alias("min_bal_cents")))
