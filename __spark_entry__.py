@@ -222,6 +222,57 @@ def _q_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: unsupervised per-scene k-means over the LST/CWV plane
+    stack (i.cluster analog, classify.kmeans_model_df) — deterministic
+    mean±std diagonal seeding, Lloyd iterations as one scan + one tiny
+    positional agg each, centers broadcast-joined (never closure dicts),
+    then the i.cluster assignment pass (classify_tiles nearest). Serial
+    Lloyd-oracle parity (exact assignments) in tests/test_classify.py."""
+    from i_landsat8_swlst_spark import classify, pipeline
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5)
+    bands = ["lst_bytes", "cwv_bytes"]
+    model = classify.kmeans_model_df(tiles, bands, k=3, iters=4)
+    out = classify.classify_tiles(tiles, bands, model, method="nearest")
+    return (
+        out.select("scene_id", "n_valid",
+                   F.posexplode("counts").alias("cls", "n_px"))
+        .groupBy("scene_id", "cls")
+        .agg(F.sum("n_px").alias("n_px"))
+        .filter(F.col("n_px") > 0)
+        .orderBy("scene_id", "cls")
+    )
+
+
+def _q_maxlik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: Gaussian maximum-likelihood classification (i.maxlik
+    analog) — full per-class covariance signatures derived distributed
+    from the converged k-means assignment (classify.maxlik_model_df),
+    equal-prior discriminant applied in ONE broadcast-join mapInArrow hop.
+    numpy discriminant parity in tests/test_classify.py."""
+    from i_landsat8_swlst_spark import classify, pipeline
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5)
+    bands = ["lst_bytes", "cwv_bytes"]
+    km = classify.kmeans_model_df(tiles, bands, k=3, iters=4)
+    ml = classify.maxlik_model_df(tiles, bands, km)
+    out = classify.classify_tiles(tiles, bands, ml, method="maxlik")
+    return (
+        out.groupBy("scene_id")
+        .agg(F.count(F.lit(1)).alias("n_tiles"),
+             F.sum("n_valid").alias("n_px"),
+             F.round(F.avg(F.expr("aggregate(counts, 0L, (a, x) -> a + x)")
+                           / F.greatest(F.col("n_valid"), F.lit(1))), 4)
+             .alias("classified_frac"))
+        .orderBy("scene_id")
+    )
+
+
 def _q_extract_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: distributed raster connected-component labeling
     (regions.extract_regions) — threshold-region / hot-spot extraction with
@@ -926,7 +977,7 @@ _ATTEST_FIRST = [
     # changed in r05 (IVF nprobe 3 -> 5, VERDICT r4 item 9) -> attest first
     "q_ann_ivf",
     # new twins in r05 -> attest first
-    "q_string_agg", "q_bit_ops", "q_percent_rank_band",
+    "q_string_agg", "q_bit_ops", "q_percent_rank_band", "q_kappa",
     # sat out r04 (newest row is r03) -> re-attest first in r05
     "q_sort_limit", "q_null_logic", "q_set_ops", "q_intersect",
     "q_except_all", "q_distinct_agg", "q_date_math", "q_string_funcs",
@@ -948,9 +999,10 @@ _ATTEST_LAST = [
     "q_stratified_sample", "q_cluster_canonical", "q_decontaminate",
     "q_decontaminate_bloom", "q_unpivot", "q_mode_per_group",
     "q_token_shards",
-    # green r04, displaced by the 3 new r05 twins (81 twins, 50 slots);
+    # green r04, displaced by the 4 new r05 twins (82 twins, 50 slots);
     # they re-enter the window in r06 under the standing rotation
     "q_embed_cosine_topk", "q_ann_lsh_buckets", "q_embed_neardup",
+    "q_char_entropy",
 ]
 
 
@@ -1354,6 +1406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_pansharpen"] = _q_pansharpen
     q["q_histo_match"] = _q_histo_match
     q["q_series_deep"] = _q_series_deep
+    q["q_kmeans"] = _q_kmeans
+    q["q_maxlik"] = _q_maxlik
     return q
 
 

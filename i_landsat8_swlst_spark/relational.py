@@ -1674,3 +1674,49 @@ def q_percent_rank_band(spark, sf_dir):
                  # but rounds on DuckDB (the q_radiance micro-unit lesson)
                  F.round(F.min("s_acctbal") * 100, 0).cast("long")
                  .alias("min_bal_cents")))
+
+
+# --- Cohen's kappa / confusion agreement (r.kappa analog) --------------------
+# Exercises classify.kappa_stats — the same operator that scores raster
+# classification agreement — on a relational confusion table. Two
+# deterministic "raters" derive from exact integer/double comparisons, the
+# confusion counts are exact integer folds, and every emitted ratio is ONE
+# IEEE division of exact (< 2^53) integers, so both engines produce
+# bit-identical doubles (the q_percent_rank_band technique).
+
+@register(
+    "q_kappa",
+    """WITH t AS (SELECT user_id % 7 AS ca,
+                         (user_id + CASE WHEN value < 50.0 THEN 0 ELSE 1 END)
+                             % 7 AS cb
+                  FROM events),
+         ct AS (SELECT ca, cb, CAST(count(*) AS BIGINT) AS n
+                FROM t GROUP BY ca, cb),
+         r AS (SELECT ca, CAST(sum(n) AS BIGINT) AS rn FROM ct GROUP BY ca),
+         c AS (SELECT cb, CAST(sum(n) AS BIGINT) AS cn FROM ct GROUP BY cb),
+         m AS (SELECT CAST(sum(rn * cn) AS BIGINT) AS sum_rc
+               FROM r JOIN c ON r.ca = c.cb),
+         d AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+                      CAST(sum(CASE WHEN ca = cb THEN n ELSE 0 END) AS BIGINT)
+                          AS n_agree,
+                      CAST(count(DISTINCT ca) AS BIGINT) AS n_classes
+               FROM ct)
+       SELECT 'events' AS scene_id, n, n_classes,
+              n_agree / n AS observed_agree,
+              sum_rc / (n * n) AS chance_agree,
+              (n * n_agree - sum_rc) / (n * n - sum_rc) AS kappa
+       FROM d, m""",
+)
+def q_kappa(spark, sf_dir):
+    from .classify import kappa_stats
+
+    ev = load(spark, sf_dir, "events")
+    t = ev.select(
+        (F.col("user_id") % 7).alias("class_a"),
+        ((F.col("user_id")
+          + F.when(F.col("value") < 50.0, F.lit(0)).otherwise(F.lit(1))) % 7)
+        .alias("class_b"))
+    ct = (t.groupBy("class_a", "class_b")
+          .agg(F.count(F.lit(1)).alias("n_px"))
+          .withColumn("scene_id", F.lit("events")))
+    return kappa_stats(ct)

@@ -514,3 +514,44 @@ def test_scene_model_passes_are_broadcast_joins(spark):
 
     plan = _plan(series.crosstab_tiles(tiles, levels_a=4, levels_b=4))
     assert "BroadcastHashJoin" in plan
+
+
+def test_classify_passes_are_broadcast_joins_no_pixel_shuffle(spark):
+    """The classification model (k-means centers / maxlik signatures) must
+    reach executors as a broadcast-joined tiny DataFrame — never a closure
+    dict — and the classify pass itself must not shuffle tile bytes: plan
+    = scan -> BroadcastHashJoin -> one Python (Arrow) stage."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import classify
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for s in range(3):
+        for tx in range(2):
+            t = rng.uniform(260, 330, (8, 8)).astype("<f4")
+            u = rng.uniform(1, 6, (8, 8)).astype("<f4")
+            rows.append({"image_id": f"S{s}-i", "scene_id": f"S{s}",
+                         "tile_x": tx, "tile_y": 0, "w": 8, "h": 8,
+                         "lst_bytes": t.tobytes(), "cwv_bytes": u.tobytes()})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    bands = ["lst_bytes", "cwv_bytes"]
+
+    model = classify.kmeans_model_df(tiles, bands, k=2, iters=2)
+    out = classify.classify_tiles(tiles, bands, model, method="nearest")
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # tile bytes must not cross a hash exchange before the Python stage:
+    # the only exchange below the Arrow eval feeds the broadcast side
+    import re
+    arrow_and_below = plan[plan.index("MapInArrow"):] if "MapInArrow" in plan \
+        else plan[plan.index("ArrowEvalPython"):]
+    assert "Exchange hashpartitioning" not in arrow_and_below
+
+    ml = classify.maxlik_model_df(tiles, bands, model)
+    plan2 = _plan(classify.classify_tiles(tiles, bands, ml, method="maxlik"))
+    assert "BroadcastHashJoin" in plan2
+    assert "BroadcastNestedLoopJoin" not in plan2
