@@ -978,6 +978,7 @@ _ATTEST_FIRST = [
     "q_ann_ivf",
     # new twins in r05 -> attest first
     "q_string_agg", "q_bit_ops", "q_percent_rank_band", "q_kappa",
+    "q_epoch_agg",
     # sat out r04 (newest row is r03) -> re-attest first in r05
     "q_sort_limit", "q_null_logic", "q_set_ops", "q_intersect",
     "q_except_all", "q_distinct_agg", "q_date_math", "q_string_funcs",
@@ -999,10 +1000,10 @@ _ATTEST_LAST = [
     "q_stratified_sample", "q_cluster_canonical", "q_decontaminate",
     "q_decontaminate_bloom", "q_unpivot", "q_mode_per_group",
     "q_token_shards",
-    # green r04, displaced by the 4 new r05 twins (82 twins, 50 slots);
+    # green r04, displaced by the 5 new r05 twins (83 twins, 50 slots);
     # they re-enter the window in r06 under the standing rotation
     "q_embed_cosine_topk", "q_ann_lsh_buckets", "q_embed_neardup",
-    "q_char_entropy",
+    "q_char_entropy", "q_dedup_clusters",
 ]
 
 
@@ -1353,6 +1354,36 @@ def _q_series_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_temporal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: t.rast.aggregate analog (series.temporal_aggregate_tiles)
+    — the revisit archive collapsed into one stat map per (footprint,
+    2-month calendar window): broadcast join of the acquisition instants,
+    pure-Catalyst epoch bucketing (series.epoch_start, the arithmetic the
+    q_epoch_agg twin hash-attests), then the exact series_tiles kernel per
+    window. Bit-parity with per-window series_tiles in
+    tests/test_series.py."""
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import constants as C, pipeline, series, synth
+
+    scenes = spark.createDataFrame(
+        synth.revisit_scenes_pdf("tiny", scene=0, n_dates=4))
+    meta = spark.createDataFrame(
+        synth.revisit_meta_pdf("tiny", scene=0, n_dates=4))
+    emis = spark.createDataFrame(
+        pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5)
+    agg = series.temporal_aggregate_tiles(
+        tiles, meta.select("scene_id", "acquired_at"), "2 months")
+    return (agg.groupBy("footprint", "epoch")
+            .agg(F.count(F.lit(1)).alias("n_tiles"),
+                 F.max("n_dates").alias("n_dates"),
+                 F.sum("n_px_any").alias("n_px_any"),
+                 F.round(F.avg("mean_mean"), 4).alias("avg_mean"))
+            .orderBy("footprint", "epoch"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _ordered(dict(relational.queries()))
     # rows-only (untwinned) entries go after every twinned query so they
@@ -1406,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_pansharpen"] = _q_pansharpen
     q["q_histo_match"] = _q_histo_match
     q["q_series_deep"] = _q_series_deep
+    q["q_temporal_agg"] = _q_temporal_agg
     q["q_kmeans"] = _q_kmeans
     q["q_maxlik"] = _q_maxlik
     return q

@@ -1720,3 +1720,46 @@ def q_kappa(spark, sf_dir):
           .agg(F.count(F.lit(1)).alias("n_px"))
           .withColumn("scene_id", F.lit("events")))
     return kappa_stats(ct)
+
+
+# --- temporal epoch bucketing (t.rast.aggregate window arithmetic) -----------
+# Exercises series.epoch_start — the SAME Column builder that buckets revisit
+# archives into granularity windows — on the orders table (7 years of dates
+# -> ~28 quarter buckets + ~160 16-day buckets). Both engines run identical
+# integer floor arithmetic anchored at 1970-01-01 (month index for the
+# calendar path, day index for the day path), so the group keys and exact
+# integer aggregates are hash-identical.
+
+@register(
+    "q_epoch_agg",
+    """WITH e AS (
+         SELECT CAST(floor(((year(o_orderdate) - 1970) * 12
+                            + month(o_orderdate) - 1) / 3.0) * 3 AS BIGINT)
+                    AS b,
+                CAST(floor(date_diff('day', DATE '1970-01-01', o_orderdate)
+                           / 16.0) * 16 AS BIGINT) AS day16_bucket,
+                o_totalprice
+         FROM orders)
+       SELECT strftime(make_date(CAST(1970 + floor(b / 12.0) AS INT),
+                                 CAST(b - 12 * floor(b / 12.0) AS INT) + 1,
+                                 1), '%Y-%m-%d') AS quarter,
+              day16_bucket,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents
+       FROM e GROUP BY 1, 2""",
+)
+def q_epoch_agg(spark, sf_dir):
+    from .series import epoch_start
+
+    o = load(spark, sf_dir, "orders")
+    quarter = F.date_format(
+        epoch_start(F.col("o_orderdate"), "3 months"), "yyyy-MM-dd")
+    day16 = (F.floor(
+        F.datediff(F.to_date("o_orderdate"),
+                   F.to_date(F.lit("1970-01-01"))) / 16) * 16).cast("long")
+    return (o.groupBy(quarter.alias("quarter"),
+                      day16.alias("day16_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                 .alias("total_cents")))

@@ -42,8 +42,8 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
-    BinaryType, DoubleType, IntegerType, LongType, StringType, StructField,
-    StructType,
+    BinaryType, DateType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
 )
 
 from . import codecs
@@ -347,6 +347,129 @@ def series_tiles_deep(tiles: DataFrame, src_col: str = "lst_bytes",
            .repartition(*[F.col(c) for c in key])
            .sortWithinPartitions(*key, "scene_id"))
     return src.mapInArrow(fold_fn, schema)
+
+
+_GRAN_UNIT_ALIASES = {
+    "day": "day", "days": "day",
+    "month": "month", "months": "month",
+    "year": "year", "years": "year",
+}
+
+
+def parse_granularity(granularity: str) -> tuple[int, str]:
+    """Parse a GRASS-style granularity string ``"<n> <unit>"`` (e.g.
+    ``"3 months"``, ``"1 year"``, ``"16 days"``) to ``(n, unit)`` with
+    unit canonicalized to day/month/year. Raises on anything else —
+    t.rast.aggregate's sub-day granularities (hours/minutes) are out of
+    scope for a 16-day-revisit archive."""
+    parts = str(granularity).strip().lower().split()
+    if len(parts) != 2 or not parts[0].lstrip("-").isdigit():
+        raise ValueError(
+            f"granularity must look like '3 months', got {granularity!r}")
+    n, unit = int(parts[0]), _GRAN_UNIT_ALIASES.get(parts[1])
+    if n <= 0 or unit is None:
+        raise ValueError(
+            f"granularity must be a positive count of days/months/years, "
+            f"got {granularity!r}")
+    return n, unit
+
+
+def epoch_start(t, granularity: str):
+    """Column: the start DATE of the granularity window containing ``t``
+    (a timestamp/date Column). Windows tile the calendar from the Unix
+    epoch (1970-01-01), the t.rast.aggregate convention when no explicit
+    origin is given: e.g. '3 months' yields Jan/Apr/Jul/Oct quarter
+    starts. Pure Catalyst integer arithmetic — floor-division bucketing
+    is exact and handles pre-1970 dates (negative buckets) correctly."""
+    n, unit = parse_granularity(granularity)
+    t = F.to_timestamp(t)
+    if unit == "day":
+        d = F.datediff(F.to_date(t), F.to_date(F.lit("1970-01-01")))
+        b = (F.floor(d / n) * n).cast("int")
+        return F.date_add(F.to_date(F.lit("1970-01-01")), b)
+    months = n if unit == "month" else n * 12
+    m = (F.year(t) - F.lit(1970)) * 12 + F.month(t) - F.lit(1)
+    b = F.floor(m / months) * months
+    yr = F.floor(b / 12)
+    return F.make_date(F.lit(1970) + yr, b - yr * 12 + F.lit(1), F.lit(1))
+
+
+def temporal_aggregate_tiles(tiles: DataFrame, meta: DataFrame,
+                             granularity: str,
+                             src_col: str = "lst_bytes",
+                             footprint=None,
+                             stats: tuple[str, ...] = SERIES_STATS,
+                             t_col: str = "acquired_at") -> DataFrame:
+    """t.rast.aggregate analog: collapse the revisit archive into one
+    stat map per (footprint, granularity window) — monthly means, annual
+    maxima, 16-day composites — at PLANE granularity.
+
+    ``meta`` carries the acquisition instant per scene (``scene_id``,
+    ``t_col``); it broadcast-joins onto the tiles (tiny side), the
+    window-start date comes from ``epoch_start`` (pure Catalyst), and
+    each (footprint, epoch, tile) group runs the exact ``series_tiles``
+    stat kernel. Output rows therefore match ``series_tiles`` run on the
+    window's scenes BIT-FOR-BIT (the parity test's oracle).
+
+    Plan: one broadcast join + ONE hash shuffle of the plane bytes on the
+    output key — identical shape to series_tiles, the epoch merely widens
+    the key. Loud failures: a scene missing from ``meta`` surfaces as a
+    NULL epoch group and raises (never silently drops or mis-buckets);
+    mis-registered revisit shapes inside a window raise as in
+    series_tiles.
+    """
+    unknown = set(stats) - set(SERIES_ALL_STATS)
+    if unknown:
+        raise ValueError(f"unknown series stats {sorted(unknown)}")
+    fp = (footprint if footprint is not None
+          else F.regexp_replace("scene_id", r"R\d+$", ""))
+    stats_t = tuple(stats)
+    flds = _series_schema(stats_t).fields
+    schema = StructType([flds[0], StructField("epoch", DateType())]
+                        + flds[1:])
+
+    at = meta.select("scene_id", F.col(t_col).alias("__t"))
+    keyed = (tiles.withColumn("footprint", fp)
+             .join(F.broadcast(at), on="scene_id", how="left")
+             .withColumn("epoch", epoch_start(F.col("__t"), granularity))
+             .select("footprint", "epoch", "tile_x", "tile_y", "w", "h",
+                     "scene_id", src_col))
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.epoch.isna().any():
+            bad = sorted(pdf.scene_id[pdf.epoch.isna()].unique())
+            raise ValueError(
+                f"temporal_aggregate_tiles: scenes missing from meta "
+                f"(no {t_col}): {bad}")
+        pdf = pdf.sort_values("scene_id", kind="mergesort")
+        w, h = int(pdf.w.iloc[0]), int(pdf.h.iloc[0])
+        if (pdf.w != w).any() or (pdf.h != h).any():
+            fpv, ep = pdf.footprint.iloc[0], pdf.epoch.iloc[0]
+            tx, ty = int(pdf.tile_x.iloc[0]), int(pdf.tile_y.iloc[0])
+            raise ValueError(
+                f"temporal_aggregate_tiles: mis-registered revisit stack "
+                f"for footprint={fpv!r} epoch={ep} tile=({tx},{ty}): "
+                f"shapes {sorted(set(zip(pdf.w, pdf.h)))}")
+        stack = np.stack([codecs.decode_f32bt(b, w, h)
+                          for b in pdf[src_col]])
+        out = series_stack_stats(stack, stats_t)
+        row = {
+            "footprint": [pdf.footprint.iloc[0]],
+            "epoch": [pdf.epoch.iloc[0]],
+            "tile_x": [int(pdf.tile_x.iloc[0])],
+            "tile_y": [int(pdf.tile_y.iloc[0])],
+            "w": [w], "h": [h], "n_dates": [len(pdf)],
+            "n_px_any": [int((np.isfinite(stack).sum(0) > 0).sum())],
+        }
+        for s in stats_t:
+            plane = out[s].astype("<f4")
+            row[f"{s}_bytes"] = [plane.tobytes()]
+            any_ok = bool(np.isfinite(plane).any())
+            row[f"{s}_mean"] = [float(np.nanmean(plane)) if any_ok else None]
+        return pd.DataFrame(row)
+
+    return (keyed.groupBy("footprint", "epoch", "tile_x", "tile_y")
+            .applyInPandas(fn, schema))
 
 
 _CROSSTAB_PART = StructType([

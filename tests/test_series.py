@@ -279,3 +279,90 @@ def test_series_tiles_deep_misregistered_raises(spark):
         "lst_bytes": np.ones((5, 5), "<f4").tobytes()}]))
     with pytest.raises(Exception, match="mis-registered"):
         series.series_tiles_deep(df.unionByName(bad)).toPandas()
+
+
+# ---- temporal_aggregate_tiles (t.rast.aggregate analog) ----------------
+
+def test_epoch_start_calendar_arithmetic(spark):
+    from pyspark.sql import functions as F
+
+    dates = ["1999-12-31", "2020-01-01", "2020-02-29", "2020-04-10",
+             "1969-12-31", "1968-03-05", "2021-07-04"]
+    df = spark.createDataFrame(pd.DataFrame({"t": pd.to_datetime(dates)}))
+    out = df.select(
+        F.date_format("t", "yyyy-MM-dd").alias("t"),
+        series.epoch_start(F.col("t"), "3 months").alias("q"),
+        series.epoch_start(F.col("t"), "1 year").alias("y"),
+        series.epoch_start(F.col("t"), "16 days").alias("d16"),
+    ).toPandas().set_index("t")
+    exp_q = {"1999-12-31": "1999-10-01", "2020-01-01": "2020-01-01",
+             "2020-02-29": "2020-01-01", "2020-04-10": "2020-04-01",
+             "1969-12-31": "1969-10-01", "1968-03-05": "1968-01-01",
+             "2021-07-04": "2021-07-01"}
+    exp_y = {"1999-12-31": "1999-01-01", "2020-01-01": "2020-01-01",
+             "2020-02-29": "2020-01-01", "2020-04-10": "2020-01-01",
+             "1969-12-31": "1969-01-01", "1968-03-05": "1968-01-01",
+             "2021-07-04": "2021-01-01"}
+    for t, want in exp_q.items():
+        assert str(out.loc[t, "q"]) == want, ("quarter", t)
+    for t, want in exp_y.items():
+        assert str(out.loc[t, "y"]) == want, ("year", t)
+    # 16-day windows tile from 1970-01-01; day index floor-divides,
+    # including negatives (1969-12-31 is day -1 -> window start day -16)
+    import datetime as dt
+    for t in dates:
+        day = (dt.date.fromisoformat(t) - dt.date(1970, 1, 1)).days
+        want = dt.date(1970, 1, 1) + dt.timedelta(days=(day // 16) * 16)
+        assert str(out.loc[t, "d16"]) == str(want), ("d16", t)
+
+
+def test_parse_granularity_rejects_garbage():
+    for bad in ["3", "months", "3 fortnights", "0 months", "-2 days",
+                "1.5 years", "3 months extra"]:
+        with pytest.raises(ValueError):
+            series.parse_granularity(bad)
+    assert series.parse_granularity("1 YEAR") == (1, "year")
+    assert series.parse_granularity(" 16 days ") == (16, "day")
+
+
+def _revisit_meta(spark, dates_by_scene):
+    return spark.createDataFrame(pd.DataFrame(
+        [{"scene_id": s, "acquired_at": pd.Timestamp(d)}
+         for s, d in dates_by_scene.items()]))
+
+
+def test_temporal_aggregate_bit_matches_series_per_window(spark):
+    """Each epoch's output planes must be BIT-IDENTICAL to series_tiles
+    run on just that window's scenes (same kernel, same fold order)."""
+    H, W = 23, 29
+    df, _ = _revisit_tiles(spark, k=4, H=H, W=W)
+    # R0,R1 land in 2020Q1; R2,R3 in 2020Q2 — for both footprints
+    dates = {}
+    for fp in ("FA", "FB"):
+        dates[f"{fp}R0"] = "2020-01-15"
+        dates[f"{fp}R1"] = "2020-02-20"
+        dates[f"{fp}R2"] = "2020-04-10"
+        dates[f"{fp}R3"] = "2020-05-05"
+    meta = _revisit_meta(spark, dates)
+    got = series.temporal_aggregate_tiles(df, meta, "3 months").toPandas()
+    assert set(str(e) for e in got.epoch) == {"2020-01-01", "2020-04-01"}
+    assert (got.n_dates == 2).all()
+    for epoch, revs in [("2020-01-01", ("R0", "R1")),
+                        ("2020-04-01", ("R2", "R3"))]:
+        sub = df.filter(df.scene_id.rlike("|".join(f"{r}$" for r in revs)))
+        want = series.series_tiles(sub).toPandas()
+        g = got[got.epoch.astype(str) == epoch]
+        assert len(g) == len(want)
+        key = ["footprint", "tile_x", "tile_y"]
+        g = g.sort_values(key).reset_index(drop=True)
+        want = want.sort_values(key).reset_index(drop=True)
+        for s in SERIES_STATS:
+            assert (g[f"{s}_bytes"] == want[f"{s}_bytes"]).all(), (epoch, s)
+        assert (g.n_px_any.values == want.n_px_any.values).all()
+
+
+def test_temporal_aggregate_missing_meta_raises(spark):
+    df, _ = _revisit_tiles(spark, k=2, H=9, W=11, footprints=("FZ",))
+    meta = _revisit_meta(spark, {"FZR0": "2020-01-01"})  # FZR1 missing
+    with pytest.raises(Exception, match="missing from meta"):
+        series.temporal_aggregate_tiles(df, meta, "1 month").toPandas()
