@@ -1384,6 +1384,31 @@ def _q_temporal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("footprint", "epoch"))
 
 
+def _q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: t.rast.gapfill analog (series.gapfill_tiles) — per-pixel
+    temporal NaN gaps (QA cloud holes) filled by time-weighted linear
+    interpolation between the nearest valid revisit before and after; no
+    extrapolation past the endpoints. Per-pixel-loop oracle parity in
+    tests/test_series.py."""
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import constants as C, pipeline, series, synth
+
+    scenes = spark.createDataFrame(
+        synth.revisit_scenes_pdf("tiny", scene=0, n_dates=4, with_qa=True))
+    meta = spark.createDataFrame(
+        synth.revisit_meta_pdf("tiny", scene=0, n_dates=4))
+    emis = spark.createDataFrame(
+        pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
+    tiles = pipeline.lst_tiles(
+        pipeline.build_enriched(scenes, meta, emis, with_qa=True), window=5)
+    filled = series.gapfill_tiles(tiles, meta.select("scene_id", "acquired_at"))
+    return (filled.groupBy("footprint", "scene_id")
+            .agg(F.count(F.lit(1)).alias("n_tiles"),
+                 F.sum("n_filled").alias("n_filled"))
+            .orderBy("footprint", "scene_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _ordered(dict(relational.queries()))
     # rows-only (untwinned) entries go after every twinned query so they
@@ -1438,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_histo_match"] = _q_histo_match
     q["q_series_deep"] = _q_series_deep
     q["q_temporal_agg"] = _q_temporal_agg
+    q["q_gapfill"] = _q_gapfill
     q["q_kmeans"] = _q_kmeans
     q["q_maxlik"] = _q_maxlik
     return q

@@ -622,3 +622,114 @@ def anomaly_tiles(history: DataFrame, current: DataFrame, k: float = 3.0,
                 yield _batch_from_cols(cols, _ANOM_SCHEMA)
 
     return joined.mapInArrow(fn, _ANOM_SCHEMA)
+
+
+_GAPFILL_FIELDS = [
+    StructField("footprint", StringType()),
+    StructField("scene_id", StringType()),
+    StructField("tile_x", IntegerType()),
+    StructField("tile_y", IntegerType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("filled_bytes", BinaryType()),
+    StructField("n_filled", LongType()),
+]
+
+
+def gapfill_stack(stack: np.ndarray, times: np.ndarray,
+                  max_gap_days: float | None = None) -> np.ndarray:
+    """Time-weighted linear interpolation of INTERIOR NaN gaps along axis 0
+    of a (k, h, w) stack observed at ``times`` (float days, ascending).
+    Leading/trailing NaNs stay NaN (no extrapolation — the t.rast.gapfill
+    convention); an all-NaN pixel stays all-NaN. ``max_gap_days`` skips
+    gaps whose bracketing valid observations are further apart than that.
+    Fully vectorized: running prev/next valid-index scans + one gather,
+    no per-pixel loop. Shared verbatim with the tests' per-pixel oracle's
+    counterpart assertions."""
+    k = stack.shape[0]
+    valid = np.isfinite(stack)
+    idx = np.arange(k, dtype=np.int64)[:, None, None]
+    prev = np.maximum.accumulate(np.where(valid, idx, -1), axis=0)
+    nxt = np.flip(np.minimum.accumulate(
+        np.flip(np.where(valid, idx, k), axis=0), axis=0), axis=0)
+    fill = (~valid) & (prev >= 0) & (nxt < k)
+    if not fill.any():
+        return stack.copy()
+    pi = np.clip(prev, 0, k - 1)
+    ni = np.clip(nxt, 0, k - 1)
+    pv = np.take_along_axis(stack, pi, axis=0)
+    nv = np.take_along_axis(stack, ni, axis=0)
+    tp = times[pi]
+    tn = times[ni]
+    span = tn - tp
+    if max_gap_days is not None:
+        fill &= span <= float(max_gap_days)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        wgt = np.where(span > 0, (times[:, None, None] - tp) / span, 0.5)
+        est = pv + (nv - pv) * wgt
+    out = stack.copy()
+    out[fill] = est[fill]
+    return out
+
+
+def gapfill_tiles(tiles: DataFrame, meta: DataFrame,
+                  src_col: str = "lst_bytes",
+                  footprint=None, t_col: str = "acquired_at",
+                  max_gap_days: float | None = None) -> DataFrame:
+    """t.rast.gapfill analog: fill per-pixel temporal NaN gaps (cloud
+    holes, QA-masked pixels) by time-weighted linear interpolation between
+    the nearest valid observation before and after, per footprint stack.
+
+    Emits ONE row per input tile (k planes in, k planes out — the revisit
+    keeps its ``scene_id``) with the filled plane and the count of filled
+    pixels. Leading/trailing gaps never extrapolate; ``max_gap_days``
+    bounds how wide a gap may be bridged.
+
+    Plan: broadcast join of the acquisition instants + ONE hash shuffle of
+    the plane bytes on the (footprint, tile) key — the series_tiles shape.
+    Loud failures: scenes missing from ``meta`` raise (never mis-fill with
+    a fabricated order); mis-registered shapes inside a stack raise.
+    """
+    fp = (footprint if footprint is not None
+          else F.regexp_replace("scene_id", r"R\d+$", ""))
+    at = meta.select("scene_id", F.col(t_col).alias("__t"))
+    keyed = (tiles.withColumn("footprint", fp)
+             .join(F.broadcast(at), on="scene_id", how="left")
+             .select("footprint", "scene_id", "tile_x", "tile_y",
+                     "w", "h", "__t", src_col))
+    schema = StructType(_GAPFILL_FIELDS)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["__t"].isna().any():
+            bad = sorted(pdf.scene_id[pdf["__t"].isna()].unique())
+            raise ValueError(
+                f"gapfill_tiles: scenes missing from meta (no {t_col}): "
+                f"{bad}")
+        pdf = pdf.sort_values(["__t", "scene_id"],
+                              kind="mergesort").reset_index(drop=True)
+        w, h = int(pdf.w.iloc[0]), int(pdf.h.iloc[0])
+        if (pdf.w != w).any() or (pdf.h != h).any():
+            raise ValueError(
+                f"gapfill_tiles: mis-registered revisit stack for "
+                f"footprint={pdf.footprint.iloc[0]!r} tile="
+                f"({int(pdf.tile_x.iloc[0])},{int(pdf.tile_y.iloc[0])}): "
+                f"shapes {sorted(set(zip(pdf.w, pdf.h)))}")
+        stack = np.stack([codecs.decode_f32bt(b, w, h)
+                          for b in pdf[src_col]])
+        times = (pd.to_datetime(pdf["__t"]).astype("int64").to_numpy()
+                 / 86_400_000_000_000.0)  # ns -> days
+        filled = gapfill_stack(stack, times, max_gap_days)
+        n_filled = (np.isfinite(filled) & ~np.isfinite(stack)).reshape(
+            len(pdf), -1).sum(axis=1)
+        return pd.DataFrame({
+            "footprint": pdf.footprint,
+            "scene_id": pdf.scene_id,
+            "tile_x": pdf.tile_x.astype(int),
+            "tile_y": pdf.tile_y.astype(int),
+            "w": w, "h": h,
+            "filled_bytes": [p.astype("<f4").tobytes() for p in filled],
+            "n_filled": n_filled.astype(np.int64),
+        })
+
+    return (keyed.groupBy("footprint", "tile_x", "tile_y")
+            .applyInPandas(fn, schema))

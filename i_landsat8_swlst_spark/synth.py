@@ -203,13 +203,13 @@ def scenes_pdf(scale: str = "tiny", scenes: list[int] | None = None,
 
 
 def revisit_scenes_pdf(scale: str = "tiny", scene: int = 0,
-                       n_dates: int = 3) -> pd.DataFrame:
+                       n_dates: int = 3, with_qa: bool = False) -> pd.DataFrame:
     """The temporal-composite fixture: the same footprint observed n_dates
     times (scene ids {sid}R0..{sid}R{n-1}, 30-day cadence, independent
     deterministic DN fields) — pixel grids align exactly across dates."""
     rows: list[dict] = []
     for k in range(n_dates):
-        rows.extend(scene_rows(scene, scale, revisit=k))
+        rows.extend(scene_rows(scene, scale, revisit=k, with_qa=with_qa))
     df = pd.DataFrame(rows)
     df["w"] = df["w"].astype("int32")
     df["h"] = df["h"].astype("int32")

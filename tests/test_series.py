@@ -366,3 +366,79 @@ def test_temporal_aggregate_missing_meta_raises(spark):
     meta = _revisit_meta(spark, {"FZR0": "2020-01-01"})  # FZR1 missing
     with pytest.raises(Exception, match="missing from meta"):
         series.temporal_aggregate_tiles(df, meta, "1 month").toPandas()
+
+
+# ---- gapfill_tiles (t.rast.gapfill analog) ------------------------------
+
+def _gapfill_oracle(stack, times, max_gap=None):
+    """Independent per-pixel loop: for every NaN with a valid observation
+    on both sides, linear interp in TIME between the nearest ones."""
+    k, H, W = stack.shape
+    out = stack.copy()
+    for y in range(H):
+        for x in range(W):
+            col = stack[:, y, x]
+            for i in range(k):
+                if np.isfinite(col[i]):
+                    continue
+                prevs = [j for j in range(i) if np.isfinite(col[j])]
+                nexts = [j for j in range(i + 1, k) if np.isfinite(col[j])]
+                if not prevs or not nexts:
+                    continue
+                p, n = prevs[-1], nexts[0]
+                span = times[n] - times[p]
+                if max_gap is not None and span > max_gap:
+                    continue
+                wgt = (times[i] - times[p]) / span if span > 0 else 0.5
+                out[i, y, x] = col[p] + (col[n] - col[p]) * wgt
+    return out
+
+
+def test_gapfill_kernel_matches_per_pixel_oracle():
+    rng = np.random.default_rng(11)
+    k, H, W = 6, 7, 9
+    stack = rng.uniform(260, 330, (k, H, W))
+    stack[rng.random((k, H, W)) < 0.35] = np.nan
+    stack[:, 0, 0] = np.nan            # all-NaN pixel stays all-NaN
+    stack[0, 1, 1] = np.nan           # leading gap never extrapolates
+    stack[-1, 2, 2] = np.nan          # trailing gap never extrapolates
+    times = np.array([0.0, 13.0, 16.0, 45.0, 46.5, 90.0])  # uneven!
+    for mg in (None, 20.0):
+        got = series.gapfill_stack(stack, times, mg)
+        want = _gapfill_oracle(stack, times, mg)
+        assert np.allclose(got, want, equal_nan=True, rtol=0, atol=1e-12), mg
+    assert np.isnan(series.gapfill_stack(stack, times)[:, 0, 0]).all()
+    assert np.isnan(series.gapfill_stack(stack, times)[0, 1, 1])
+    assert np.isnan(series.gapfill_stack(stack, times)[-1, 2, 2])
+
+
+def test_gapfill_tiles_end_to_end(spark):
+    H, W = 23, 29
+    df, stacks = _revisit_tiles(spark, k=4, H=H, W=W)
+    days = [0, 13, 45, 60]
+    dates = {f"{fp}R{d}": pd.Timestamp("2020-01-01")
+             + pd.Timedelta(days=days[d])
+             for fp in ("FA", "FB") for d in range(4)}
+    meta = _revisit_meta(spark, dates)
+    out = series.gapfill_tiles(df, meta).toPandas()
+    assert len(out) == df.count()  # one row per input tile
+    times = np.array(days, dtype=np.float64)
+    for fp, stack in stacks.items():
+        want = _gapfill_oracle(stack, times)
+        for d in range(4):
+            sub = out[out.scene_id == f"{fp}R{d}"]
+            got = _mosaic(sub, "filled_bytes", H, W).astype(np.float64)
+            assert np.allclose(got, want[d].astype(np.float32),
+                               equal_nan=True, rtol=0, atol=0), (fp, d)
+            n_filled = int(sub.n_filled.sum())
+            assert n_filled == int((np.isfinite(want[d])
+                                    & ~np.isfinite(stack[d])).sum())
+    # holes were actually exercised
+    assert out.n_filled.sum() > 0
+
+
+def test_gapfill_missing_meta_raises(spark):
+    df, _ = _revisit_tiles(spark, k=2, H=9, W=11, footprints=("FZ",))
+    meta = _revisit_meta(spark, {"FZR0": "2020-01-01"})
+    with pytest.raises(Exception, match="missing from meta"):
+        series.gapfill_tiles(df, meta).toPandas()
