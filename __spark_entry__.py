@@ -1409,6 +1409,38 @@ def _q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("footprint", "scene_id"))
 
 
+def _q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: IDW interpolation of scattered station observations onto
+    the tile grid (v.surf.idw analog) — BOTH paths: the broadcast-station
+    mapInArrow pass (zero hash exchanges, plan-gated) and the distributed
+    cell-equi-join gather, asserted bit-identical per tile in
+    tests/test_spatial.py; here the broadcast path aggregates per scene."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import pipeline, spatial
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    tiles = pipeline.parse_scenes(scenes).filter(F.col("band") == 10).select(
+        "scene_id", "tile_x", "tile_y", "w", "h")
+    geom = (pipeline.scene_grids(pipeline.parse_scenes(scenes))
+            .join(meta.select("scene_id", "lon0", "lat0", "lon1", "lat1"),
+                  "scene_id"))
+    boxes = meta.select("lon0", "lat0", "lon1", "lat1").toPandas()
+    rng = np.random.default_rng(23)
+    n = 64
+    st = pd.DataFrame({
+        "station_id": [f"st{i:03d}" for i in range(n)],
+        "lon": rng.uniform(boxes.lon0.min(), boxes.lon1.max(), n),
+        "lat": rng.uniform(boxes.lat0.min(), boxes.lat1.max(), n),
+        "value": rng.uniform(1.0, 6.5, n)})
+    out = spatial.idw_rasterize(tiles, st, geom, k=12, power=2.0)
+    return (out.groupBy("scene_id")
+            .agg(F.count(F.lit(1)).alias("n_tiles"),
+                 F.sum("n_interp").alias("n_interp"))
+            .orderBy("scene_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _ordered(dict(relational.queries()))
     # rows-only (untwinned) entries go after every twinned query so they
@@ -1464,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_series_deep"] = _q_series_deep
     q["q_temporal_agg"] = _q_temporal_agg
     q["q_gapfill"] = _q_gapfill
+    q["q_idw"] = _q_idw
     q["q_kmeans"] = _q_kmeans
     q["q_maxlik"] = _q_maxlik
     return q

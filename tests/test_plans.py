@@ -555,3 +555,29 @@ def test_classify_passes_are_broadcast_joins_no_pixel_shuffle(spark):
     plan2 = _plan(classify.classify_tiles(tiles, bands, ml, method="maxlik"))
     assert "BroadcastHashJoin" in plan2
     assert "BroadcastNestedLoopJoin" not in plan2
+
+
+def test_idw_broadcast_path_has_zero_hash_exchanges(spark):
+    """idw_rasterize is geom-broadcast + one mapInArrow — the plane is
+    computed where the grid rows live; any hash exchange is a regression."""
+    from i_landsat8_swlst_spark import spatial
+    from tests.test_spatial import _idw_fixture
+
+    tiles, geom, st, _ = _idw_fixture(spark, n_stations=4)
+    plan = _plan(spatial.idw_rasterize(tiles, st, geom, k=3))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 0, f"expected 0 hash exchanges, plan had {n}"
+
+
+def test_idw_cells_path_is_equi_join(spark):
+    """The distributed no-broadcast station gather must be a hash EQUI
+    join on the cell key — never a nested loop over the station table."""
+    from i_landsat8_swlst_spark import spatial
+    from tests.test_spatial import _idw_fixture
+
+    tiles, geom, st, _ = _idw_fixture(spark, n_stations=4)
+    plan = _plan(spatial.idw_rasterize_cells(
+        tiles, spark.createDataFrame(st), geom, radius_km=6.0, k=3))
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan

@@ -687,3 +687,124 @@ def test_knn_exact_releases_its_caches(spark):
     # the localCheckpoint of the RESULT is the one legitimate new block;
     # every per-round persist must be gone
     assert len(leaked) <= 1, f"kNN exact leaked cached RDDs: {leaked}"
+
+
+# ---- IDW rasterize (v.surf.idw / r.surf.idw analog) ---------------------
+
+def _idw_fixture(spark, n_stations=24, seed=7):
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    LON0, LAT0, LON1, LAT1 = 10.0, 40.0, 10.4, 40.4
+    ntx = nty = 2
+    W = H = 16
+    tiles = spark.createDataFrame(pd.DataFrame([
+        {"scene_id": "S1", "tile_x": tx, "tile_y": ty, "w": W, "h": H}
+        for tx in range(ntx) for ty in range(nty)]))
+    geom = spark.createDataFrame(pd.DataFrame([{
+        "scene_id": "S1", "lon0": LON0, "lat0": LAT0,
+        "lon1": LON1, "lat1": LAT1, "ntx": ntx, "nty": nty}]))
+    st = pd.DataFrame({
+        "station_id": [f"st{i:03d}" for i in range(n_stations)],
+        "lon": rng.uniform(LON0 - 0.1, LON1 + 0.1, n_stations),
+        "lat": rng.uniform(LAT0 - 0.1, LAT1 + 0.1, n_stations),
+        "value": rng.uniform(0.0, 30.0, n_stations),
+    })
+    # one station EXACTLY on a pixel centroid (tile (0,0), px=3, py=5)
+    st.loc[0, "lon"] = LON0 + (0 + (3 + 0.5) / W) * (LON1 - LON0) / ntx
+    st.loc[0, "lat"] = LAT1 - (0 + (5 + 0.5) / H) * (LAT1 - LAT0) / nty
+    return tiles, geom, st, (LON0, LAT0, LON1, LAT1, ntx, nty, W, H)
+
+
+def _idw_oracle_plane(st, box, k, power, radius_km):
+    """Independent per-pixel loop: haversine to every station, sort by
+    (distance, station_id), take k (within radius), IDW in that order."""
+    LON0, LAT0, LON1, LAT1, ntx, nty, W, H = box
+    HH, WW = nty * H, ntx * W
+    out = np.full((HH, WW), np.nan)
+    dlon, dlat = (LON1 - LON0) / ntx, (LAT1 - LAT0) / nty
+    for gy in range(HH):
+        ty, py = divmod(gy, H)
+        for gx in range(WW):
+            tx, px = divmod(gx, W)
+            lon = LON0 + (tx + (px + 0.5) / W) * dlon
+            lat = LAT1 - (ty + (py + 0.5) / H) * dlat
+            cand = []
+            for r in st.itertuples():
+                d = float(spatial.haversine_km(
+                    np.array([lon]), np.array([lat]),
+                    np.array([r.lon]), np.array([r.lat]))[0])
+                if radius_km is not None and d > radius_km:
+                    continue
+                cand.append((d, r.station_id, r.value))
+            cand.sort()
+            cand = cand[:k]
+            if not cand:
+                continue
+            if cand[0][0] == 0.0:
+                out[gy, gx] = cand[0][2]
+                continue
+            sw = sv = 0.0
+            for d, _sid, v in cand:
+                wgt = 1.0 / d ** power
+                sw += wgt
+                sv += wgt * v
+            out[gy, gx] = sv / sw
+    return out
+
+
+def _mosaic_idw(pdf, box):
+    LON0, LAT0, LON1, LAT1, ntx, nty, W, H = box
+    out = np.full((nty * H, ntx * W), np.nan, dtype=np.float32)
+    for r in pdf.itertuples():
+        p = np.frombuffer(r.idw_bytes, "<f4").reshape(r.h, r.w)
+        out[r.tile_y * H:(r.tile_y + 1) * H,
+            r.tile_x * W:(r.tile_x + 1) * W] = p
+    return out
+
+
+@pytest.mark.parametrize("k,power,radius", [(12, 2.0, None), (5, 1.5, 8.0)])
+def test_idw_rasterize_matches_brute_oracle(spark, k, power, radius):
+    tiles, geom, st, box = _idw_fixture(spark)
+    got = _mosaic_idw(
+        spatial.idw_rasterize(tiles, st, geom, k=k, power=power,
+                              radius_km=radius).toPandas(), box)
+    want = _idw_oracle_plane(st, box, k, power, radius).astype(np.float32)
+    assert np.array_equal(np.isnan(got), np.isnan(want))
+    np.testing.assert_allclose(got[~np.isnan(got)], want[~np.isnan(want)],
+                               rtol=1e-6)
+    # the exact-hit pixel carries the on-site station value verbatim
+    assert got[5, 3] == np.float32(st.loc[0, "value"])
+
+
+def test_idw_cells_bit_identical_to_broadcast(spark):
+    tiles, geom, st, box = _idw_fixture(spark)
+    radius = 6.0
+    bpdf = spatial.idw_rasterize(tiles, st, geom, k=5, power=2.0,
+                                 radius_km=radius).toPandas()
+    spdf = spatial.idw_rasterize_cells(
+        tiles, spark.createDataFrame(st), geom, radius_km=radius,
+        k=5, power=2.0).toPandas()
+    key = ["scene_id", "tile_x", "tile_y"]
+    b = bpdf.sort_values(key).reset_index(drop=True)
+    s = spdf.sort_values(key).reset_index(drop=True)
+    assert len(b) == len(s) == 4
+    assert (b.idw_bytes == s.idw_bytes).all()
+    assert (b.n_interp == s.n_interp).all()
+    assert b.n_interp.sum() > 0  # radius actually leaves coverage
+
+
+def test_idw_validation(spark):
+    tiles, geom, st, box = _idw_fixture(spark, n_stations=3)
+    with pytest.raises(ValueError, match="k must be"):
+        spatial.idw_rasterize(tiles, st, geom, k=0)
+    with pytest.raises(ValueError, match="radius_km"):
+        spatial.idw_rasterize_cells(tiles, spark.createDataFrame(st),
+                                    geom, radius_km=0)
+    import pandas as pd
+    polar = spark.createDataFrame(pd.DataFrame([{
+        "scene_id": "S1", "lon0": 0.0, "lat0": 86.0,
+        "lon1": 1.0, "lat1": 87.0, "ntx": 1, "nty": 1}]))
+    with pytest.raises(Exception, match="poles"):
+        spatial.idw_rasterize_cells(tiles, spark.createDataFrame(st),
+                                    polar, radius_km=5.0).toPandas()
