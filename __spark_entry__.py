@@ -1441,6 +1441,37 @@ def _q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("scene_id"))
 
 
+def _q_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: kernel-density heatmap of station locations rasterized
+    onto the tile grid (v.kernel analog, spatial.kde_rasterize) — same
+    zero-exchange broadcast plan as q_idw; the distributed cell-join path
+    is asserted bit-identical in tests/test_spatial.py."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import pipeline, spatial
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    tiles = pipeline.parse_scenes(scenes).filter(F.col("band") == 10).select(
+        "scene_id", "tile_x", "tile_y", "w", "h")
+    geom = (pipeline.scene_grids(pipeline.parse_scenes(scenes))
+            .join(meta.select("scene_id", "lon0", "lat0", "lon1", "lat1"),
+                  "scene_id"))
+    boxes = meta.select("lon0", "lat0", "lon1", "lat1").toPandas()
+    rng = np.random.default_rng(29)
+    n = 48
+    st = pd.DataFrame({
+        "station_id": [f"st{i:03d}" for i in range(n)],
+        "lon": rng.uniform(boxes.lon0.min(), boxes.lon1.max(), n),
+        "lat": rng.uniform(boxes.lat0.min(), boxes.lat1.max(), n),
+        "value": rng.uniform(1.0, 6.5, n)})
+    out = spatial.kde_rasterize(tiles, st, geom, radius_km=8.0)
+    return (out.groupBy("scene_id")
+            .agg(F.count(F.lit(1)).alias("n_tiles"),
+                 F.sum("n_interp").alias("n_px"))
+            .orderBy("scene_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _ordered(dict(relational.queries()))
     # rows-only (untwinned) entries go after every twinned query so they
@@ -1497,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_temporal_agg"] = _q_temporal_agg
     q["q_gapfill"] = _q_gapfill
     q["q_idw"] = _q_idw
+    q["q_kde"] = _q_kde
     q["q_kmeans"] = _q_kmeans
     q["q_maxlik"] = _q_maxlik
     return q

@@ -1262,8 +1262,11 @@ def _idw_values(lon: np.ndarray, lat: np.ndarray,
         hit = ok & (dsel == 0.0)
         with np.errstate(divide="ignore", over="ignore"):
             wgt = np.where(ok & ~hit, 1.0 / dsel ** power, 0.0)
-        sw = wgt.sum(axis=1)
-        sv = (wgt * np.where(ok & ~hit, vsel, 0.0)).sum(axis=1)
+        # sequential folds (cumsum), not np.sum: pairwise summation pairs
+        # terms differently when the two paths' unselected-slot zero counts
+        # differ (k > in-range candidates), breaking path bit-identity
+        sw = np.cumsum(wgt, axis=1)[:, -1]
+        sv = np.cumsum(wgt * np.where(ok & ~hit, vsel, 0.0), axis=1)[:, -1]
         chunk = np.full(sl.stop - sl.start, np.nan)
         good = sw > 0
         chunk[good] = sv[good] / sw[good]
@@ -1390,12 +1393,31 @@ def idw_rasterize_cells(tiles: DataFrame, stations: DataFrame,
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    cand = _radius_candidates(tiles, stations, scene_geom, radius_km,
+                              "idw_rasterize_cells")
+
+    def plane_fn(lon, lat, s):
+        return _idw_values(
+            lon, lat, s.lon.to_numpy(np.float64), s.lat.to_numpy(np.float64),
+            s.value.to_numpy(np.float64), k, power, radius_km)
+
+    return _grouped_plane_apply(cand, plane_fn, "idw_bytes")
+
+
+def _radius_candidates(tiles: DataFrame, stations: DataFrame,
+                       scene_geom: DataFrame, radius_km: float,
+                       caller: str) -> DataFrame:
+    """Shared distributed station gather: stations -> one fixed lon/lat
+    degree cell each; tiles explode to every cell overlapping their
+    radius-expanded bbox; ONE hash equi-join on the cell key. The covering
+    bound guarantees every station within ``radius_km`` of any pixel of a
+    tile reaches that tile's group."""
     if radius_km is None or radius_km <= 0:
-        raise ValueError("idw_rasterize_cells needs a positive radius_km")
+        raise ValueError(f"{caller} needs a positive radius_km")
     geos = scene_geom.select("scene_id", "lon0", "lat0", "lon1", "lat1",
                              "ntx", "nty").collect()
     if not geos:
-        raise ValueError("idw_rasterize_cells: empty scene_geom")
+        raise ValueError(f"{caller}: empty scene_geom")
     dlat_deg = radius_km / _KM_PER_DEG_LAT
     abs_lat = max(max(abs(g.lat0), abs(g.lat1)) for g in geos) + dlat_deg
     dlon_deg = _idw_lon_margin_deg(radius_km, abs_lat)
@@ -1422,7 +1444,18 @@ def idw_rasterize_cells(tiles: DataFrame, stations: DataFrame,
             F.floor(tlat0 / ch).cast("long"),
             F.floor(tlat1 / ch).cast("long")))))
 
-    cand = t.join(st, on=["cell_x", "cell_y"], how="left")
+    return t.join(st, on=["cell_x", "cell_y"], how="left")
+
+
+def _grouped_plane_apply(cand: DataFrame, plane_fn,
+                         out_col: str) -> DataFrame:
+    """Grouped kernel shared by the *_cells paths: per tile, geocode pixel
+    centroids, dedup + id-sort candidate stations (a station may arrive
+    once per (tile-cell x its cell) pairing when the tile spans several
+    cells), run ``plane_fn(lon, lat, stations_pdf) -> (h*w,) f64``."""
+    schema = StructType([
+        f if f.name != "idw_bytes" else StructField(out_col, BinaryType())
+        for f in _IDW_SCHEMA])
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         row = pdf.iloc[0]
@@ -1432,20 +1465,145 @@ def idw_rasterize_cells(tiles: DataFrame, stations: DataFrame,
         lon, lat = _pixel_lonlat(int(row.tile_x), int(row.tile_y), w, h,
                                  row.lon0, row.lat1, dlon, dlat)
         s = pdf[pdf.station_id.notna()]
-        # a station may arrive once per (tile-cell x its cell) pairing when
-        # the tile spans several cells; dedup before the kernel
         s = (s.drop_duplicates("station_id")
              .sort_values("station_id", kind="mergesort"))
-        plane = _idw_values(
-            lon, lat, s.lon.to_numpy(np.float64), s.lat.to_numpy(np.float64),
-            s.value.to_numpy(np.float64), k, power, radius_km)
+        plane = plane_fn(lon, lat, s)
         p32 = plane.astype("<f4").reshape(h, w)
         return pd.DataFrame({
             "scene_id": [row.scene_id],
             "tile_x": [int(row.tile_x)], "tile_y": [int(row.tile_y)],
-            "w": [w], "h": [h], "idw_bytes": [p32.tobytes()],
+            "w": [w], "h": [h], out_col: [p32.tobytes()],
             "n_interp": [int(np.isfinite(p32).sum())],
         })
 
     return (cand.groupBy("scene_id", "tile_x", "tile_y")
-            .applyInPandas(fn, _IDW_SCHEMA))
+            .applyInPandas(fn, schema))
+
+
+# --------------------------------------------------------------------------
+# Kernel density heatmap: points -> raster (v.kernel analog)
+# --------------------------------------------------------------------------
+
+KDE_KERNELS = ("epanechnikov", "uniform", "gaussian")
+
+
+def _kde_values(lon: np.ndarray, lat: np.ndarray,
+                slon: np.ndarray, slat: np.ndarray, swgt: np.ndarray,
+                radius_km: float, kernel: str) -> np.ndarray:
+    """Per-point kernel density against stations PRE-SORTED by station_id:
+    density = sum_i wgt_i * K(d_i), all kernels 2-D normalized to
+    integrate to 1 over the plane (so the density surface integrates to
+    the total station weight) and TRUNCATED at ``radius_km``:
+
+      epanechnikov  K = 2/(pi h^2) (1 - u^2),  u = d/h <= 1
+      uniform       K = 1/(pi h^2),            u <= 1
+      gaussian      K = 1/(2 pi s^2) exp(-d^2 / 2 s^2), s = h/3, u <= 1
+                    (the 3-sigma cutoff keeps the candidate gather exact)
+
+    Out-of-range stations contribute exactly 0.0, and float addition of
+    0.0 is the identity, so the broadcast and cell-gathered paths produce
+    BIT-IDENTICAL sums (both accumulate in station_id order). Pixels with
+    nothing in range get density 0 (a real zero, not NULL)."""
+    if kernel not in KDE_KERNELS:
+        raise ValueError(f"unknown KDE kernel {kernel!r}; "
+                         f"pick one of {KDE_KERNELS}")
+    if radius_km is None or radius_km <= 0:
+        raise ValueError("kde needs a positive radius_km")
+    h2 = radius_km * radius_km
+    n, m = lon.size, slon.size
+    out = np.zeros(n)
+    if m == 0:
+        return out
+    step = max(1, 4_000_000 // m)
+    for i0 in range(0, n, step):
+        sl = slice(i0, min(i0 + step, n))
+        d = haversine_km(lon[sl, None], lat[sl, None],
+                         slon[None, :], slat[None, :])
+        inside = d <= radius_km
+        if kernel == "epanechnikov":
+            kv = (2.0 / (np.pi * h2)) * (1.0 - (d * d) / h2)
+        elif kernel == "uniform":
+            kv = np.full(d.shape, 1.0 / (np.pi * h2))
+        else:  # gaussian, 3-sigma cutoff
+            s2 = h2 / 9.0
+            kv = np.exp(-(d * d) / (2.0 * s2)) / (2.0 * np.pi * s2)
+        contrib = np.where(inside, kv * swgt[None, :], 0.0)
+        # STRICTLY SEQUENTIAL id-order accumulation (cumsum), not np.sum:
+        # pairwise summation would pair the nonzero terms differently when
+        # the out-of-range zeros are absent (cells path), breaking the
+        # bit-identity between the two paths. x + 0.0 == x exactly, so the
+        # sequential fold is invariant to dropping zero contributions.
+        out[sl] = np.cumsum(contrib, axis=1)[:, -1]
+    return out
+
+
+def kde_rasterize(tiles: DataFrame, stations: pd.DataFrame,
+                  scene_geom: DataFrame, radius_km: float,
+                  kernel: str = "epanechnikov",
+                  weighted: bool = False) -> DataFrame:
+    """v.kernel analog, broadcast path: kernel density heatmap of station
+    locations rasterized onto the tile grid(s). ``weighted=True`` scales
+    each station's kernel by its ``value`` column (1.0 otherwise). Same
+    zero-shuffle plan as `idw_rasterize`: one scene_geom broadcast join +
+    one mapInArrow pass."""
+    _kde_values(np.empty(0), np.empty(0), np.empty(0), np.empty(0),
+                np.empty(0), radius_km, kernel)  # validate args up front
+    spark = tiles.sparkSession
+    st = stations.sort_values("station_id", kind="mergesort")
+    wgt = (st["value"].to_numpy(np.float64) if weighted
+           else np.ones(len(st)))
+    bc = spark.sparkContext.broadcast((
+        st["lon"].to_numpy(np.float64), st["lat"].to_numpy(np.float64), wgt))
+    src = (tiles.select("scene_id", "tile_x", "tile_y", "w", "h")
+           .join(F.broadcast(scene_geom), on="scene_id"))
+    schema = StructType([
+        f if f.name != "idw_bytes" else StructField("kde_bytes", BinaryType())
+        for f in _IDW_SCHEMA])
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        slon, slat, swgt = bc.value
+        for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in schema}
+            ap = {kk: v.append for kk, v in cols.items()}
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                dlon = (row.lon1 - row.lon0) / row.ntx
+                dlat = (row.lat1 - row.lat0) / row.nty
+                lon, lat = _pixel_lonlat(row.tile_x, row.tile_y, w, h,
+                                         row.lon0, row.lat1, dlon, dlat)
+                plane = _kde_values(lon, lat, slon, slat, swgt,
+                                    radius_km, kernel)
+                p32 = plane.astype("<f4").reshape(h, w)
+                ap["scene_id"](row.scene_id)
+                ap["tile_x"](int(row.tile_x)); ap["tile_y"](int(row.tile_y))
+                ap["w"](w); ap["h"](h)
+                ap["kde_bytes"](p32.tobytes())
+                ap["n_interp"](int(np.isfinite(p32).sum()))
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, schema)
+
+    return src.mapInArrow(fn, schema)
+
+
+def kde_rasterize_cells(tiles: DataFrame, stations: DataFrame,
+                        scene_geom: DataFrame, radius_km: float,
+                        kernel: str = "epanechnikov",
+                        weighted: bool = False) -> DataFrame:
+    """v.kernel analog, DISTRIBUTED no-broadcast path — the
+    `idw_rasterize_cells` gather (fixed degree-cell equi-join, rigorous
+    covering bound) with the KDE kernel; bit-identical to the broadcast
+    path (truncated kernels make out-of-gather stations exact 0.0
+    contributions)."""
+    _kde_values(np.empty(0), np.empty(0), np.empty(0), np.empty(0),
+                np.empty(0), radius_km, kernel)
+    cand = _radius_candidates(tiles, stations, scene_geom, radius_km,
+                              "kde_rasterize_cells")
+
+    def plane_fn(lon, lat, s):
+        wgt = (s.value.to_numpy(np.float64) if weighted
+               else np.ones(len(s)))
+        return _kde_values(
+            lon, lat, s.lon.to_numpy(np.float64), s.lat.to_numpy(np.float64),
+            wgt, radius_km, kernel)
+
+    return _grouped_plane_apply(cand, plane_fn, "kde_bytes")

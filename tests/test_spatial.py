@@ -808,3 +808,85 @@ def test_idw_validation(spark):
     with pytest.raises(Exception, match="poles"):
         spatial.idw_rasterize_cells(tiles, spark.createDataFrame(st),
                                     polar, radius_km=5.0).toPandas()
+
+
+# ---- KDE heatmap rasterize (v.kernel analog) -----------------------------
+
+def _kde_oracle_plane(st, box, radius_km, kernel, weighted):
+    LON0, LAT0, LON1, LAT1, ntx, nty, W, H = box
+    HH, WW = nty * H, ntx * W
+    out = np.zeros((HH, WW))
+    dlon, dlat = (LON1 - LON0) / ntx, (LAT1 - LAT0) / nty
+    h2 = radius_km * radius_km
+    for gy in range(HH):
+        ty, py = divmod(gy, H)
+        for gx in range(WW):
+            tx, px = divmod(gx, W)
+            lon = LON0 + (tx + (px + 0.5) / W) * dlon
+            lat = LAT1 - (ty + (py + 0.5) / H) * dlat
+            acc = 0.0
+            for r in st.sort_values("station_id").itertuples():
+                d = float(spatial.haversine_km(
+                    np.array([lon]), np.array([lat]),
+                    np.array([r.lon]), np.array([r.lat]))[0])
+                if d > radius_km:
+                    continue
+                if kernel == "epanechnikov":
+                    kv = (2.0 / (np.pi * h2)) * (1.0 - d * d / h2)
+                elif kernel == "uniform":
+                    kv = 1.0 / (np.pi * h2)
+                else:
+                    s2 = h2 / 9.0
+                    kv = np.exp(-(d * d) / (2.0 * s2)) / (2.0 * np.pi * s2)
+                acc += kv * (r.value if weighted else 1.0)
+            out[gy, gx] = acc
+    return out
+
+
+def _mosaic_kde(pdf, box):
+    LON0, LAT0, LON1, LAT1, ntx, nty, W, H = box
+    out = np.full((nty * H, ntx * W), np.nan, dtype=np.float32)
+    for r in pdf.itertuples():
+        p = np.frombuffer(r.kde_bytes, "<f4").reshape(r.h, r.w)
+        out[r.tile_y * H:(r.tile_y + 1) * H,
+            r.tile_x * W:(r.tile_x + 1) * W] = p
+    return out
+
+
+@pytest.mark.parametrize("kernel,weighted", [
+    ("epanechnikov", False), ("gaussian", True), ("uniform", False)])
+def test_kde_rasterize_matches_brute_oracle(spark, kernel, weighted):
+    tiles, geom, st, box = _idw_fixture(spark)
+    radius = 7.0
+    got = _mosaic_kde(
+        spatial.kde_rasterize(tiles, st, geom, radius_km=radius,
+                              kernel=kernel, weighted=weighted).toPandas(),
+        box)
+    want = _kde_oracle_plane(st, box, radius, kernel, weighted)
+    np.testing.assert_allclose(got, want.astype(np.float32), rtol=1e-6)
+    assert (got >= 0).all() and got.max() > 0
+
+
+def test_kde_cells_bit_identical_to_broadcast(spark):
+    tiles, geom, st, box = _idw_fixture(spark)
+    # park two stations FAR outside every tile's gather ring: their
+    # contributions are exact zeros the cells path never even sees
+    st = st.copy()
+    st.loc[1, "lon"], st.loc[1, "lat"] = 14.0, 44.0
+    st.loc[2, "lon"], st.loc[2, "lat"] = 5.0, 35.0
+    b = spatial.kde_rasterize(tiles, st, geom, radius_km=5.0).toPandas()
+    s = spatial.kde_rasterize_cells(
+        tiles, spark.createDataFrame(st), geom, radius_km=5.0).toPandas()
+    key = ["scene_id", "tile_x", "tile_y"]
+    b = b.sort_values(key).reset_index(drop=True)
+    s = s.sort_values(key).reset_index(drop=True)
+    assert (b.kde_bytes == s.kde_bytes).all()
+
+
+def test_kde_rejects_bad_args(spark):
+    tiles, geom, st, _ = _idw_fixture(spark, n_stations=3)
+    with pytest.raises(ValueError, match="kernel"):
+        spatial.kde_rasterize(tiles, st, geom, radius_km=5.0,
+                              kernel="triweight")
+    with pytest.raises(ValueError, match="radius"):
+        spatial.kde_rasterize(tiles, st, geom, radius_km=-1.0)
