@@ -1472,6 +1472,27 @@ def _q_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("scene_id"))
 
 
+def _q_raster_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: per-scene OLS between the co-registered CWV and LST
+    planes (r.regression.line analog, series.regression_tiles) — six
+    partial sums per tile, ONE map-side-combining aggregate per scene,
+    closed-form a/b/R/F. numpy polyfit/corrcoef parity in
+    tests/test_series.py."""
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import constants as C, pipeline, series
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5)
+    out = series.regression_tiles(tiles, col_x="cwv_bytes",
+                                  col_y="lst_bytes")
+    return out.select(
+        "scene_id", "n",
+        F.round("a", 4).alias("a"), F.round("b", 4).alias("b"),
+        F.round("r", 6).alias("r")).orderBy("scene_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _ordered(dict(relational.queries()))
     # rows-only (untwinned) entries go after every twinned query so they
@@ -1529,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_gapfill"] = _q_gapfill
     q["q_idw"] = _q_idw
     q["q_kde"] = _q_kde
+    q["q_raster_regression"] = _q_raster_regression
     q["q_kmeans"] = _q_kmeans
     q["q_maxlik"] = _q_maxlik
     return q

@@ -733,3 +733,78 @@ def gapfill_tiles(tiles: DataFrame, meta: DataFrame,
 
     return (keyed.groupBy("footprint", "tile_x", "tile_y")
             .applyInPandas(fn, schema))
+
+
+_REGR_PART = StructType([
+    StructField("scene_id", StringType()),
+    StructField("n", LongType()),
+    StructField("sx", DoubleType()),
+    StructField("sy", DoubleType()),
+    StructField("sxx", DoubleType()),
+    StructField("syy", DoubleType()),
+    StructField("sxy", DoubleType()),
+])
+
+
+def regression_tiles(tiles: DataFrame, col_x: str = "cwv_bytes",
+                     col_y: str = "lst_bytes") -> DataFrame:
+    """r.regression.line analog: per-scene ordinary least squares between
+    two co-registered planes (y = a + b*x over pixels where BOTH are
+    finite), with correlation R and the F statistic — the classic
+    LST-vs-CWV / band-vs-band calibration check.
+
+    Every statistic is closed-form in the six partial sums (n, Σx, Σy,
+    Σx², Σy², Σxy), each a tile-local numpy fold emitted as ONE tiny row
+    per tile — so the whole product is one mapInArrow pass + ONE
+    map-side-combining SUM per scene: rows reaching the exchange are
+    bounded by the tile count, never pixels. Scenes with < 2 paired
+    pixels (or zero x-variance) report NULL slope/intercept/R/F.
+    """
+    src = tiles.select("scene_id", "w", "h", col_x, col_y)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in _REGR_PART}
+            ap = {k: v.append for k, v in cols.items()}
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                x = codecs.decode_f32bt(getattr(row, col_x), w, h)
+                y = codecs.decode_f32bt(getattr(row, col_y), w, h)
+                ok = np.isfinite(x) & np.isfinite(y)
+                if not ok.any():
+                    continue
+                xv, yv = x[ok], y[ok]
+                ap["scene_id"](row.scene_id)
+                ap["n"](int(ok.sum()))
+                ap["sx"](float(xv.sum())); ap["sy"](float(yv.sum()))
+                ap["sxx"](float((xv * xv).sum()))
+                ap["syy"](float((yv * yv).sum()))
+                ap["sxy"](float((xv * yv).sum()))
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, _REGR_PART)
+
+    agg = (src.mapInArrow(fn, _REGR_PART)
+           .groupBy("scene_id")
+           .agg(F.sum("n").alias("n"),
+                F.sum("sx").alias("sx"), F.sum("sy").alias("sy"),
+                F.sum("sxx").alias("sxx"), F.sum("syy").alias("syy"),
+                F.sum("sxy").alias("sxy")))
+    n = F.col("n").cast("double")
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / n
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    usable = (F.col("n") >= 2) & (varx > 0.0)
+    b = F.when(usable, cov / varx)
+    a = (F.col("sy") - F.col("b") * F.col("sx")) / n
+    r = F.when(vary > 0.0, F.col("cov_") / F.sqrt(F.col("varx_") * vary))
+    return (agg
+            .withColumn("varx_", varx).withColumn("cov_", cov)
+            .withColumn("b", b)
+            .withColumn("a", F.when(F.col("b").isNotNull(), a))
+            .withColumn("r", F.when(usable, r))
+            .withColumn("f", F.when(
+                usable & (F.col("n") > 2) & (F.col("r") < 1.0)
+                & (F.col("r") > -1.0),
+                F.col("r") * F.col("r") * (n - 2)
+                / (1.0 - F.col("r") * F.col("r"))))
+            .select("scene_id", "n", "a", "b", "r", "f"))

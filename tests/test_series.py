@@ -442,3 +442,63 @@ def test_gapfill_missing_meta_raises(spark):
     meta = _revisit_meta(spark, {"FZR0": "2020-01-01"})
     with pytest.raises(Exception, match="missing from meta"):
         series.gapfill_tiles(df, meta).toPandas()
+
+
+# ---- regression_tiles (r.regression.line analog) -------------------------
+
+def test_regression_matches_numpy_oracle(spark):
+    rng = np.random.default_rng(17)
+    H, W, th, tw = 23, 29, 9, 11
+    rows = []
+    planes = {}
+    for sid, slope, icept in [("SA", 2.5, -3.0), ("SB", -0.7, 40.0)]:
+        x = rng.uniform(1.0, 6.0, (H, W))
+        y = icept + slope * x + rng.normal(0, 0.3, (H, W))
+        x[rng.random((H, W)) < 0.1] = np.nan   # holes in either plane
+        y[rng.random((H, W)) < 0.1] = np.nan
+        x = x.astype(np.float32).astype(np.float64)
+        y = y.astype(np.float32).astype(np.float64)
+        planes[sid] = (x, y)
+        for ty in range((H + th - 1) // th):
+            for tx in range((W + tw - 1) // tw):
+                xs = x[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+                ys = y[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+                rows.append({
+                    "scene_id": sid, "tile_x": tx, "tile_y": ty,
+                    "w": xs.shape[1], "h": xs.shape[0],
+                    "cwv_bytes": xs.astype("<f4").tobytes(),
+                    "lst_bytes": ys.astype("<f4").tobytes()})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    got = series.regression_tiles(df).toPandas().set_index("scene_id")
+    for sid, (x, y) in planes.items():
+        ok = np.isfinite(x) & np.isfinite(y)
+        xv, yv = x[ok], y[ok]
+        b_w, a_w = np.polyfit(xv, yv, 1)
+        r_w = np.corrcoef(xv, yv)[0, 1]
+        n = int(ok.sum())
+        f_w = r_w * r_w * (n - 2) / (1 - r_w * r_w)
+        g = got.loc[sid]
+        assert g.n == n
+        np.testing.assert_allclose(g.b, b_w, rtol=1e-8)
+        np.testing.assert_allclose(g.a, a_w, rtol=1e-8)
+        np.testing.assert_allclose(g.r, r_w, rtol=1e-10)
+        np.testing.assert_allclose(g.f, f_w, rtol=1e-8)
+        # the synthetic truth is recovered to fit noise
+        assert abs(g.b - (2.5 if sid == "SA" else -0.7)) < 0.1
+
+
+def test_regression_degenerate_scenes_are_null(spark):
+    const = np.full((4, 4), 2.0, np.float32)
+    yv = np.arange(16, dtype=np.float32).reshape(4, 4)
+    one = np.full((4, 4), np.nan, np.float32)
+    one[0, 0] = 1.0
+    rows = [
+        {"scene_id": "CONSTX", "tile_x": 0, "tile_y": 0, "w": 4, "h": 4,
+         "cwv_bytes": const.tobytes(), "lst_bytes": yv.tobytes()},
+        {"scene_id": "ONEPX", "tile_x": 0, "tile_y": 0, "w": 4, "h": 4,
+         "cwv_bytes": one.tobytes(), "lst_bytes": yv.tobytes()},
+    ]
+    got = (series.regression_tiles(spark.createDataFrame(pd.DataFrame(rows)))
+           .toPandas().set_index("scene_id"))
+    assert got.loc["CONSTX"].n == 16 and pd.isna(got.loc["CONSTX"].b)
+    assert got.loc["ONEPX"].n == 1 and pd.isna(got.loc["ONEPX"].b)
