@@ -1493,6 +1493,31 @@ def _q_raster_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("r", 6).alias("r")).orderBy("scene_id")
 
 
+def _q_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: per-pixel running accumulation across time-sorted
+    revisits (t.rast.accumulate analog, series.accumulate_tiles — the
+    growing-degree-day form clip(v, lower, upper) - lower). Kernel
+    semantics + whole-scene parity in tests/test_series.py."""
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import constants as C, pipeline, series, synth
+
+    scenes = spark.createDataFrame(
+        synth.revisit_scenes_pdf("tiny", scene=0, n_dates=4))
+    meta = spark.createDataFrame(
+        synth.revisit_meta_pdf("tiny", scene=0, n_dates=4))
+    emis = spark.createDataFrame(
+        pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5)
+    acc = series.accumulate_tiles(
+        tiles, meta.select("scene_id", "acquired_at"), lower=285.0)
+    return (acc.groupBy("footprint", "step")
+            .agg(F.count(F.lit(1)).alias("n_tiles"),
+                 F.sum(F.length("accum_bytes")).alias("plane_bytes"))
+            .orderBy("footprint", "step"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _ordered(dict(relational.queries()))
     # rows-only (untwinned) entries go after every twinned query so they
@@ -1551,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_idw"] = _q_idw
     q["q_kde"] = _q_kde
     q["q_raster_regression"] = _q_raster_regression
+    q["q_accumulate"] = _q_accumulate
     q["q_kmeans"] = _q_kmeans
     q["q_maxlik"] = _q_maxlik
     return q

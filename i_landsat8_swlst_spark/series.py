@@ -808,3 +808,92 @@ def regression_tiles(tiles: DataFrame, col_x: str = "cwv_bytes",
                 F.col("r") * F.col("r") * (n - 2)
                 / (1.0 - F.col("r") * F.col("r"))))
             .select("scene_id", "n", "a", "b", "r", "f"))
+
+
+_ACCUM_FIELDS = [
+    StructField("footprint", StringType()),
+    StructField("scene_id", StringType()),
+    StructField("tile_x", IntegerType()),
+    StructField("tile_y", IntegerType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("accum_bytes", BinaryType()),
+    StructField("step", IntegerType()),
+]
+
+
+def accumulate_stack(stack: np.ndarray, lower: float = 0.0,
+                     upper: float | None = None,
+                     skip_nulls: bool = True) -> np.ndarray:
+    """t.rast.accumulate kernel: running per-pixel accumulation of
+    clip(v, lower, upper) - lower along axis 0 (the growing-degree-day
+    form: lower = base temperature, upper = optional cap).
+
+    skip_nulls=True (the GRASS -n convention): a NaN observation
+    contributes 0 and the accumulation continues. skip_nulls=False: a NaN
+    poisons that pixel's series from that step on (plain cumsum NaN
+    propagation — the GRASS default where null input yields null
+    accumulation)."""
+    hi = np.inf if upper is None else float(upper)
+    if hi <= lower:
+        raise ValueError(f"upper ({upper}) must exceed lower ({lower})")
+    contrib = np.clip(stack, lower, hi) - lower
+    if skip_nulls:
+        contrib = np.nan_to_num(contrib, nan=0.0)
+    return np.cumsum(contrib, axis=0)
+
+
+def accumulate_tiles(tiles: DataFrame, meta: DataFrame,
+                     src_col: str = "lst_bytes",
+                     footprint=None, t_col: str = "acquired_at",
+                     lower: float = 0.0, upper: float | None = None,
+                     skip_nulls: bool = True) -> DataFrame:
+    """t.rast.accumulate analog: per-pixel running accumulation across the
+    time-sorted revisits of each footprint (growing degree days, cumulative
+    exceedance). Emits one plane per revisit (k in, k out, each keeping its
+    ``scene_id`` plus its 0-based ``step`` in time order).
+
+    Plan: broadcast join of the acquisition instants + ONE hash shuffle of
+    the plane bytes on the (footprint, tile) key — the gapfill_tiles shape.
+    Scenes missing from ``meta`` raise; mis-registered shapes raise.
+    """
+    accumulate_stack(np.zeros((1, 1, 1)), lower, upper, skip_nulls)  # args
+    fp = (footprint if footprint is not None
+          else F.regexp_replace("scene_id", r"R\d+$", ""))
+    at = meta.select("scene_id", F.col(t_col).alias("__t"))
+    keyed = (tiles.withColumn("footprint", fp)
+             .join(F.broadcast(at), on="scene_id", how="left")
+             .select("footprint", "scene_id", "tile_x", "tile_y",
+                     "w", "h", "__t", src_col))
+    schema = StructType(_ACCUM_FIELDS)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["__t"].isna().any():
+            bad = sorted(pdf.scene_id[pdf["__t"].isna()].unique())
+            raise ValueError(
+                f"accumulate_tiles: scenes missing from meta (no {t_col}): "
+                f"{bad}")
+        pdf = pdf.sort_values(["__t", "scene_id"],
+                              kind="mergesort").reset_index(drop=True)
+        w, h = int(pdf.w.iloc[0]), int(pdf.h.iloc[0])
+        if (pdf.w != w).any() or (pdf.h != h).any():
+            raise ValueError(
+                f"accumulate_tiles: mis-registered revisit stack for "
+                f"footprint={pdf.footprint.iloc[0]!r} tile="
+                f"({int(pdf.tile_x.iloc[0])},{int(pdf.tile_y.iloc[0])}): "
+                f"shapes {sorted(set(zip(pdf.w, pdf.h)))}")
+        stack = np.stack([codecs.decode_f32bt(b, w, h)
+                          for b in pdf[src_col]])
+        acc = accumulate_stack(stack, lower, upper, skip_nulls)
+        return pd.DataFrame({
+            "footprint": pdf.footprint,
+            "scene_id": pdf.scene_id,
+            "tile_x": pdf.tile_x.astype(int),
+            "tile_y": pdf.tile_y.astype(int),
+            "w": w, "h": h,
+            "accum_bytes": [p.astype("<f4").tobytes() for p in acc],
+            "step": np.arange(len(pdf), dtype=np.int32),
+        })
+
+    return (keyed.groupBy("footprint", "tile_x", "tile_y")
+            .applyInPandas(fn, schema))

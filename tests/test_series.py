@@ -502,3 +502,45 @@ def test_regression_degenerate_scenes_are_null(spark):
            .toPandas().set_index("scene_id"))
     assert got.loc["CONSTX"].n == 16 and pd.isna(got.loc["CONSTX"].b)
     assert got.loc["ONEPX"].n == 1 and pd.isna(got.loc["ONEPX"].b)
+
+
+# ---- accumulate_tiles (t.rast.accumulate analog) --------------------------
+
+def test_accumulate_kernel_semantics():
+    stack = np.array([
+        [[10.0, np.nan]],
+        [[20.0, 5.0]],
+        [[np.nan, 30.0]],
+    ])
+    # lower=8, upper=25: contribs plane0 (2, nan), plane1 (12, 0), plane2 (nan, 17)
+    got = series.accumulate_stack(stack, lower=8.0, upper=25.0)
+    want = np.array([[[2.0, 0.0]], [[14.0, 0.0]], [[14.0, 17.0]]])
+    assert np.array_equal(got, want)
+    # poison mode: NaN propagates from its step on
+    got_p = series.accumulate_stack(stack, lower=8.0, upper=25.0,
+                                    skip_nulls=False)
+    assert got_p[0, 0, 0] == 2.0 and got_p[1, 0, 0] == 14.0
+    assert np.isnan(got_p[2, 0, 0])            # NaN at step 2 poisons
+    assert np.isnan(got_p[:, 0, 1]).all()      # NaN at step 0 poisons all
+    with pytest.raises(ValueError, match="upper"):
+        series.accumulate_stack(stack, lower=5.0, upper=5.0)
+
+
+def test_accumulate_tiles_matches_whole_scene(spark):
+    H, W = 23, 29
+    df, stacks = _revisit_tiles(spark, k=4, H=H, W=W)
+    days = [0, 10, 40, 55]
+    dates = {f"{fp}R{d}": pd.Timestamp("2021-05-01")
+             + pd.Timedelta(days=days[d])
+             for fp in ("FA", "FB") for d in range(4)}
+    out = series.accumulate_tiles(df, _revisit_meta(spark, dates),
+                                  lower=280.0).toPandas()
+    assert len(out) == df.count()
+    for fp, stack in stacks.items():
+        want = series.accumulate_stack(stack, lower=280.0)
+        for d in range(4):
+            sub = out[out.scene_id == f"{fp}R{d}"]
+            assert (sub.step == d).all()
+            got = _mosaic(sub, "accum_bytes", H, W)
+            assert np.array_equal(got, want[d].astype(np.float32),
+                                  equal_nan=True), (fp, d)
