@@ -1518,6 +1518,28 @@ def _q_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("footprint", "step"))
 
 
+def _q_convolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: custom matrix filter (r.mfilter analog,
+    pipeline.convolve_tiles) — a 3x3 sharpen kernel with GRASS divisor-0
+    renormalization over the LST plane, exact cross-tile halo. Whole-scene
+    parity in tests/test_pipeline.py; naive-loop kernel oracle in
+    tests/test_kernels.py."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import constants as C, pipeline
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5)
+    sharpen = np.array([[0., -1, 0], [-1, 5, -1], [0, -1, 0]])
+    out = pipeline.convolve_tiles(tiles, sharpen, divisor=0.0)
+    return (out.groupBy("scene_id")
+            .agg(F.count(F.lit(1)).alias("n_tiles"),
+                 F.sum("n_valid").alias("n_valid"))
+            .orderBy("scene_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _ordered(dict(relational.queries()))
     # rows-only (untwinned) entries go after every twinned query so they
@@ -1577,6 +1599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_kde"] = _q_kde
     q["q_raster_regression"] = _q_raster_regression
     q["q_accumulate"] = _q_accumulate
+    q["q_convolve"] = _q_convolve
     q["q_kmeans"] = _q_kmeans
     q["q_maxlik"] = _q_maxlik
     return q

@@ -516,3 +516,57 @@ def slope_aspect(x: np.ndarray, cell: float = 1.0) -> dict:
         a[bad] = np.nan
     return {"dzdx": dzdx, "dzdy": dzdy, "slope_deg": slope,
             "aspect_deg": aspect, "hillshade": hs}
+
+
+def convolve_plane(x: np.ndarray, weights: np.ndarray,
+                   divisor: float | None = None) -> np.ndarray:
+    """r.mfilter kernel: weighted window sum with the GRASS conventions.
+
+    ``weights`` is an odd-dimensioned 2-D matrix. NULL (NaN) neighbors
+    contribute nothing; ``divisor`` follows r.mfilter exactly —
+    ``None`` (unset) divides by the constant sum(weights), ``0`` divides
+    by the sum of the weights whose cells were actually valid (the
+    renormalizing mode), any other value divides by it verbatim. A pixel
+    whose CENTER is NULL stays NULL; in renorm mode a pixel with zero
+    valid weighted neighbors is NULL too. Off-plane cells are NULL
+    (callers wanting cross-tile windows pad via halo_plane_tiles first).
+
+    Direct shifted-plane accumulation (one vectorized add per nonzero
+    weight cell) — O(nnz(weights)) plane passes, no Python per pixel.
+    """
+    weights = np.asarray(weights, dtype=np.float64)
+    if weights.ndim != 2 or any(s % 2 != 1 for s in weights.shape):
+        raise ValueError(
+            f"weights must be an odd-dimensioned 2-D matrix, "
+            f"got shape {weights.shape}")
+    x = np.asarray(x, dtype=np.float64)
+    h, w = x.shape
+    kh, kw = weights.shape
+    rh, rw = kh // 2, kw // 2
+    pad = np.full((h + 2 * rh, w + 2 * rw), np.nan)
+    pad[rh:rh + h, rw:rw + w] = x
+    acc = np.zeros((h, w))
+    wsum = np.zeros((h, w))
+    for i in range(kh):
+        for j in range(kw):
+            wij = weights[i, j]
+            if wij == 0.0:
+                continue
+            sub = pad[i:i + h, j:j + w]
+            fin = np.isfinite(sub)
+            acc += np.where(fin, sub * wij, 0.0)
+            wsum += np.where(fin, wij, 0.0)
+    if divisor is None:
+        div = float(weights.sum())
+        if div == 0.0:
+            raise ValueError("sum(weights) is 0; pass an explicit divisor "
+                             "(or 0 for the renormalizing mode)")
+        out = acc / div
+    elif divisor == 0.0:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = acc / wsum
+        out[wsum == 0.0] = np.nan
+    else:
+        out = acc / float(divisor)
+    out[~np.isfinite(x)] = np.nan  # NULL center stays NULL
+    return out

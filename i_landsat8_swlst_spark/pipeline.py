@@ -1022,3 +1022,67 @@ def halo_plane_tiles(tiles: DataFrame, r: int,
             yield _batch_from_cols(cols, HALO_PLANE_SCHEMA)
 
     return parts.mapInArrow(assemble, HALO_PLANE_SCHEMA)
+
+
+CONV_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("scene_id", StringType()),
+    StructField("tile_x", IntegerType()),
+    StructField("tile_y", IntegerType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("conv_bytes", BinaryType()),
+    StructField("n_valid", LongType()),
+])
+
+
+def convolve_tiles(tiles: DataFrame, weights, divisor: float | None = None,
+                   src_col: str = "lst_bytes",
+                   halo: bool = True) -> DataFrame:
+    """Custom matrix filter over a tile raster column — the r.mfilter
+    analog (arbitrary user kernel: sharpen, emboss, directional gradient,
+    asymmetric smoothing), with the GRASS NULL/divisor conventions
+    implemented in kernels.convolve_plane.
+
+    ``weights`` must be an odd-dimensioned 2-D matrix (SQUARE when
+    halo=True — halo_plane_tiles pads one margin). halo=True (default)
+    exchanges max(kh,kw)//2 neighbor-pixel strips first so the output is
+    EXACTLY the whole-scene convolution, tile for tile; halo=False stays
+    tile-local (windows see NULL outside the tile). One mapInArrow hop
+    either way; the weights matrix is a tiny task closure constant.
+    """
+    weights = np.asarray(weights, dtype=np.float64)
+    if weights.ndim != 2 or any(s % 2 != 1 for s in weights.shape):
+        raise ValueError(
+            f"weights must be an odd-dimensioned 2-D matrix, "
+            f"got shape {weights.shape}")
+    if halo and weights.shape[0] != weights.shape[1]:
+        raise ValueError(
+            "halo=True needs a square weights matrix (the halo margin is "
+            "one radius); pass halo=False for rectangular kernels")
+    m = weights.shape[0] // 2 if halo else 0
+    src = halo_plane_tiles(tiles, r=m, src_col=src_col) if halo else tiles
+    col = "pad_bytes" if halo else src_col
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in CONV_SCHEMA}
+            ap = {k: v.append for k, v in cols.items()}
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                plane = codecs.decode_f32bt(getattr(row, col),
+                                            w + 2 * m, h + 2 * m)
+                out = K.convolve_plane(plane, weights, divisor)
+                if m:
+                    out = out[m:m + h, m:m + w]
+                p32 = np.ascontiguousarray(out).astype("<f4")
+                ap["image_id"](row.image_id)
+                ap["scene_id"](row.scene_id)
+                ap["tile_x"](row.tile_x); ap["tile_y"](row.tile_y)
+                ap["w"](w); ap["h"](h)
+                ap["conv_bytes"](p32.tobytes())
+                ap["n_valid"](int(np.isfinite(p32).sum()))
+            if cols["image_id"]:
+                yield _batch_from_cols(cols, CONV_SCHEMA)
+
+    return src.mapInArrow(fn, CONV_SCHEMA)

@@ -264,3 +264,59 @@ def test_slope_aspect_nan_poison_ring():
     np.testing.assert_allclose(g_to["aspect_deg"][inner], 315.0)
     np.testing.assert_allclose(g_away["aspect_deg"][inner], 135.0)
     assert g_to["hillshade"][inner].mean() > g_away["hillshade"][inner].mean()
+
+
+# --- r.mfilter convolution ------------------------------------------------
+
+def _conv_naive(x, wts, divisor):
+    h, w = x.shape
+    kh, kw = wts.shape
+    rh, rw = kh // 2, kw // 2
+    out = np.full((h, w), np.nan)
+    for y in range(h):
+        for xx in range(w):
+            if not np.isfinite(x[y, xx]):
+                continue
+            acc = wsum = 0.0
+            for i in range(kh):
+                for j in range(kw):
+                    yy, xj = y + i - rh, xx + j - rw
+                    if 0 <= yy < h and 0 <= xj < w and np.isfinite(x[yy, xj]):
+                        if wts[i, j] != 0.0:
+                            acc += wts[i, j] * x[yy, xj]
+                            wsum += wts[i, j]
+            if divisor is None:
+                out[y, xx] = acc / wts.sum()
+            elif divisor == 0.0:
+                out[y, xx] = acc / wsum if wsum != 0.0 else np.nan
+            else:
+                out[y, xx] = acc / divisor
+    return out
+
+
+def test_convolve_plane_matches_naive():
+    rng = np.random.default_rng(41)
+    x = rng.uniform(250, 330, (17, 23))
+    x[rng.random(x.shape) < 0.15] = np.nan
+    kernels = [
+        (np.array([[0., -1, 0], [-1, 5, -1], [0, -1, 0]]), None),   # sharpen
+        (np.ones((3, 3)), 0.0),                                     # renorm
+        (np.array([[1., 2, 1], [2, 4, 2], [1, 2, 1]]), 16.0),       # gauss
+        (np.array([[-1., 0, 1]] * 3).T, 0.0),                       # grad
+    ]
+    for wts, div in kernels:
+        got = K.convolve_plane(x, wts, div)
+        want = _conv_naive(x, wts, div)
+        assert np.allclose(got, want, equal_nan=True, atol=1e-12), (wts, div)
+
+
+def test_convolve_plane_rejects_bad_args():
+    x = np.ones((4, 4))
+    with pytest.raises(ValueError, match="odd-dimensioned"):
+        K.convolve_plane(x, np.ones((2, 3)))
+    # zero-sum kernel with no explicit divisor: ambiguous, must raise
+    with pytest.raises(ValueError, match="divisor"):
+        K.convolve_plane(x, np.array([[1.0, 0, -1]]))
+    # ... but is fine with one (the gradient-filter use case)
+    assert np.isfinite(
+        K.convolve_plane(x, np.array([[1.0, 0, -1]]), divisor=2.0)[2, 2])

@@ -416,3 +416,37 @@ def test_mosaic_pixels_null_priority_loses(spark):
     assert len(got) == 1
     assert got[0].src_scene == "C" and got[0].lst_mosaic == 333.0
     assert got[0].n_obs == 3
+
+
+def test_convolve_tiles_halo_equals_whole_scene(spark):
+    """convolve_tiles(halo=True) must equal one whole-scene
+    kernels.convolve_plane run, tile for tile, interior borders included;
+    halo=False must equal the tile-local run (NULL ring at borders)."""
+    from i_landsat8_swlst_spark import kernels as K
+
+    rng = np.random.default_rng(97)
+    plane = rng.uniform(250.0, 330.0, (64, 96)).astype(np.float32)
+    plane[rng.random(plane.shape) < 0.05] = np.nan
+    tiles = _plane_tiles_df(spark, {"S0": plane}, tw=32, th=32)
+    sharpen = np.array([[0., -1, 0], [-1, 5, -1], [0, -1, 0]])
+
+    got = pipeline.convolve_tiles(tiles, sharpen, divisor=0.0).toPandas()
+    exp = K.convolve_plane(plane.astype(np.float64), sharpen, 0.0)
+    for r in got.itertuples():
+        sl = (slice(r.tile_y * 32, (r.tile_y + 1) * 32),
+              slice(r.tile_x * 32, (r.tile_x + 1) * 32))
+        p = np.frombuffer(r.conv_bytes, dtype="<f4").reshape(32, 32)
+        np.testing.assert_array_equal(p, exp[sl].astype(np.float32),
+                                      err_msg=f"{r.tile_x},{r.tile_y}")
+
+    local = pipeline.convolve_tiles(tiles, sharpen, divisor=0.0,
+                                    halo=False).toPandas()
+    for r in local.itertuples():
+        sl = (slice(r.tile_y * 32, (r.tile_y + 1) * 32),
+              slice(r.tile_x * 32, (r.tile_x + 1) * 32))
+        sub = plane[sl].astype(np.float64)
+        p = np.frombuffer(r.conv_bytes, dtype="<f4").reshape(32, 32)
+        np.testing.assert_array_equal(
+            p, K.convolve_plane(sub, sharpen, 0.0).astype(np.float32))
+    with pytest.raises(ValueError, match="square"):
+        pipeline.convolve_tiles(tiles, np.ones((1, 3)))
