@@ -1540,6 +1540,42 @@ def _q_convolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("scene_id"))
 
 
+def _q_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: r.lake analog (regions.lake_tiles) — flood-fill below a
+    water level from seed cells: only the 4-connected below-level
+    components CONTAINING a seed flood (cross-tile, min-label fixpoint);
+    per-pixel depth + per-tile area/volume. BFS flood-fill oracle parity
+    in tests/test_regions.py."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import constants as C, pipeline, regions
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5)
+    # flood the coolest spot of one scene up to its 20th LST percentile
+    one = tiles.filter(F.col("scene_id") == "LC08_00000")
+    stats = one.agg(
+        F.min("lst_min").alias("lo"),
+        F.percentile_approx("lst_mean", 0.2).alias("level")).first()
+    # seed: scene pixel with the minimum LST (deterministic argmin)
+    seed_row = (one.orderBy("lst_min", "tile_x", "tile_y").first())
+    w, h = int(seed_row["w"]), int(seed_row["h"])
+    p = np.frombuffer(seed_row["lst_bytes"], "<f4").reshape(h, w)
+    py, px = np.unravel_index(np.nanargmin(p), p.shape)
+    seeds = spark.createDataFrame(pd.DataFrame([{
+        "scene_id": "LC08_00000",
+        "gx": int(seed_row["tile_x"]) * w + int(px),
+        "gy": int(seed_row["tile_y"]) * h + int(py)}]))
+    lake = regions.lake_tiles(one, seeds, float(stats["level"]))
+    return (lake.groupBy("scene_id")
+            .agg(F.count(F.lit(1)).alias("n_tiles"),
+                 F.sum("area_px").alias("area_px"),
+                 F.round(F.sum("volume"), 2).alias("volume"))
+            .orderBy("scene_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _ordered(dict(relational.queries()))
     # rows-only (untwinned) entries go after every twinned query so they
@@ -1600,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_raster_regression"] = _q_raster_regression
     q["q_accumulate"] = _q_accumulate
     q["q_convolve"] = _q_convolve
+    q["q_lake"] = _q_lake
     q["q_kmeans"] = _q_kmeans
     q["q_maxlik"] = _q_maxlik
     return q

@@ -32,11 +32,13 @@ from __future__ import annotations
 from typing import Iterator
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
-    DoubleType, IntegerType, LongType, StringType, StructField, StructType,
+    BinaryType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
 )
 
 from . import codecs
@@ -266,5 +268,221 @@ def extract_regions(tiles: DataFrame, threshold: float,
                  F.count(F.lit(1)).alias("n_parts"))
             .localCheckpoint()  # materialize before unpersisting the base
         )
+    finally:
+        ex.unpersist()
+
+
+# --------------------------------------------------------------------------
+# r.lake: flood-fill below a water level from seed cells
+# --------------------------------------------------------------------------
+
+_LAKE_PASS_SCHEMA = StructType([
+    StructField("scene_id", StringType()),
+    StructField("kind", IntegerType()),    # 0 node, 1 border cell, 2 probe,
+    StructField("node", LongType()),       # 3 label+depth planes
+    StructField("gx", IntegerType()),
+    StructField("gy", IntegerType()),
+    StructField("tile_x", IntegerType()),
+    StructField("tile_y", IntegerType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("label_bytes", BinaryType()),
+    StructField("depth_bytes", BinaryType()),
+])
+
+LAKE_SCHEMA = StructType([
+    StructField("scene_id", StringType()),
+    StructField("tile_x", IntegerType()),
+    StructField("tile_y", IntegerType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("lake_bytes", BinaryType()),   # f32 depth, NaN off-lake
+    StructField("area_px", LongType()),
+    StructField("volume", DoubleType()),       # sum of depths (px * depth)
+    StructField("n_regions", IntegerType()),
+])
+
+_SEED_NODE_SCHEMA = StructType([
+    StructField("scene_id", StringType()),
+    StructField("v", LongType()),
+])
+
+
+def _lake_pass(tiles: DataFrame, level: float, src_col: str,
+               nom_w: int, nom_h: int) -> DataFrame:
+    """One decode+label pass for the lake mask ``elev < level`` (finite):
+    kinds 0-2 mirror _extract_pass's stitching convention; kind 3 carries
+    the tile's dense label plane (<i4, -1 dry) and depth plane
+    (<f4 level - elev, NaN dry) so the filter pass never re-decodes."""
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in _LAKE_PASS_SCHEMA}
+            ap = {k: v.append for k, v in cols.items()}
+
+            def emit(scene, kind, node=0, gx=0, gy=0, tx=0, ty=0, w=0, h=0,
+                     lb=None, db=None):
+                ap["scene_id"](scene); ap["kind"](kind); ap["node"](int(node))
+                ap["gx"](int(gx)); ap["gy"](int(gy))
+                ap["tile_x"](int(tx)); ap["tile_y"](int(ty))
+                ap["w"](int(w)); ap["h"](int(h))
+                ap["label_bytes"](lb); ap["depth_bytes"](db)
+
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                tx, ty = int(row.tile_x), int(row.tile_y)
+                plane = codecs.decode_f32bt(getattr(row, src_col), w, h) \
+                    .astype(np.float64)
+                mask = np.isfinite(plane) & (plane < level)
+                if not mask.any():
+                    continue
+                labels, n = label_tile(mask)
+                depth = np.where(mask, level - plane, np.nan)
+                emit(row.scene_id, 3, tx=tx, ty=ty, w=w, h=h,
+                     lb=labels.astype("<i4").tobytes(),
+                     db=depth.astype("<f4").tobytes())
+                for node in _pack_node(tx, ty, np.arange(n)):
+                    emit(row.scene_id, 0, node, tx=tx, ty=ty)
+                ox, oy = tx * nom_w, ty * nom_h
+                sides = (
+                    (labels[0, :], np.arange(w), np.zeros(w, np.int64), 0, -1),
+                    (labels[h - 1, :], np.arange(w),
+                     np.full(w, h - 1, np.int64), 0, 1),
+                    (labels[:, 0], np.zeros(h, np.int64), np.arange(h), -1, 0),
+                    (labels[:, w - 1], np.full(h, w - 1, np.int64),
+                     np.arange(h), 1, 0),
+                )
+                for slab, xs, ys, dx, dy in sides:
+                    sm = slab >= 0
+                    if not sm.any():
+                        continue
+                    snode = _pack_node(tx, ty, slab[sm])
+                    for gx, gy, nd in zip(ox + xs[sm], oy + ys[sm], snode):
+                        emit(row.scene_id, 1, nd, gx=gx, gy=gy)
+                        emit(row.scene_id, 2, nd, gx=gx + dx, gy=gy + dy)
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, _LAKE_PASS_SCHEMA)
+
+    return tiles.mapInArrow(fn, _LAKE_PASS_SCHEMA)
+
+
+def lake_tiles(tiles: DataFrame, seeds: DataFrame, level: float,
+               src_col: str = "lst_bytes") -> DataFrame:
+    """r.lake analog: the lake filled to ``level`` from seed cells — the
+    4-connected components of ``elev < level`` that CONTAIN a seed, with
+    per-pixel depth (level − elev) and per-tile area/volume. Components
+    below the level but hydrologically separate from every seed stay dry
+    (the whole point of r.lake vs a plain threshold).
+
+    ``seeds`` carries (scene_id, gx, gy) scene-pixel coordinates (lon/lat
+    callers geocode exactly like `spatial.sample_raster`). A seed on a dry
+    cell (elev >= level, NULL, or off every masked tile) raises — GRASS
+    refuses seeds above the water level too.
+
+    Plan: ONE decode+label pass (planes + O(perimeter) stitch rows), the
+    extract_regions min-label fixpoint on the border graph (bounded
+    equi-joins, diameter rounds), a broadcast seed lookup, then ONE hash
+    join of the kept node labels back to the label planes on the tile key.
+    Pixel bytes cross the wire once as label+depth planes; everything else
+    is O(regions + perimeter).
+    """
+    from pyspark import StorageLevel
+
+    nom = tiles.agg(F.max("w").alias("w"), F.max("h").alias("h")).first()
+    nom_w, nom_h = int(nom["w"]), int(nom["h"])
+    ex = _lake_pass(tiles, level, src_col, nom_w, nom_h) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        nodes = ex.filter("kind = 0").select("scene_id", F.col("node").alias("v"))
+        cells = ex.filter("kind = 1").select("scene_id", "gx", "gy", "node")
+        probes = (ex.filter("kind = 2")
+                  .select("scene_id", "gx", "gy", F.col("node").alias("pnode")))
+        stitched = (
+            probes.join(cells, on=["scene_id", "gx", "gy"])
+            .filter(F.col("pnode") != F.col("node"))
+            .select("scene_id", F.col("pnode").alias("v"),
+                    F.col("node").alias("u"))
+            .localCheckpoint()
+        )
+        edges = stitched.unionAll(
+            stitched.select("scene_id", F.col("u").alias("v"),
+                            F.col("v").alias("u")))
+        lab = _cc_min_label(nodes, edges)
+
+        planes = ex.filter("kind = 3").select(
+            "scene_id", "tile_x", "tile_y", "w", "h",
+            "label_bytes", "depth_bytes")
+
+        s = seeds.select(
+            "scene_id",
+            (F.col("gx") / nom_w).cast("int").alias("tile_x"),
+            (F.col("gy") / nom_h).cast("int").alias("tile_y"),
+            (F.col("gx") % nom_w).alias("px"),
+            (F.col("gy") % nom_h).alias("py"))
+        sj = planes.join(F.broadcast(s), on=["scene_id", "tile_x", "tile_y"])
+
+        def seed_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            for batch in batches:
+                cols: dict[str, list] = {"scene_id": [], "v": []}
+                for row in _batch_rows(batch):
+                    labels = np.frombuffer(row.label_bytes, "<i4").reshape(
+                        int(row.h), int(row.w))
+                    lv = int(labels[int(row.py), int(row.px)])
+                    if lv < 0:
+                        raise ValueError(
+                            f"lake_tiles: seed ({row.px}, {row.py}) of tile "
+                            f"({row.tile_x}, {row.tile_y}) scene "
+                            f"{row.scene_id!r} is not below the water level")
+                    cols["scene_id"].append(row.scene_id)
+                    cols["v"].append(int(_pack_node(
+                        int(row.tile_x), int(row.tile_y),
+                        np.array([lv]))[0]))
+                if cols["scene_id"]:
+                    yield _batch_from_cols(cols, _SEED_NODE_SCHEMA)
+
+        seed_nodes = sj.mapInArrow(seed_fn, _SEED_NODE_SCHEMA)
+        n_matched = seed_nodes.count()
+        n_seeds = seeds.count()
+        if n_matched != n_seeds:
+            raise ValueError(
+                f"lake_tiles: {n_seeds - n_matched} of {n_seeds} seeds hit "
+                f"no below-level cell (off-grid or dry tile)")
+        seed_regions = (seed_nodes.join(lab, on=["scene_id", "v"])
+                        .select("scene_id", "label").distinct())
+        keep = (lab.join(F.broadcast(seed_regions), on=["scene_id", "label"])
+                .select("scene_id", "v", "label",
+                        F.shiftright("v", 42).cast("int").alias("tile_x"),
+                        (F.shiftright("v", 21) % (1 << 21)).cast("int")
+                        .alias("tile_y")))
+
+        def fill_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if left.empty or right.empty:
+                return pd.DataFrame({f.name: pd.Series(dtype=object)
+                                     for f in LAKE_SCHEMA})
+            row = left.iloc[0]
+            w, h = int(row.w), int(row.h)
+            labels = np.frombuffer(row.label_bytes, "<i4").reshape(h, w)
+            depth = np.frombuffer(row.depth_bytes, "<f4").reshape(h, w)
+            local = (right.v.to_numpy(np.int64) & ((1 << 21) - 1))
+            m = np.isin(labels, local)
+            if not m.any():
+                return pd.DataFrame({f.name: pd.Series(dtype=object)
+                                     for f in LAKE_SCHEMA})
+            lake = np.where(m, depth, np.float32(np.nan)).astype("<f4")
+            return pd.DataFrame({
+                "scene_id": [row.scene_id],
+                "tile_x": [int(row.tile_x)], "tile_y": [int(row.tile_y)],
+                "w": [w], "h": [h],
+                "lake_bytes": [lake.tobytes()],
+                "area_px": [int(m.sum())],
+                "volume": [float(depth[m].astype(np.float64).sum())],
+                "n_regions": [int(len(local))],
+            })
+
+        key = ["scene_id", "tile_x", "tile_y"]
+        out = (planes.groupBy(*key)
+               .cogroup(keep.groupBy(*key))
+               .applyInPandas(fill_fn, LAKE_SCHEMA)
+               .localCheckpoint())  # materialize before unpersisting base
+        return out
     finally:
         ex.unpersist()

@@ -208,3 +208,91 @@ def test_extract_regions_ragged_grid(spark):
         assert a[1] == pytest.approx(b[1], rel=1e-9)
     # the ragged fixture must actually exercise cross-tile merging
     assert bool((got.n_parts > 1).any())
+
+
+# ---- lake_tiles (r.lake analog) -------------------------------------------
+
+def _lake_oracle(plane, seeds, level):
+    """BFS flood fill of elev < level from the seed cells."""
+    mask = np.isfinite(plane) & (plane < level)
+    h, w = plane.shape
+    lake = np.zeros_like(mask)
+    stack = []
+    for gx, gy in seeds:
+        assert mask[gy, gx], "oracle seed must be below level"
+        if not lake[gy, gx]:
+            lake[gy, gx] = True
+            stack.append((gy, gx))
+    while stack:
+        i, j = stack.pop()
+        for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            y, x = i + di, j + dj
+            if 0 <= y < h and 0 <= x < w and mask[y, x] and not lake[y, x]:
+                lake[y, x] = True
+                stack.append((y, x))
+    return lake
+
+
+def _elev_tiles(spark, plane, tw, th):
+    rows = []
+    nty, ntx = plane.shape[0] // th, plane.shape[1] // tw
+    for ty in range(nty):
+        for tx in range(ntx):
+            t = plane[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+            rows.append({"scene_id": "S0", "tile_x": tx, "tile_y": ty,
+                         "w": tw, "h": th,
+                         "lst_bytes": np.ascontiguousarray(t)
+                         .astype("<f4").tobytes()})
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_lake_matches_flood_fill_oracle(spark):
+    """Two basins below the level, one seeded: only the seeded basin
+    floods, across the tile border; depth = level - elev; the other basin
+    and the NULL hole stay dry."""
+    H, W, th, tw = 32, 48, 16, 16
+    plane = np.full((H, W), 110.0)
+    # basin A spans the (0,0)/(1,0) tile border rows 10..20, cols 4..12
+    plane[10:21, 4:13] = 95.0 - np.arange(11)[:, None] * 0.5
+    # basin B: separate depression, also below level
+    plane[5:9, 30:40] = 90.0
+    # a NULL hole inside basin A must stay NaN (not lake)
+    plane[12, 6] = np.nan
+    plane = plane.astype(np.float32).astype(np.float64)
+    level = 100.0
+    tiles = _elev_tiles(spark, plane, tw, th)
+    seeds = spark.createDataFrame(pd.DataFrame(
+        [{"scene_id": "S0", "gx": 5, "gy": 11}]))
+    got = regions.lake_tiles(tiles, seeds, level).toPandas()
+
+    lake = _lake_oracle(plane, [(5, 11)], level)
+    want_depth = np.where(lake, level - plane, np.nan)
+    mosaic = np.full((H, W), np.nan, dtype=np.float32)
+    for r in got.itertuples():
+        p = np.frombuffer(r.lake_bytes, "<f4").reshape(r.h, r.w)
+        mosaic[r.tile_y * th:(r.tile_y + 1) * th,
+               r.tile_x * tw:(r.tile_x + 1) * tw] = p
+        assert r.area_px == int(np.isfinite(p).sum())
+    assert np.array_equal(mosaic, want_depth.astype(np.float32),
+                          equal_nan=True)
+    # basin A crosses the tile border: both tile rows present
+    assert set(zip(got.tile_x, got.tile_y)) == {(0, 0), (0, 1)}
+    # basin B (present in the mask) stayed dry
+    assert np.isnan(mosaic[6, 32])
+    # volume = sum of depths
+    np.testing.assert_allclose(
+        got.volume.sum(), np.nansum(want_depth), rtol=1e-6)
+
+
+def test_lake_seed_validation(spark):
+    plane = np.full((16, 16), 110.0)
+    plane[4:8, 4:8] = 90.0
+    tiles = _elev_tiles(spark, plane, 16, 16)
+    dry = spark.createDataFrame(pd.DataFrame(
+        [{"scene_id": "S0", "gx": 0, "gy": 0}]))  # elev 110 >= level
+    with pytest.raises(Exception, match="not below the water level"):
+        regions.lake_tiles(tiles, dry, 100.0).count()
+    off = spark.createDataFrame(pd.DataFrame(
+        [{"scene_id": "NOPE", "gx": 5, "gy": 5}]))
+    with pytest.raises(Exception, match="seeds hit no"):
+        regions.lake_tiles(tiles, off, 100.0).count()
