@@ -978,7 +978,7 @@ _ATTEST_FIRST = [
     "q_ann_ivf",
     # new twins in r05 -> attest first
     "q_string_agg", "q_bit_ops", "q_percent_rank_band", "q_kappa",
-    "q_epoch_agg",
+    "q_epoch_agg", "q_reclass",
     # sat out r04 (newest row is r03) -> re-attest first in r05
     "q_sort_limit", "q_null_logic", "q_set_ops", "q_intersect",
     "q_except_all", "q_distinct_agg", "q_date_math", "q_string_funcs",
@@ -1000,10 +1000,10 @@ _ATTEST_LAST = [
     "q_stratified_sample", "q_cluster_canonical", "q_decontaminate",
     "q_decontaminate_bloom", "q_unpivot", "q_mode_per_group",
     "q_token_shards",
-    # green r04, displaced by the 5 new r05 twins (83 twins, 50 slots);
+    # green r04, displaced by the 6 new r05 twins (84 twins, 50 slots);
     # they re-enter the window in r06 under the standing rotation
     "q_embed_cosine_topk", "q_ann_lsh_buckets", "q_embed_neardup",
-    "q_char_entropy", "q_dedup_clusters",
+    "q_char_entropy", "q_dedup_clusters", "q_tumbling_window",
 ]
 
 
@@ -1576,6 +1576,25 @@ def _q_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("scene_id"))
 
 
+def _q_reclass_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: r.reclass over the LST plane (algebra.reclass_tiles) —
+    the same first-match rule engine the hash-attested q_reclass twin
+    exercises cross-engine, here applied per tile (Kelvin bands to
+    categories). Plane-oracle parity in tests/test_algebra.py."""
+    from i_landsat8_swlst_spark import algebra, pipeline
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5)
+    out = algebra.reclass_tiles(
+        tiles, "0 thru 279 = 1\n280 thru 299 = 2\n* = 3")
+    return (out.groupBy("scene_id")
+            .agg(F.count(F.lit(1)).alias("n_tiles"),
+                 F.sum("n_valid").alias("n_classified"),
+                 F.round(F.avg("out_mean"), 4).alias("avg_class"))
+            .orderBy("scene_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _ordered(dict(relational.queries()))
     # rows-only (untwinned) entries go after every twinned query so they
@@ -1637,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_accumulate"] = _q_accumulate
     q["q_convolve"] = _q_convolve
     q["q_lake"] = _q_lake
+    q["q_reclass_tiles"] = _q_reclass_tiles
     q["q_kmeans"] = _q_kmeans
     q["q_maxlik"] = _q_maxlik
     return q

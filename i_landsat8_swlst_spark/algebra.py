@@ -280,3 +280,143 @@ def resample_tiles(tiles: DataFrame, scale: float,
                 yield _batch_from_cols(cols, RESAMPLE_SCHEMA)
 
     return tiles.mapInArrow(fn, RESAMPLE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Category reclassification (r.reclass / r.recode analog)
+# --------------------------------------------------------------------------
+
+def parse_reclass_rules(text: str) -> list[tuple]:
+    """Parse GRASS r.reclass rules text into an ordered rule list.
+
+    Supported line forms (labels after the new category are ignored,
+    ``#`` comments and blank lines skipped)::
+
+        1 2 3 = 10   water bodies
+        100 thru 200 = 5
+        * = NULL
+
+    New category ``NULL`` (any case) maps to NULL. Rules apply in order
+    with FIRST match winning (the engine's OQ-1 first-match convention,
+    stated here because GRASS's own precedence for duplicated categories
+    is not verifiable offline); categories matched by no rule become NULL,
+    exactly like r.reclass. Returns [(kind, payload, new)] with kind in
+    {"cats", "range", "star"} and new = float or None (NULL)."""
+    rules: list[tuple] = []
+    for ln, raw in enumerate(text.splitlines(), 1):
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        if "=" not in line:
+            raise ValueError(f"reclass rule line {ln}: no '=' in {raw!r}")
+        lhs, rhs = line.split("=", 1)
+        rhs_parts = rhs.split()
+        if not rhs_parts:
+            raise ValueError(f"reclass rule line {ln}: empty target in {raw!r}")
+        tgt = rhs_parts[0]  # anything after the category is a label
+        new = None if tgt.upper() == "NULL" else float(int(tgt))
+        lp = lhs.split()
+        if lp == ["*"]:
+            rules.append(("star", None, new))
+        elif len(lp) == 3 and lp[1].lower() == "thru":
+            lo, hi = int(lp[0]), int(lp[2])
+            if hi < lo:
+                raise ValueError(
+                    f"reclass rule line {ln}: empty range {raw!r}")
+            rules.append(("range", (lo, hi), new))
+        elif lp and all(p.lstrip("-").isdigit() for p in lp):
+            rules.append(("cats", [int(p) for p in lp], new))
+        else:
+            raise ValueError(f"reclass rule line {ln}: cannot parse {raw!r}")
+    if not rules:
+        raise ValueError("reclass rules text contains no rules")
+    return rules
+
+
+def reclass_plane(x: np.ndarray, rules: list[tuple]) -> np.ndarray:
+    """Apply parsed reclass rules to one plane. Input values round to the
+    nearest integer category (the planes are f32 carriers of CELL ints);
+    NULL stays NULL; unmatched categories become NULL."""
+    cat = np.rint(x)
+    out = np.full(x.shape, np.nan)
+    todo = np.isfinite(x)
+    for kind, payload, new in rules:
+        if kind == "cats":
+            m = todo & np.isin(cat, payload)
+        elif kind == "range":
+            m = todo & (cat >= payload[0]) & (cat <= payload[1])
+        else:
+            m = todo.copy()
+        if new is not None:
+            out[m] = new
+        todo &= ~m
+    return out
+
+
+def reclass_col(col, rules: list[tuple]):
+    """The same rules as a Catalyst Column over an integer column — one
+    first-match WHEN chain, NULL input and unmatched categories to NULL.
+    Lets relational twins attest the rule semantics cross-engine."""
+    from pyspark.sql import functions as F
+
+    expr = None
+    for kind, payload, new in rules:
+        val = F.lit(None).cast("double") if new is None else F.lit(new)
+        if kind == "cats":
+            cond = col.isin(payload)
+        elif kind == "range":
+            cond = (col >= payload[0]) & (col <= payload[1])
+        else:
+            cond = F.lit(True)
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    return F.when(col.isNotNull(), expr.otherwise(F.lit(None).cast("double")))
+
+
+def reclass_sql(col_expr: str, rules: list[tuple]) -> str:
+    """The same rules as an ANSI-SQL CASE chain (DuckDB oracle side)."""
+    arms = []
+    for kind, payload, new in rules:
+        val = "NULL" if new is None else repr(new)
+        if kind == "cats":
+            cond = f"{col_expr} IN ({', '.join(str(c) for c in payload)})"
+        elif kind == "range":
+            cond = f"{col_expr} BETWEEN {payload[0]} AND {payload[1]}"
+        else:
+            cond = "TRUE"
+        arms.append(f"WHEN {cond} THEN {val}")
+    return f"CASE {' '.join(arms)} ELSE NULL END"
+
+
+def reclass_tiles(tiles: DataFrame, rules_text: str,
+                  inputs: dict[str, str] | None = None) -> DataFrame:
+    """r.reclass over a tile raster column: ONE mapInArrow hop applying
+    the parsed rules per tile (ALGEBRA_SCHEMA output, stats included).
+    ``inputs`` must name exactly one column (default lst_bytes)."""
+    inputs = dict(inputs or {"x": "lst_bytes"})
+    if len(inputs) != 1:
+        raise ValueError("reclass_tiles takes exactly one input column")
+    (src_col,) = inputs.values()
+    rules = parse_reclass_rules(rules_text)  # driver-side: fail fast
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in ALGEBRA_SCHEMA}
+            ap = {k: v.append for k, v in cols.items()}
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                x = codecs.decode_f32bt(getattr(row, src_col), w, h) \
+                    .astype(np.float64)
+                out = reclass_plane(x, rules)
+                n_valid, vmin, vmax, vmean = _finite_stats(out)
+                ap["image_id"](getattr(row, "image_id", None))
+                ap["scene_id"](row.scene_id)
+                ap["tile_x"](row.tile_x); ap["tile_y"](row.tile_y)
+                ap["w"](w); ap["h"](h)
+                ap["out_bytes"](np.ascontiguousarray(out)
+                                .astype("<f4").tobytes())
+                ap["n_valid"](n_valid)
+                ap["out_min"](vmin); ap["out_max"](vmax); ap["out_mean"](vmean)
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, ALGEBRA_SCHEMA)
+
+    return tiles.mapInArrow(fn, ALGEBRA_SCHEMA)

@@ -1763,3 +1763,46 @@ def q_epoch_agg(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
                  .alias("total_cents")))
+
+
+# --- category reclassification (r.reclass rules, shared derivation) ----------
+# The SAME parsed rule list drives the Spark WHEN chain (algebra.reclass_col),
+# the DuckDB CASE chain (algebra.reclass_sql), and the raster kernel
+# (algebra.reclass_plane) - so this twin hash-attests the rule parser and its
+# first-match semantics cross-engine on 7500-ish integer categories.
+
+_RECLASS_RULES = """
+0 7 13 = 1   # scattered categories
+10 thru 59 = 2
+42 = 9       # shadowed: first match wins, 42 stays 2
+60 thru 119 = 3
+120 thru 135 = NULL
+* = 4
+"""
+
+
+@register(
+    "q_reclass",
+    None,  # SQL derived below from the same rules
+)
+def q_reclass(spark, sf_dir):
+    from .algebra import parse_reclass_rules, reclass_col
+
+    li = load(spark, sf_dir, "lineitem")
+    cat = (F.col("l_partkey") % 250).cast("int")
+    new = reclass_col(cat, parse_reclass_rules(_RECLASS_RULES))
+    return (li.select(F.coalesce(new, F.lit(-1.0)).alias("newcat"))
+            .groupBy("newcat")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _reclass_oracle_sql() -> str:
+    from .algebra import parse_reclass_rules, reclass_sql
+
+    case = reclass_sql("(l_partkey % 250)",
+                       parse_reclass_rules(_RECLASS_RULES))
+    return (f"SELECT coalesce({case}, -1.0) AS newcat, "
+            f"CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1")
+
+
+_REGISTRY["q_reclass"] = (_REGISTRY["q_reclass"][0], _reclass_oracle_sql())

@@ -168,3 +168,49 @@ def test_resample_tiles_spark(spark):
         exp = algebra.resample_plane(src[r.tile_x], 8, 8, "bilinear")
         got = np.frombuffer(r.out_bytes, dtype="<f4").reshape(8, 8)
         np.testing.assert_array_equal(got, exp.astype(np.float32))
+
+
+# ---- r.reclass -------------------------------------------------------------
+
+def test_reclass_parser_and_plane():
+    from i_landsat8_swlst_spark import algebra as A
+
+    rules = A.parse_reclass_rules("""
+        # comment line
+        1 2 3 = 10 water bodies
+        5 thru 8 = 20
+        2 = 99       # shadowed: first match wins
+        30 thru 40 = NULL
+        * = 0
+    """)
+    x = np.array([[1., 2, 3, 4, 5, 8, 9, 35, np.nan]])
+    got = A.reclass_plane(x, rules)
+    want = np.array([[10., 10, 10, 0, 20, 20, 0, np.nan, np.nan]])
+    assert np.array_equal(got, want, equal_nan=True)
+    # without a star rule, unmatched categories go NULL (r.reclass)
+    r2 = A.parse_reclass_rules("1 = 5")
+    assert np.isnan(A.reclass_plane(np.array([[2.0]]), r2))[0, 0]
+    for bad in ["", "1 2", "a = 5", "5 thru 2 = 1", "1 = "]:
+        with pytest.raises(ValueError):
+            A.parse_reclass_rules(bad)
+
+
+def test_reclass_tiles_end_to_end(spark):
+    from i_landsat8_swlst_spark import algebra as A
+
+    rng = np.random.default_rng(3)
+    plane = rng.integers(0, 50, (16, 16)).astype(np.float32)
+    plane[0, 0] = np.nan
+    rows = [{"image_id": "S0/0_0", "scene_id": "S0", "tile_x": 0,
+             "tile_y": 0, "w": 16, "h": 16,
+             "lst_bytes": plane.tobytes()}]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    text = "0 thru 9 = 1\n10 thru 29 = 2\n* = 3"
+    out = A.reclass_tiles(df, text).toPandas()
+    got = np.frombuffer(out.iloc[0].out_bytes, "<f4").reshape(16, 16)
+    want = A.reclass_plane(plane.astype(np.float64),
+                           A.parse_reclass_rules(text)).astype(np.float32)
+    assert np.array_equal(got, want, equal_nan=True)
+    assert out.iloc[0].n_valid == int(np.isfinite(want).sum())
+    with pytest.raises(ValueError, match="exactly one"):
+        A.reclass_tiles(df, text, inputs={"a": "x", "b": "y"})
