@@ -475,7 +475,7 @@ def lake_tiles(tiles: DataFrame, seeds: DataFrame, level: float,
                 "lake_bytes": [lake.tobytes()],
                 "area_px": [int(m.sum())],
                 "volume": [float(depth[m].astype(np.float64).sum())],
-                "n_regions": [int(len(local))],
+                "n_regions": [int(right.label.nunique())],
             })
 
         key = ["scene_id", "tile_x", "tile_y"]

@@ -92,6 +92,30 @@ def main() -> None:
         grab(enrich),
     ))
 
+    import numpy as np
+
+    idw_st = pd.DataFrame({
+        "station_id": [f"st{i}" for i in range(8)],
+        "lon": np.linspace(10.01, 10.39, 8),
+        "lat": np.linspace(40.01, 40.39, 8),
+        "value": np.linspace(1.0, 5.0, 8)})
+    idw_geom = spark.createDataFrame(pd.DataFrame([{
+        "scene_id": "S1", "lon0": 10.0, "lat0": 40.0,
+        "lon1": 10.4, "lat1": 40.4, "ntx": 2, "nty": 2}]))
+    idw_tiles = spark.createDataFrame(pd.DataFrame([
+        {"scene_id": "S1", "tile_x": tx, "tile_y": ty, "w": 16, "h": 16}
+        for tx in range(2) for ty in range(2)]))
+    sections.append((
+        "IDW rasterize, broadcast path (idw_rasterize — round 5)",
+        "Checklist: ONE BroadcastHashJoin (tiny scene_geom) + ONE MapInArrow "
+        "— ZERO hash exchanges; the interpolated plane is written where the "
+        "grid rows already live. Stations ride a broadcast variable. The "
+        "distributed cell-join path (idw_rasterize_cells / "
+        "kde_rasterize_cells) is plan-gated equi in tests/test_plans.py and "
+        "bit-identical to this path.",
+        grab(spatial.idw_rasterize(idw_tiles, idw_st, idw_geom, k=4)),
+    ))
+
     q = queries()
     for name, note in [
         ("q_lst_sw", "all-scalar physics: one WholeStageCodegen span over the "

@@ -279,9 +279,10 @@ def test_lake_matches_flood_fill_oracle(spark):
     assert set(zip(got.tile_x, got.tile_y)) == {(0, 0), (0, 1)}
     # basin B (present in the mask) stayed dry
     assert np.isnan(mosaic[6, 32])
-    # volume = sum of depths
+    # volume = sum of depths; one distinct lake region everywhere
     np.testing.assert_allclose(
         got.volume.sum(), np.nansum(want_depth), rtol=1e-6)
+    assert (got.n_regions == 1).all()
 
 
 def test_lake_seed_validation(spark):
