@@ -1595,6 +1595,28 @@ def _q_reclass_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("scene_id"))
 
 
+def _q_grow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: r.grow analog (pipeline.grow_tiles) — QA cloud pinholes
+    in the LST plane closed by nearest-valid-value growth (radius 2.5,
+    exact cross-tile halo). Naive-loop kernel oracle + whole-scene halo
+    parity in tests/test_kernels.py / test_pipeline.py."""
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import constants as C, pipeline, synth
+
+    scenes = spark.createDataFrame(synth.scenes_pdf("tiny", with_qa=True))
+    meta = spark.createDataFrame(synth.scene_meta_pdf("tiny"))
+    emis = spark.createDataFrame(
+        pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
+    tiles = pipeline.lst_tiles(
+        pipeline.build_enriched(scenes, meta, emis, with_qa=True), window=5)
+    out = pipeline.grow_tiles(tiles, radius=2.5)
+    return (out.groupBy("scene_id")
+            .agg(F.count(F.lit(1)).alias("n_tiles"),
+                 F.sum("n_grown").alias("n_grown"))
+            .orderBy("scene_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _ordered(dict(relational.queries()))
     # rows-only (untwinned) entries go after every twinned query so they
@@ -1657,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_convolve"] = _q_convolve
     q["q_lake"] = _q_lake
     q["q_reclass_tiles"] = _q_reclass_tiles
+    q["q_grow"] = _q_grow
     q["q_kmeans"] = _q_kmeans
     q["q_maxlik"] = _q_maxlik
     return q

@@ -570,3 +570,41 @@ def convolve_plane(x: np.ndarray, weights: np.ndarray,
         out = acc / float(divisor)
     out[~np.isfinite(x)] = np.nan  # NULL center stays NULL
     return out
+
+
+def grow_plane(x: np.ndarray, radius: float,
+               value: float | None = None) -> np.ndarray:
+    """r.grow kernel: expand the non-NULL area by a Euclidean ``radius``
+    (cells, GRASS default 1.01 = the 4-neighbourhood). A NULL cell whose
+    center lies within ``radius`` of a valid cell's center becomes valid:
+    it takes ``value`` if given (the r.grow value= option), else the value
+    of the NEAREST valid cell, ties broken by smaller (dy, dx) offset —
+    deterministic because offsets are enumerated in sorted
+    (distance², dy, dx) order and the first hit wins. Valid cells are
+    never changed. One vectorized pass per in-radius offset (O(radius²)
+    plane adds, no per-pixel Python)."""
+    if radius <= 0:
+        raise ValueError(f"radius must be positive, got {radius}")
+    r = int(np.floor(radius))
+    x = np.asarray(x, dtype=np.float64)
+    h, w = x.shape
+    out = x.copy()
+    need = ~np.isfinite(x)
+    offsets = sorted(
+        (dy * dy + dx * dx, dy, dx)
+        for dy in range(-r, r + 1) for dx in range(-r, r + 1)
+        if 0 < dy * dy + dx * dx <= radius * radius)
+    for _d2, dy, dx in offsets:
+        if not need.any():
+            break
+        src_y = slice(max(0, dy), min(h, h + dy))
+        src_x = slice(max(0, dx), min(w, w + dx))
+        dst_y = slice(max(0, -dy), min(h, h - dy))
+        dst_x = slice(max(0, -dx), min(w, w - dx))
+        sub = x[src_y, src_x]
+        take = need[dst_y, dst_x] & np.isfinite(sub)
+        if take.any():
+            tgt = out[dst_y, dst_x]
+            tgt[take] = value if value is not None else sub[take]
+            need[dst_y, dst_x] &= ~take
+    return out

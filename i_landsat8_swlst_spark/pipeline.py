@@ -1086,3 +1086,61 @@ def convolve_tiles(tiles: DataFrame, weights, divisor: float | None = None,
                 yield _batch_from_cols(cols, CONV_SCHEMA)
 
     return src.mapInArrow(fn, CONV_SCHEMA)
+
+
+GROW_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("scene_id", StringType()),
+    StructField("tile_x", IntegerType()),
+    StructField("tile_y", IntegerType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("grown_bytes", BinaryType()),
+    StructField("n_grown", LongType()),
+])
+
+
+def grow_tiles(tiles: DataFrame, radius: float = 1.01,
+               value: float | None = None,
+               src_col: str = "lst_bytes",
+               halo: bool = True) -> DataFrame:
+    """r.grow analog: expand the non-NULL area of a tile raster column by
+    a Euclidean radius — close QA-mask pinholes before zonal/series
+    consumers, or grow class patches. New cells take the nearest valid
+    cell's value (or the constant ``value``); kernels.grow_plane defines
+    the deterministic tie-break.
+
+    halo=True (default) exchanges floor(radius) neighbor-pixel strips so
+    growth crosses tile borders EXACTLY like one whole-scene pass;
+    halo=False stays tile-local. One mapInArrow hop either way.
+    """
+    if radius <= 0:
+        raise ValueError(f"radius must be positive, got {radius}")
+    m = int(np.floor(radius)) if halo else 0
+    src = halo_plane_tiles(tiles, r=m, src_col=src_col) if halo else tiles
+    col = "pad_bytes" if halo else src_col
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in GROW_SCHEMA}
+            ap = {k: v.append for k, v in cols.items()}
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                plane = codecs.decode_f32bt(getattr(row, col),
+                                            w + 2 * m, h + 2 * m)
+                before = np.isfinite(plane)
+                out = K.grow_plane(plane, radius, value)
+                if m:
+                    out = out[m:m + h, m:m + w]
+                    before = before[m:m + h, m:m + w]
+                p32 = np.ascontiguousarray(out).astype("<f4")
+                ap["image_id"](row.image_id)
+                ap["scene_id"](row.scene_id)
+                ap["tile_x"](row.tile_x); ap["tile_y"](row.tile_y)
+                ap["w"](w); ap["h"](h)
+                ap["grown_bytes"](p32.tobytes())
+                ap["n_grown"](int((np.isfinite(p32) & ~before).sum()))
+            if cols["image_id"]:
+                yield _batch_from_cols(cols, GROW_SCHEMA)
+
+    return src.mapInArrow(fn, GROW_SCHEMA)

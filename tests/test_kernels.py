@@ -320,3 +320,42 @@ def test_convolve_plane_rejects_bad_args():
     # ... but is fine with one (the gradient-filter use case)
     assert np.isfinite(
         K.convolve_plane(x, np.array([[1.0, 0, -1]]), divisor=2.0)[2, 2])
+
+
+# --- r.grow -----------------------------------------------------------------
+
+def _grow_naive(x, radius, value=None):
+    h, w = x.shape
+    out = x.copy()
+    for y in range(h):
+        for xx in range(w):
+            if np.isfinite(x[y, xx]):
+                continue
+            best = None  # (d2, dy, dx, val)
+            for yy in range(h):
+                for xj in range(w):
+                    if not np.isfinite(x[yy, xj]):
+                        continue
+                    d2 = (yy - y) ** 2 + (xj - xx) ** 2
+                    if d2 <= radius * radius:
+                        k = (d2, yy - y, xj - xx)
+                        if best is None or k < best[:3]:
+                            best = (*k, x[yy, xj])
+            if best is not None:
+                out[y, xx] = value if value is not None else best[3]
+    return out
+
+
+def test_grow_plane_matches_naive():
+    rng = np.random.default_rng(59)
+    x = rng.uniform(0, 50, (13, 17))
+    x[rng.random(x.shape) < 0.6] = np.nan
+    for radius, value in [(1.01, None), (2.5, None), (2.0, -7.0)]:
+        got = K.grow_plane(x, radius, value)
+        want = _grow_naive(x, radius, value)
+        assert np.array_equal(got, want, equal_nan=True), (radius, value)
+    # valid cells never change
+    keep = np.isfinite(x)
+    assert np.array_equal(K.grow_plane(x, 3.0)[keep], x[keep])
+    with pytest.raises(ValueError, match="radius"):
+        K.grow_plane(x, 0.0)

@@ -450,3 +450,26 @@ def test_convolve_tiles_halo_equals_whole_scene(spark):
             p, K.convolve_plane(sub, sharpen, 0.0).astype(np.float32))
     with pytest.raises(ValueError, match="square"):
         pipeline.convolve_tiles(tiles, np.ones((1, 3)))
+
+
+def test_grow_tiles_halo_equals_whole_scene(spark):
+    """grow_tiles(halo=True) must equal one whole-scene kernels.grow_plane
+    run, tile for tile — growth crosses interior tile borders."""
+    from i_landsat8_swlst_spark import kernels as K
+
+    rng = np.random.default_rng(101)
+    plane = rng.uniform(250.0, 330.0, (64, 96)).astype(np.float32)
+    plane[rng.random(plane.shape) < 0.5] = np.nan
+    plane[:, 31:34] = np.nan  # hole straddling the tile border
+    tiles = _plane_tiles_df(spark, {"S0": plane}, tw=32, th=32)
+    got = pipeline.grow_tiles(tiles, radius=2.5).toPandas()
+    exp = K.grow_plane(plane.astype(np.float64), 2.5).astype(np.float32)
+    grown_total = 0
+    for r in got.itertuples():
+        sl = (slice(r.tile_y * 32, (r.tile_y + 1) * 32),
+              slice(r.tile_x * 32, (r.tile_x + 1) * 32))
+        p = np.frombuffer(r.grown_bytes, dtype="<f4").reshape(32, 32)
+        np.testing.assert_array_equal(p, exp[sl], err_msg=f"{r.tile_x},{r.tile_y}")
+        grown_total += r.n_grown
+    assert grown_total == int(np.isfinite(exp).sum()
+                              - np.isfinite(plane).sum())
