@@ -1617,6 +1617,39 @@ def _q_grow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("scene_id"))
 
 
+def _q_rasterize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: polyline rasterization (v.to.rast type=line analog,
+    spatial.rasterize_lines) — supercover grid traversal (no diagonal
+    gaps), highest category wins on overlap, broadcast vector side, zero
+    hash exchanges. Two-sided traversal bound + sampled-cell oracle in
+    tests/test_spatial.py."""
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import pipeline, spatial
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    tiles = pipeline.parse_scenes(scenes).filter(F.col("band") == 10).select(
+        "scene_id", "tile_x", "tile_y", "w", "h")
+    geom = (pipeline.scene_grids(pipeline.parse_scenes(scenes))
+            .join(meta.select("scene_id", "lon0", "lat0", "lon1", "lat1"),
+                  "scene_id"))
+    boxes = meta.select("scene_id", "lon0", "lat0", "lon1", "lat1").toPandas()
+    rows = []
+    for b in boxes.itertuples():  # one diagonal + one bar PER scene bbox
+        sx = lambda f: b.lon0 + f * (b.lon1 - b.lon0)
+        sy = lambda f: b.lat0 + f * (b.lat1 - b.lat0)
+        rows.append({"line_id": f"diag-{b.scene_id}", "cat": 7,
+                     "xs": [sx(0.05), sx(0.95)], "ys": [sy(0.1), sy(0.9)]})
+        rows.append({"line_id": f"bar-{b.scene_id}", "cat": 3,
+                     "xs": [sx(0.1), sx(0.9)], "ys": [sy(0.5), sy(0.5)]})
+    lines = pd.DataFrame(rows)
+    out = spatial.rasterize_lines(tiles, lines, geom)
+    return (out.groupBy("scene_id")
+            .agg(F.count(F.lit(1)).alias("n_tiles"),
+                 F.sum("n_cells").alias("n_cells"))
+            .orderBy("scene_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _ordered(dict(relational.queries()))
     # rows-only (untwinned) entries go after every twinned query so they
@@ -1680,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_lake"] = _q_lake
     q["q_reclass_tiles"] = _q_reclass_tiles
     q["q_grow"] = _q_grow
+    q["q_rasterize_lines"] = _q_rasterize_lines
     q["q_kmeans"] = _q_kmeans
     q["q_maxlik"] = _q_maxlik
     return q

@@ -1607,3 +1607,126 @@ def kde_rasterize_cells(tiles: DataFrame, stations: DataFrame,
             wgt, radius_km, kernel)
 
     return _grouped_plane_apply(cand, plane_fn, "kde_bytes")
+
+
+# --------------------------------------------------------------------------
+# Line rasterization: polylines -> raster cells (v.to.rast type=line analog)
+# --------------------------------------------------------------------------
+
+def supercover_cells(x0: float, y0: float, x1: float, y1: float):
+    """All integer grid cells [i, i+1) x [j, j+1) a segment passes through,
+    in traversal order — Amanatides–Woo voxel walking in continuous pixel
+    coordinates. Deterministic; endpoints on cell boundaries resolve by
+    floor (half-open cells, consistent with the engine's geocode)."""
+    ix, iy = int(np.floor(x0)), int(np.floor(y0))
+    ix1, iy1 = int(np.floor(x1)), int(np.floor(y1))
+    dx, dy = x1 - x0, y1 - y0
+    cells = [(ix, iy)]
+    step_x = 1 if dx > 0 else -1
+    step_y = 1 if dy > 0 else -1
+    t_max_x = ((ix + (step_x > 0)) - x0) / dx if dx != 0 else np.inf
+    t_max_y = ((iy + (step_y > 0)) - y0) / dy if dy != 0 else np.inf
+    t_dx = abs(1.0 / dx) if dx != 0 else np.inf
+    t_dy = abs(1.0 / dy) if dy != 0 else np.inf
+    # cap: a segment crosses at most |Δix| + |Δiy| boundaries
+    for _ in range(abs(ix1 - ix) + abs(iy1 - iy)):
+        if t_max_x < t_max_y:
+            ix += step_x
+            t_max_x += t_dx
+        else:
+            iy += step_y
+            t_max_y += t_dy
+        cells.append((ix, iy))
+    return cells
+
+
+_LINES_SCHEMA = StructType([
+    StructField("scene_id", StringType()),
+    StructField("tile_x", IntegerType()),
+    StructField("tile_y", IntegerType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("line_bytes", BinaryType()),   # f32 category, NaN off-line
+    StructField("n_cells", LongType()),
+])
+
+
+def rasterize_lines(tiles: DataFrame, lines: pd.DataFrame,
+                    scene_geom: DataFrame) -> DataFrame:
+    """v.to.rast type=line analog: burn polyline categories into the tile
+    grid. A cell is marked when the line passes through its square
+    (supercover semantics — no gaps on steep diagonals, unlike thin
+    Bresenham); overlapping lines resolve to the HIGHEST category
+    (deterministic, order-free).
+
+    ``lines`` is the small vector side (line_id, cat, xs, ys — lon/lat
+    vertex arrays), broadcast like the PIP R-tree layers; ``tiles`` only
+    defines the grid. Plan: ONE scene_geom broadcast join + ONE mapInArrow
+    pass, zero hash exchanges — each tile walks only the segments whose
+    bbox overlaps it (driver-side per-segment bboxes ride the broadcast).
+    """
+    for c in ("line_id", "cat", "xs", "ys"):
+        if c not in lines.columns:
+            raise ValueError(f"lines needs column {c!r}")
+    segs = []  # (bx0, by0, bx1, by1, lon_a, lat_a, lon_b, lat_b, cat)
+    for r in lines.itertuples():
+        xs = np.asarray(r.xs, dtype=np.float64)
+        ys = np.asarray(r.ys, dtype=np.float64)
+        if xs.size != ys.size or xs.size < 2:
+            raise ValueError(
+                f"line {r.line_id!r}: xs/ys must be equal-length, >= 2")
+        for i in range(xs.size - 1):
+            segs.append((min(xs[i], xs[i + 1]), min(ys[i], ys[i + 1]),
+                         max(xs[i], xs[i + 1]), max(ys[i], ys[i + 1]),
+                         xs[i], ys[i], xs[i + 1], ys[i + 1], float(r.cat)))
+    seg_arr = np.array(segs, dtype=np.float64) if segs else np.empty((0, 9))
+    spark = tiles.sparkSession
+    bc = spark.sparkContext.broadcast(seg_arr)
+    src = (tiles.select("scene_id", "tile_x", "tile_y", "w", "h")
+           .join(F.broadcast(scene_geom), on="scene_id"))
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        sa = bc.value
+        for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in _LINES_SCHEMA}
+            ap = {kk: v.append for kk, v in cols.items()}
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                ntx, nty = int(row.ntx), int(row.nty)
+                gw, gh = ntx * w, nty * h
+                # tile bbox in lon/lat (lat1 is the TOP edge)
+                dlon = (row.lon1 - row.lon0) / ntx
+                dlat = (row.lat1 - row.lat0) / nty
+                tl0 = row.lon0 + row.tile_x * dlon
+                tl1 = tl0 + dlon
+                tb1 = row.lat1 - row.tile_y * dlat
+                tb0 = tb1 - dlat
+                plane = np.full((h, w), np.nan, dtype=np.float32)
+                if sa.size:
+                    hit = ((sa[:, 0] <= tl1) & (sa[:, 2] >= tl0)
+                           & (sa[:, 1] <= tb1) & (sa[:, 3] >= tb0))
+                    ox, oy = int(row.tile_x) * w, int(row.tile_y) * h
+                    for bx0, by0, bx1, by1, ax, ay, bx, by, cat in sa[hit]:
+                        # global continuous pixel coords (u right, v down)
+                        ua = (ax - row.lon0) / (row.lon1 - row.lon0) * gw
+                        va = (row.lat1 - ay) / (row.lat1 - row.lat0) * gh
+                        ub = (bx - row.lon0) / (row.lon1 - row.lon0) * gw
+                        vb = (row.lat1 - by) / (row.lat1 - row.lat0) * gh
+                        for cx, cy in supercover_cells(ua, va, ub, vb):
+                            px, py = cx - ox, cy - oy
+                            if 0 <= px < w and 0 <= py < h:
+                                cur = plane[py, px]
+                                if not np.isfinite(cur) or cat > cur:
+                                    plane[py, px] = cat
+                n = int(np.isfinite(plane).sum())
+                if n == 0:
+                    continue  # inner semantics: only touched tiles emit
+                ap["scene_id"](row.scene_id)
+                ap["tile_x"](int(row.tile_x)); ap["tile_y"](int(row.tile_y))
+                ap["w"](w); ap["h"](h)
+                ap["line_bytes"](plane.tobytes())
+                ap["n_cells"](n)
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, _LINES_SCHEMA)
+
+    return src.mapInArrow(fn, _LINES_SCHEMA)

@@ -890,3 +890,77 @@ def test_kde_rejects_bad_args(spark):
                               kernel="triweight")
     with pytest.raises(ValueError, match="radius"):
         spatial.kde_rasterize(tiles, st, geom, radius_km=-1.0)
+
+
+# ---- rasterize_lines (v.to.rast type=line) --------------------------------
+
+def _seg_rect_dist(ax, ay, bx, by, cx0, cy0, cx1, cy1):
+    """Min distance between segment and rectangle (0 if intersecting)."""
+    # sample-free: clamp-project rectangle corners/edges is fiddly; use
+    # dense parametric sampling (fine at test scale)
+    t = np.linspace(0, 1, 4001)
+    px = ax + (bx - ax) * t
+    py = ay + (by - ay) * t
+    dx = np.clip(px, cx0, cx1) - px
+    dy = np.clip(py, cy0, cy1) - py
+    return float(np.sqrt(dx * dx + dy * dy).min())
+
+
+def test_supercover_two_sided_bound():
+    """Traversal must contain every densely-sampled cell (no gaps) and
+    touch only cells within epsilon of the segment (no spray)."""
+    rng = np.random.default_rng(71)
+    for _ in range(40):
+        ax, ay, bx, by = rng.uniform(0, 10, 4)
+        cells = set(spatial.supercover_cells(ax, ay, bx, by))
+        t = np.linspace(0, 1, 5001)
+        sampled = set(zip(np.floor(ax + (bx - ax) * t).astype(int),
+                          np.floor(ay + (by - ay) * t).astype(int)))
+        assert sampled <= cells, (ax, ay, bx, by)
+        for cx, cy in cells:
+            assert _seg_rect_dist(ax, ay, bx, by,
+                                  cx, cy, cx + 1, cy + 1) < 1e-3, \
+                (ax, ay, bx, by, cx, cy)
+
+
+def test_rasterize_lines_matches_sampled_oracle(spark):
+    import pandas as pd
+
+    tiles, geom, _st, box = _idw_fixture(spark, n_stations=1)
+    LON0, LAT0, LON1, LAT1, ntx, nty, W, H = box
+    lines = pd.DataFrame([
+        {"line_id": "road", "cat": 7,
+         "xs": [10.02, 10.38], "ys": [40.05, 40.35]},     # long diagonal
+        {"line_id": "canal", "cat": 3,
+         "xs": [10.01, 10.39, 10.39], "ys": [40.2, 40.2, 40.01]},  # L shape
+    ])
+    got = spatial.rasterize_lines(tiles, lines, geom).toPandas()
+    mosaic = np.full((nty * H, ntx * W), np.nan, dtype=np.float32)
+    for r in got.itertuples():
+        p = np.frombuffer(r.line_bytes, "<f4").reshape(r.h, r.w)
+        m = np.isfinite(p)
+        blk = mosaic[r.tile_y * H:(r.tile_y + 1) * H,
+                     r.tile_x * W:(r.tile_x + 1) * W]
+        blk[m] = p[m]
+        assert r.n_cells == int(m.sum())
+    gw, gh = ntx * W, nty * H
+    # oracle: dense sampling of every segment in global pixel space must
+    # land on burned cells with the right (max) category
+    for xs, ys, cat in [(lines["xs"][0], lines["ys"][0], 7),
+                        (lines["xs"][1], lines["ys"][1], 3)]:
+        for i in range(len(xs) - 1):
+            t = np.linspace(0, 1, 3000)
+            u = (np.asarray(xs[i]) + (xs[i + 1] - xs[i]) * t - LON0) \
+                / (LON1 - LON0) * gw
+            v = (LAT1 - (np.asarray(ys[i]) + (ys[i + 1] - ys[i]) * t)) \
+                / (LAT1 - LAT0) * gh
+            for cx, cy in set(zip(np.floor(u).astype(int),
+                                  np.floor(v).astype(int))):
+                assert np.isfinite(mosaic[cy, cx]), (cx, cy)
+                assert mosaic[cy, cx] >= cat  # >= : overlaps take the max
+    # untouched tiles emit nothing
+    assert len(got) < ntx * nty * 2 + 1
+    # bad input raises
+    bad = pd.DataFrame([{"line_id": "x", "cat": 1, "xs": [1.0], "ys": [2.0]}])
+    with pytest.raises(ValueError, match="equal-length"):
+        spatial.rasterize_lines(tiles, bad, geom)
