@@ -1650,6 +1650,32 @@ def _q_rasterize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("scene_id"))
 
 
+def _q_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: D8 flow-path tracing (r.drain analog, hydro.drain_paths)
+    — per round every live path walks vectorized inside its current tile,
+    only the tiny live-point set crosses the exchange; whole-scene-walk
+    oracle parity incl. multi-tile paths in tests/test_hydro.py."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import hydro, pipeline
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5)
+    one = tiles.filter(F.col("scene_id") == "LC08_00000")
+    # start a path at the center of each corner tile (LST as "elevation")
+    pts = spark.createDataFrame(pd.DataFrame([
+        {"scene_id": "LC08_00000", "pid": i,
+         "gx": 16 + 96 * (i % 2), "gy": 16 + 96 * (i // 2)}
+        for i in range(4)]))
+    paths = hydro.drain_paths(one, pts)
+    return (paths.groupBy("pid")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.round(F.max("dist"), 4).alias("path_len"))
+            .orderBy("pid"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _ordered(dict(relational.queries()))
     # rows-only (untwinned) entries go after every twinned query so they
@@ -1714,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_reclass_tiles"] = _q_reclass_tiles
     q["q_grow"] = _q_grow
     q["q_rasterize_lines"] = _q_rasterize_lines
+    q["q_drain"] = _q_drain
     q["q_kmeans"] = _q_kmeans
     q["q_maxlik"] = _q_maxlik
     return q

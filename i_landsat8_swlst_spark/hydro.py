@@ -597,3 +597,135 @@ def basin_tiles(tiles: DataFrame, src_col: str = "lst_bytes",
                 yield _batch_from_cols(cols, BASIN_SCHEMA)
 
     return subst_in.mapInArrow(subst_fn, BASIN_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# distributed: flow path tracing (r.drain / r.path analog)
+# ---------------------------------------------------------------------------
+
+DRAIN_SCHEMA = StructType([
+    StructField("scene_id", StringType()),
+    StructField("pid", LongType()),
+    StructField("step", IntegerType()),
+    StructField("gx", IntegerType()),
+    StructField("gy", IntegerType()),
+    StructField("dist", DoubleType()),     # cumulative D8 distance (cells)
+    StructField("done", BooleanType()),    # True: path cell; False: carry-over
+])
+
+
+def drain_paths(tiles: DataFrame, points: DataFrame,
+                src_col: str = "lst_bytes",
+                max_rounds: int = 128) -> DataFrame:
+    """r.drain analog: trace the D8 steepest-descent path from each start
+    cell downhill until a pit (or the scene edge). Returns one ROW per
+    path cell — (scene_id, pid, step, gx, gy, dist) with ``step`` the
+    0-based order along the path and ``dist`` the cumulative D8 distance
+    (1 / √2 per move) — paths are 1-D, so rows are the honest
+    representation (no plane bytes cross the wire after the dir pass).
+
+    ``points`` carries (scene_id, pid, gx, gy) scene-pixel start cells.
+    A start on a NULL-elevation cell raises (GRASS refuses off-surface
+    start coordinates too); a start outside every tile simply yields no
+    rows (the sample_raster inner-join convention).
+
+    Plan: one flow_dir_tiles pass (1-px halo, whole-scene-exact dirs,
+    persisted), then a driver loop of per-tile cogrouped walks — each
+    round every live path walks VECTOR-FREE inside its current tile until
+    it leaves it, so rounds = max tile-border crossings of any path
+    (bounded, typically << max_rounds); per round the only exchange is
+    the tiny live-point set joining its tile's dir plane. The D8 graph is
+    acyclic by construction (strictly-lower descent), so termination is
+    structural, with max_rounds as a loud backstop.
+    """
+    from pyspark import StorageLevel
+    import pandas as pd
+
+    nom = tiles.agg(F.max("w").alias("w"), F.max("h").alias("h")).first()
+    nom_w, nom_h = int(nom["w"]), int(nom["h"])
+    dirs = flow_dir_tiles(tiles, src_col=src_col) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    spark = tiles.sparkSession
+
+    def walk_fn(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        out = {f.name: [] for f in DRAIN_SCHEMA}
+        if right.empty:
+            if left.empty:
+                return pd.DataFrame(out)
+            bad = sorted(left.pid.astype(int))
+            raise ValueError(
+                f"drain_paths: start/continuation points {bad} landed on a "
+                f"tile with no flow-direction plane")
+        t = right.iloc[0]
+        w, h = int(t.w), int(t.h)
+        tx, ty = int(t.tile_x), int(t.tile_y)
+        dirs_p = np.frombuffer(t.dir_bytes, "<f4").reshape(h, w)
+        ox, oy = tx * nom_w, ty * nom_h
+        for p in left.itertuples():
+            px, py = int(p.gx) - ox, int(p.gy) - oy
+            step, dist = int(p.step), float(p.dist)
+            first = step == 0
+            while 0 <= px < w and 0 <= py < h:
+                k = dirs_p[py, px]
+                if first and np.isnan(k):
+                    raise ValueError(
+                        f"drain_paths: start point pid={int(p.pid)} at "
+                        f"({int(p.gx)}, {int(p.gy)}) is on a NULL cell")
+                first = False
+                out["scene_id"].append(t.scene_id)
+                out["pid"].append(int(p.pid))
+                out["step"].append(step)
+                out["gx"].append(ox + px); out["gy"].append(oy + py)
+                out["dist"].append(dist)
+                out["done"].append(True)
+                if np.isnan(k) or k < 0:   # pit or NULL downstream: stop
+                    break
+                ki = int(k)
+                px += int(_D8_DX[ki]); py += int(_D8_DY[ki])
+                step += 1
+                dist += float(_D8_DIST[ki])
+            else:
+                gx2, gy2 = ox + px, oy + py
+                # off the SCENE edge (not just the tile) ends the path;
+                # detect by whether the target tile exists next round
+                out["scene_id"].append(t.scene_id)
+                out["pid"].append(int(p.pid))
+                out["step"].append(step)
+                out["gx"].append(gx2); out["gy"].append(gy2)
+                out["dist"].append(dist)
+                out["done"].append(False)
+        return pd.DataFrame(out)
+
+    live = points.select(
+        "scene_id", F.col("pid").cast("long").alias("pid"),
+        F.lit(0).alias("step"), F.col("gx").cast("int"),
+        F.col("gy").cast("int"), F.lit(0.0).alias("dist"),
+        F.lit(False).alias("done"))
+    pieces = []
+    try:
+        for _ in range(max_rounds):
+            keyed = live.withColumn(
+                "tile_x", (F.col("gx") / nom_w).cast("int")).withColumn(
+                "tile_y", (F.col("gy") / nom_h).cast("int"))
+            key = ["scene_id", "tile_x", "tile_y"]
+            # inner-filter continuations that walked off the scene edge:
+            # their target tile has no dir row -> semi-join drops them
+            keyed = keyed.join(
+                dirs.select(*key).distinct(), on=key, how="semi")
+            walked = (keyed.groupBy(*key)
+                      .cogroup(dirs.groupBy(*key))
+                      .applyInPandas(walk_fn, DRAIN_SCHEMA)
+                      .localCheckpoint())
+            pieces.append(walked.filter("done"))
+            live = walked.filter("NOT done")
+            if live.isEmpty():
+                break
+        else:
+            raise RuntimeError(
+                f"drain_paths: paths still live after {max_rounds} rounds")
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out.drop("done").localCheckpoint()
+    finally:
+        dirs.unpersist()

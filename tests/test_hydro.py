@@ -298,3 +298,65 @@ def test_halo_f8_dtype_roundtrip(spark):
                            dtype="<f8").toPandas()
     pad = np.frombuffer(out.iloc[0]["pad_bytes"], dtype="<f8").reshape(10, 10)
     assert (pad[1:-1, 1:-1] == big).all()
+
+
+# ---- drain_paths (r.drain analog) ------------------------------------------
+
+def _drain_oracle(elev, gx, gy):
+    """Whole-scene python walk over flow_dir_pad of the assembled plane."""
+    dirs = hydro.flow_dir_pad(_pad_nan(elev))
+    path = []
+    x, y, dist = gx, gy, 0.0
+    hgt, wid = elev.shape
+    while 0 <= x < wid and 0 <= y < hgt:
+        path.append((len(path), x, y, dist))
+        k = dirs[y, x]
+        if np.isnan(k) or k < 0:
+            break
+        ki = int(k)
+        x += int(hydro._D8_DX[ki]); y += int(hydro._D8_DY[ki])
+        dist += float(hydro._D8_DIST[ki])
+    return path
+
+
+def test_drain_paths_match_whole_scene_walk(spark):
+    """Paths over a random hill field must equal the whole-scene walk cell
+    for cell — including paths that cross several tile borders."""
+    elev = _hills(48, 48, seed=13, nodata_frac=0.03)
+    tiles = _tiles_df(spark, elev, tile=16)
+    rng = np.random.default_rng(5)
+    starts, oracle = [], {}
+    pid = 0
+    while pid < 8:
+        gx, gy = int(rng.integers(0, 48)), int(rng.integers(0, 48))
+        if not np.isfinite(elev[gy, gx]):
+            continue
+        starts.append({"scene_id": "S0", "pid": pid, "gx": gx, "gy": gy})
+        oracle[pid] = _drain_oracle(elev, gx, gy)
+        pid += 1
+    pts = spark.createDataFrame(pd.DataFrame(starts))
+    got = (hydro.drain_paths(tiles, pts).toPandas()
+           .sort_values(["pid", "step"]).reset_index(drop=True))
+    crossed = 0
+    for pid, want in oracle.items():
+        sub = got[got.pid == pid]
+        assert len(sub) == len(want), pid
+        for row, (step, x, y, dist) in zip(sub.itertuples(), want):
+            assert (row.step, row.gx, row.gy) == (step, x, y), (pid, step)
+            np.testing.assert_allclose(row.dist, dist, rtol=1e-12)
+        tiles_seen = {(x // 16, y // 16) for _s, x, y, _d in want}
+        crossed = max(crossed, len(tiles_seen))
+    assert crossed >= 2  # at least one path actually crossed tiles
+
+
+def test_drain_paths_validation(spark):
+    elev = _hills(16, 16, seed=3)
+    elev[4, 4] = np.nan
+    tiles = _tiles_df(spark, elev, tile=16)
+    null_start = spark.createDataFrame(pd.DataFrame(
+        [{"scene_id": "S0", "pid": 0, "gx": 4, "gy": 4}]))
+    with pytest.raises(Exception, match="NULL cell"):
+        hydro.drain_paths(tiles, null_start).count()
+    off = spark.createDataFrame(pd.DataFrame(
+        [{"scene_id": "S0", "pid": 0, "gx": 99, "gy": 99}]))
+    assert hydro.drain_paths(tiles, off).count() == 0
