@@ -1676,6 +1676,29 @@ def _q_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("pid"))
 
 
+def _q_fillnulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: smooth IDW hole filling (r.fillnulls analog,
+    pipeline.fillnulls_tiles) — QA cloud holes blended from all valid
+    cells within the radius (vs q_grow's nearest-copy), exact cross-tile
+    halo. Naive oracle + whole-scene halo parity in tests/test_kernels.py
+    / test_pipeline.py."""
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import constants as C, pipeline, synth
+
+    scenes = spark.createDataFrame(synth.scenes_pdf("tiny", with_qa=True))
+    meta = spark.createDataFrame(synth.scene_meta_pdf("tiny"))
+    emis = spark.createDataFrame(
+        pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
+    tiles = pipeline.lst_tiles(
+        pipeline.build_enriched(scenes, meta, emis, with_qa=True), window=5)
+    out = pipeline.fillnulls_tiles(tiles, radius=2.5)
+    return (out.groupBy("scene_id")
+            .agg(F.count(F.lit(1)).alias("n_tiles"),
+                 F.sum("n_grown").alias("n_filled"))
+            .orderBy("scene_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _ordered(dict(relational.queries()))
     # rows-only (untwinned) entries go after every twinned query so they
@@ -1741,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_grow"] = _q_grow
     q["q_rasterize_lines"] = _q_rasterize_lines
     q["q_drain"] = _q_drain
+    q["q_fillnulls"] = _q_fillnulls
     q["q_kmeans"] = _q_kmeans
     q["q_maxlik"] = _q_maxlik
     return q

@@ -1144,3 +1144,45 @@ def grow_tiles(tiles: DataFrame, radius: float = 1.01,
                 yield _batch_from_cols(cols, GROW_SCHEMA)
 
     return src.mapInArrow(fn, GROW_SCHEMA)
+
+
+def fillnulls_tiles(tiles: DataFrame, radius: float = 3.0,
+                    power: float = 2.0, src_col: str = "lst_bytes",
+                    halo: bool = True) -> DataFrame:
+    """r.fillnulls analog over the tile table: smooth IDW interpolation of
+    NULL holes from the valid cells within a Euclidean radius — the
+    cloud-hole repair companion to grow_tiles (which copies the single
+    nearest value; this one blends all in-range neighbors). halo=True
+    (default) exchanges floor(radius) strips so filling crosses tile
+    borders exactly like one whole-scene kernels.fillnulls_plane pass.
+    Output reuses GROW_SCHEMA (grown_bytes / n_grown = filled cells)."""
+    if radius <= 0:
+        raise ValueError(f"radius must be positive, got {radius}")
+    m = int(np.floor(radius)) if halo else 0
+    src = halo_plane_tiles(tiles, r=m, src_col=src_col) if halo else tiles
+    col = "pad_bytes" if halo else src_col
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in GROW_SCHEMA}
+            ap = {k: v.append for k, v in cols.items()}
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                plane = codecs.decode_f32bt(getattr(row, col),
+                                            w + 2 * m, h + 2 * m)
+                before = np.isfinite(plane)
+                out = K.fillnulls_plane(plane, radius, power)
+                if m:
+                    out = out[m:m + h, m:m + w]
+                    before = before[m:m + h, m:m + w]
+                p32 = np.ascontiguousarray(out).astype("<f4")
+                ap["image_id"](row.image_id)
+                ap["scene_id"](row.scene_id)
+                ap["tile_x"](row.tile_x); ap["tile_y"](row.tile_y)
+                ap["w"](w); ap["h"](h)
+                ap["grown_bytes"](p32.tobytes())
+                ap["n_grown"](int((np.isfinite(p32) & ~before).sum()))
+            if cols["image_id"]:
+                yield _batch_from_cols(cols, GROW_SCHEMA)
+
+    return src.mapInArrow(fn, GROW_SCHEMA)

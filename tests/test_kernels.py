@@ -359,3 +359,44 @@ def test_grow_plane_matches_naive():
     assert np.array_equal(K.grow_plane(x, 3.0)[keep], x[keep])
     with pytest.raises(ValueError, match="radius"):
         K.grow_plane(x, 0.0)
+
+
+# --- r.fillnulls ------------------------------------------------------------
+
+def _fillnulls_naive(x, radius, power):
+    h, w = x.shape
+    out = x.copy()
+    for y in range(h):
+        for xx in range(w):
+            if np.isfinite(x[y, xx]):
+                continue
+            sw = sv = 0.0
+            for yy in range(h):
+                for xj in range(w):
+                    if not np.isfinite(x[yy, xj]):
+                        continue
+                    d2 = (yy - y) ** 2 + (xj - xx) ** 2
+                    if 0 < d2 <= radius * radius:
+                        wgt = 1.0 / d2 ** (power / 2.0)
+                        sw += wgt
+                        sv += wgt * x[yy, xj]
+            if sw > 0:
+                out[y, xx] = sv / sw
+    return out
+
+
+def test_fillnulls_plane_matches_naive():
+    rng = np.random.default_rng(67)
+    x = rng.uniform(270, 320, (11, 14))
+    x[rng.random(x.shape) < 0.4] = np.nan
+    x[0:5, 0:5] = np.nan  # a hole wider than small radii: center stays NULL
+    for radius, power in [(1.5, 2.0), (3.0, 2.0), (2.0, 1.0)]:
+        got = K.fillnulls_plane(x, radius, power)
+        want = _fillnulls_naive(x, radius, power)
+        assert np.allclose(got, want, equal_nan=True, rtol=1e-12), \
+            (radius, power)
+    keep = np.isfinite(x)
+    assert np.array_equal(K.fillnulls_plane(x, 3.0)[keep], x[keep])
+    assert np.isnan(K.fillnulls_plane(x, 1.5)[2, 2])  # deep-hole center
+    with pytest.raises(ValueError, match="radius"):
+        K.fillnulls_plane(x, -1.0)

@@ -473,3 +473,20 @@ def test_grow_tiles_halo_equals_whole_scene(spark):
         grown_total += r.n_grown
     assert grown_total == int(np.isfinite(exp).sum()
                               - np.isfinite(plane).sum())
+
+
+def test_fillnulls_tiles_halo_equals_whole_scene(spark):
+    from i_landsat8_swlst_spark import kernels as K
+
+    rng = np.random.default_rng(103)
+    plane = rng.uniform(250.0, 330.0, (64, 96)).astype(np.float32)
+    plane[rng.random(plane.shape) < 0.3] = np.nan
+    plane[30:34, 30:34] = np.nan  # hole straddling the tile border
+    tiles = _plane_tiles_df(spark, {"S0": plane}, tw=32, th=32)
+    got = pipeline.fillnulls_tiles(tiles, radius=2.5).toPandas()
+    exp = K.fillnulls_plane(plane.astype(np.float64), 2.5).astype(np.float32)
+    for r in got.itertuples():
+        sl = (slice(r.tile_y * 32, (r.tile_y + 1) * 32),
+              slice(r.tile_x * 32, (r.tile_x + 1) * 32))
+        p = np.frombuffer(r.grown_bytes, dtype="<f4").reshape(32, 32)
+        np.testing.assert_array_equal(p, exp[sl], err_msg=f"{r.tile_x},{r.tile_y}")
