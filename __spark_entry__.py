@@ -1699,6 +1699,24 @@ def _q_fillnulls(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("scene_id"))
 
 
+def _q_random_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: exact-N deterministic raster cell sampling (r.random
+    analog, spatial.sample_random_cells) — per-tile top-N preselection
+    bounds exchange rows by N x tiles, one window rank per scene; the
+    sampled set is a pure function of (scene, seed), independent of
+    tiling. Whole-scene ranking oracle in tests/test_spatial.py."""
+    from i_landsat8_swlst_spark import pipeline, spatial
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
+                               window=5)
+    pts = spatial.sample_random_cells(tiles, n=200, seed=11)
+    return (pts.groupBy("scene_id")
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.round(F.avg("value"), 4).alias("avg_lst"))
+            .orderBy("scene_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _ordered(dict(relational.queries()))
     # rows-only (untwinned) entries go after every twinned query so they
@@ -1765,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_rasterize_lines"] = _q_rasterize_lines
     q["q_drain"] = _q_drain
     q["q_fillnulls"] = _q_fillnulls
+    q["q_random_cells"] = _q_random_cells
     q["q_kmeans"] = _q_kmeans
     q["q_maxlik"] = _q_maxlik
     return q

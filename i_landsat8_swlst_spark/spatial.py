@@ -1730,3 +1730,83 @@ def rasterize_lines(tiles: DataFrame, lines: pd.DataFrame,
                 yield _batch_from_cols(cols, _LINES_SCHEMA)
 
     return src.mapInArrow(fn, _LINES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Random raster cell sampling (r.random analog): exactly N valid cells per
+# scene, deterministic, fully distributed.
+# --------------------------------------------------------------------------
+
+_RANDOM_CELLS_SCHEMA = StructType([
+    StructField("scene_id", StringType()),
+    StructField("gx", IntegerType()),
+    StructField("gy", IntegerType()),
+    StructField("value", DoubleType()),
+    StructField("rank_h", LongType()),
+])
+
+
+def _cell_rank_hash(gx: np.ndarray, gy: np.ndarray, seed: int) -> np.ndarray:
+    """Deterministic 63-bit rank per cell — splitmix64 finalizer over the
+    packed (gx, gy, seed) key. Independent of partitioning/tiling, so the
+    global N-smallest set is a well-defined function of (scene, seed)."""
+    z = (gx.astype(np.uint64) << np.uint64(32)) ^ gy.astype(np.uint64)
+    z ^= np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+    z = (z + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    return (z >> np.uint64(1)).astype(np.int64)  # non-negative int64
+
+
+def sample_random_cells(tiles: DataFrame, n: int, seed: int = 0,
+                        src_col: str = "lst_bytes") -> DataFrame:
+    """r.random analog: exactly ``n`` uniformly-pseudo-random VALID cells
+    per scene as point rows (scene_id, gx, gy, value) — fewer only when a
+    scene has fewer valid cells. Deterministic for a given seed and
+    INDEPENDENT of tiling/partitioning: every valid cell gets a splitmix64
+    rank of its (gx, gy, seed) key and the scene keeps the n smallest.
+
+    Plan, scale-shaped: the decode pass emits only each tile's n
+    SMALLEST-ranked cells (the scene top-n is necessarily a subset of the
+    union of per-tile top-ns), so rows reaching the exchange are bounded
+    by n x tiles, never pixels; then ONE window rank per scene keeps n.
+    No driver state, no collect.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from pyspark.sql import Window
+
+    nom = tiles.agg(F.max("w").alias("w"), F.max("h").alias("h")).first()
+    nom_w, nom_h = int(nom["w"]), int(nom["h"])
+    src = tiles.select("scene_id", "tile_x", "tile_y", "w", "h", src_col)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in _RANDOM_CELLS_SCHEMA}
+            ap = {kk: v.append for kk, v in cols.items()}
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                plane = np.frombuffer(getattr(row, src_col), "<f4") \
+                    .reshape(h, w).astype(np.float64)
+                fin = np.isfinite(plane)
+                if not fin.any():
+                    continue
+                py, px = np.nonzero(fin)
+                gx = (int(row.tile_x) * nom_w + px).astype(np.int64)
+                gy = (int(row.tile_y) * nom_h + py).astype(np.int64)
+                rk = _cell_rank_hash(gx, gy, seed)
+                keep = np.argsort(rk, kind="stable")[:n]
+                for i in keep:
+                    ap["scene_id"](row.scene_id)
+                    ap["gx"](int(gx[i])); ap["gy"](int(gy[i]))
+                    ap["value"](float(plane[py[i], px[i]]))
+                    ap["rank_h"](int(rk[i]))
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, _RANDOM_CELLS_SCHEMA)
+
+    cand = src.mapInArrow(fn, _RANDOM_CELLS_SCHEMA)
+    w = Window.partitionBy("scene_id").orderBy("rank_h", "gx", "gy")
+    return (cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .drop("_rn", "rank_h"))

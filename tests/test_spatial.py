@@ -964,3 +964,55 @@ def test_rasterize_lines_matches_sampled_oracle(spark):
     bad = pd.DataFrame([{"line_id": "x", "cat": 1, "xs": [1.0], "ys": [2.0]}])
     with pytest.raises(ValueError, match="equal-length"):
         spatial.rasterize_lines(tiles, bad, geom)
+
+
+# ---- sample_random_cells (r.random analog) --------------------------------
+
+def test_sample_random_cells_matches_whole_scene_ranking(spark):
+    import pandas as pd
+
+    rng = np.random.default_rng(83)
+    H, W, th, tw = 24, 36, 12, 12
+    planes = {}
+    rows = []
+    for sid in ("SA", "SB"):
+        p = rng.uniform(0, 100, (H, W))
+        p[rng.random((H, W)) < 0.3] = np.nan
+        p = p.astype(np.float32).astype(np.float64)
+        planes[sid] = p
+        for ty in range(H // th):
+            for tx in range(W // tw):
+                t = p[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+                rows.append({"scene_id": sid, "tile_x": tx, "tile_y": ty,
+                             "w": tw, "h": th,
+                             "lst_bytes": t.astype("<f4").tobytes()})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    N, SEED = 17, 42
+    got = spatial.sample_random_cells(df, N, seed=SEED).toPandas()
+    for sid, p in planes.items():
+        sub = got[got.scene_id == sid]
+        assert len(sub) == N
+        # oracle: whole-scene ranking with the same hash
+        gy, gx = np.nonzero(np.isfinite(p))
+        rk = spatial._cell_rank_hash(gx.astype(np.int64),
+                                     gy.astype(np.int64), SEED)
+        order = np.lexsort((gx, gy, rk))[:N]
+        want = {(int(gx[i]), int(gy[i])) for i in order}
+        assert {(r.gx, r.gy) for r in sub.itertuples()} == want
+        for r in sub.itertuples():
+            assert r.value == p[r.gy, r.gx]
+    # deterministic: same seed -> same set; different seed -> different set
+    again = spatial.sample_random_cells(df, N, seed=SEED).toPandas()
+    assert ({(r.gx, r.gy) for r in again.itertuples()}
+            == {(r.gx, r.gy) for r in got.itertuples()})
+    other = spatial.sample_random_cells(df, N, seed=7).toPandas()
+    assert ({(r.gx, r.gy) for r in other[other.scene_id == "SA"].itertuples()}
+            != {(r.gx, r.gy) for r in got[got.scene_id == "SA"].itertuples()})
+    # n larger than the valid count: every valid cell, no more
+    tiny = spark.createDataFrame(pd.DataFrame([{
+        "scene_id": "SC", "tile_x": 0, "tile_y": 0, "w": 2, "h": 2,
+        "lst_bytes": np.array([[1.0, np.nan], [3.0, np.nan]],
+                              "<f4").tobytes()}]))
+    assert spatial.sample_random_cells(tiny, 10).count() == 2
+    with pytest.raises(ValueError, match="n must be"):
+        spatial.sample_random_cells(df, 0)
