@@ -225,6 +225,50 @@ def main() -> None:
         t0 = time.perf_counter()
         _materialize(texture.glcm_texture_tiles(ttiles, window=5, levels=8))
         tex_sec = min(tex_sec, time.perf_counter() - t0)
+    # --- IDW station->raster interpolation throughput (round-5 op) ---
+    # Broadcast path (zero hash exchanges): every pixel against a sparse
+    # realistic station field (16 per scene bbox — CWV stations are sparse),
+    # k=12 / power=2 GRASS defaults. Cost is O(px x stations) vectorized
+    # haversine, so px/s scales inversely with station count by design.
+    import numpy as _np
+
+    from i_landsat8_swlst_spark import spatial
+
+    n_idw = int(os.environ.get("SPARK_GRAFT_IDW_TILES", "512"))
+    # limit() collapses to one partition; re-spread the tiny metadata rows
+    # so the per-tile kernel actually fans out across cores
+    grid = ttiles.select("scene_id", "tile_x", "tile_y", "w", "h") \
+        .limit(n_idw).repartition(CPUS)
+    idw_geom = (pipeline.scene_grids(pipeline.parse_scenes(scenes))
+                .join(meta.select("scene_id", "lon0", "lat0", "lon1", "lat1"),
+                      "scene_id"))
+    # stations only for the scenes actually present (scene_meta_pdf carries
+    # every bench-scale bbox; 16 ghost-scene stations each would multiply
+    # the per-pixel distance work 24x for nothing)
+    _live = {r.scene_id for r in
+             pipeline.parse_scenes(scenes).select("scene_id")
+             .distinct().collect()}
+    _boxes = meta.select("scene_id", "lon0", "lat0", "lon1", "lat1") \
+        .toPandas()
+    _boxes = _boxes[_boxes.scene_id.isin(_live)]
+    _rs = _np.random.default_rng(7)
+    _st_rows = []
+    for _b in _boxes.itertuples():
+        for _j in range(16):
+            _st_rows.append({
+                "station_id": f"st{_b.scene_id}_{_j:02d}",
+                "lon": float(_rs.uniform(_b.lon0, _b.lon1)),
+                "lat": float(_rs.uniform(_b.lat0, _b.lat1)),
+                "value": float(_rs.uniform(0.5, 6.5))})
+    _st = pd.DataFrame(_st_rows)
+    idw_px = grid.select(
+        F.sum(F.col("w").cast("long") * F.col("h")).alias("p")).collect()[0].p
+    _materialize(spatial.idw_rasterize(grid, _st, idw_geom, k=12))  # warm
+    idw_sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _materialize(spatial.idw_rasterize(grid, _st, idw_geom, k=12))
+        idw_sec = min(idw_sec, time.perf_counter() - t0)
     shutil.rmtree(tmp, ignore_errors=True)
 
     steal_post_ms = _steal_probe()
@@ -272,6 +316,10 @@ def main() -> None:
         "texture_pixels": int(tex_px),
         "texture_sec": round(tex_sec, 3),
         "texture_pixels_per_sec": round(tex_px / tex_sec, 1),
+        "idw_pixels": int(idw_px),
+        "idw_stations": len(_st),
+        "idw_sec": round(idw_sec, 3),
+        "idw_pixels_per_sec": round(idw_px / idw_sec, 1),
         "cpus": CPUS,
         "steal_probe_ms_pre": round(steal_pre_ms, 3),
         "steal_probe_ms_post": round(steal_post_ms, 3),
