@@ -810,6 +810,58 @@ def test_idw_validation(spark):
                                     polar, radius_km=5.0).toPandas()
 
 
+def test_radius_candidates_driver_flat_at_many_scenes(spark, monkeypatch):
+    """VERDICT-r5 item 4: the station gather's only driver-side value is a
+    1-row max-|lat| aggregate, so a 10^4-scene catalog must run with O(1)
+    driver memory. Structural guard: every DataFrame.collect() during the
+    _cells path returns <= 1 row (the .first() of the aggregate); parity
+    with the broadcast path is unchanged on the scene that has tiles."""
+    import pandas as pd
+
+    # runtime instances are the classic class, not the pyspark.sql facade
+    from pyspark.sql.classic.dataframe import DataFrame as SparkDF
+
+    tiles, geom, st, box = _idw_fixture(spark)
+    many = pd.DataFrame([{
+        "scene_id": f"X{i:05d}",
+        "lon0": -120.0 + (i % 360) * 0.01, "lat0": 10.0,
+        "lon1": -119.9 + (i % 360) * 0.01, "lat1": 10.1,
+        "ntx": 2, "nty": 2} for i in range(10_000)])
+    big_geom = geom.unionByName(spark.createDataFrame(many))
+
+    collected = []
+    orig_collect = SparkDF.collect
+    orig_take = SparkDF.take
+
+    def counting_collect(self):
+        rows = orig_collect(self)
+        collected.append(len(rows))
+        return rows
+
+    def counting_take(self, num):
+        rows = orig_take(self, num)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(SparkDF, "collect", counting_collect)
+    monkeypatch.setattr(SparkDF, "take", counting_take)
+    got = spatial.idw_rasterize_cells(
+        tiles, spark.createDataFrame(st), big_geom, radius_km=6.0,
+        k=5, power=2.0).toPandas()
+    monkeypatch.setattr(SparkDF, "collect", orig_collect)
+    monkeypatch.setattr(SparkDF, "take", orig_take)
+
+    assert collected, "expected the 1-row aggregate to run"
+    assert max(collected) <= 1, f"driver pulled {max(collected)} rows"
+    want = spatial.idw_rasterize(tiles, st, geom, k=5, power=2.0,
+                                 radius_km=6.0).toPandas()
+    key = ["scene_id", "tile_x", "tile_y"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w) == 4
+    assert (g.idw_bytes == w.idw_bytes).all()
+
+
 # ---- KDE heatmap rasterize (v.kernel analog) -----------------------------
 
 def _kde_oracle_plane(st, box, radius_km, kernel, weighted):
