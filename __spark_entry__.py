@@ -974,12 +974,26 @@ def _q_stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   _ATTEST_LAST  := (n_twins - 50) stable, unchanged twins that DID get a
 #                    row this round (they can safely sit out the next one).
 _ATTEST_FIRST = [
-    # changed in r05 (IVF nprobe 3 -> 5, VERDICT r4 item 9) -> attest first
-    "q_ann_ivf",
-    # new twins in r05 -> attest first
-    "q_string_agg", "q_bit_ops", "q_percent_rank_band", "q_kappa",
-    "q_epoch_agg", "q_reclass",
-    # sat out r04 (newest row is r03) -> re-attest first in r05
+    # new twin in r06 (PII redaction, VERDICT r5 item 8) -> attest first
+    "q_pii_scrub",
+    # sat out r05 (newest row is r04) -> re-attest first in r06
+    "q_token_stats", "q_lang_id", "q_quality_score", "q_fingerprint",
+    "q_bpe_tokens", "q_winnow_fingerprint", "q_tfidf", "q_regr_manual",
+    "q_grouped_map", "q_agg_stats", "q_rollup", "q_cube", "q_percentile",
+    "q_semi_join", "q_anti_join", "q_caption_roundtrip", "q_salted_agg",
+    "q_interval_overlap", "q_skyline", "q_grid_density", "q_hash_split",
+    "q_stratified_sample", "q_cluster_canonical", "q_decontaminate",
+    "q_decontaminate_bloom", "q_unpivot", "q_mode_per_group",
+    "q_token_shards", "q_embed_cosine_topk", "q_ann_lsh_buckets",
+    "q_embed_neardup", "q_char_entropy", "q_dedup_clusters",
+    "q_tumbling_window",
+]
+_ATTEST_LAST = [
+    # green in r05, unchanged this round; 85 twins - 50 window = 35 demoted
+    # (the 15 core LST/spatial/dedup headline twins — q_radiance ...
+    # q_minhash_lsh_pairs, also green r05 — stay in the window middle)
+    "q_ann_ivf", "q_string_agg", "q_bit_ops", "q_percent_rank_band",
+    "q_kappa", "q_epoch_agg", "q_reclass",
     "q_sort_limit", "q_null_logic", "q_set_ops", "q_intersect",
     "q_except_all", "q_distinct_agg", "q_date_math", "q_string_funcs",
     "q_json_extract", "q_histogram", "q_pivot", "q_array_agg",
@@ -988,22 +1002,6 @@ _ATTEST_FIRST = [
     "q_hamming_join", "q_range_frame", "q_upsert", "q_vector_explode",
     "q_fuzzy_join", "q_ntile_first_last", "q_lag_lead", "q_grouping_sets",
     "q_asof_join", "q_session_window", "q_sessionize",
-]
-_ATTEST_LAST = [
-    # green in r04, unchanged this round; 78 twins - 50 window = 28 demoted
-    # (q_char_entropy, also green r04, stays in the window middle)
-    "q_token_stats", "q_lang_id", "q_quality_score", "q_fingerprint",
-    "q_bpe_tokens", "q_winnow_fingerprint", "q_tfidf", "q_regr_manual",
-    "q_grouped_map", "q_agg_stats", "q_rollup", "q_cube", "q_percentile",
-    "q_semi_join", "q_anti_join", "q_caption_roundtrip", "q_salted_agg",
-    "q_interval_overlap", "q_skyline", "q_grid_density", "q_hash_split",
-    "q_stratified_sample", "q_cluster_canonical", "q_decontaminate",
-    "q_decontaminate_bloom", "q_unpivot", "q_mode_per_group",
-    "q_token_shards",
-    # green r04, displaced by the 6 new r05 twins (84 twins, 50 slots);
-    # they re-enter the window in r06 under the standing rotation
-    "q_embed_cosine_topk", "q_ann_lsh_buckets", "q_embed_neardup",
-    "q_char_entropy", "q_dedup_clusters", "q_tumbling_window",
 ]
 
 

@@ -1467,3 +1467,108 @@ def token_shards(d, budget: int = 8192, npart: int = 16):
 )
 def q_token_shards(spark, sf_dir):
     return token_shards(load(spark, sf_dir, "documents"), budget=8192)
+
+
+# --------------------------------------------------------------------------
+# PII scrub (corpus-hygiene redaction; VERDICT-r5 item 8)
+# --------------------------------------------------------------------------
+
+# Patterns are deliberately RE2-and-Java-regex common ground: char classes,
+# bounded repetition, \b word boundaries, optional \+ — no lookaround, no
+# backreferences — so Spark (java.util.regex) and DuckDB (RE2) agree on
+# every match boundary.
+PII_EMAIL_RE = r"[a-z0-9.\-]+@[a-z0-9\-]+\.[a-z]{2,}"
+PII_ID_RE = r"\bid-[0-9]{6,}\b"
+# applied AFTER the id pattern is redacted; the injected ids are 6-7 digits
+# (< the 8-char minimum here) so the two patterns can never fight anyway
+PII_PHONE_RE = r"\+?[0-9][0-9\-]{6,}[0-9]"
+
+
+def pii_scrub(docs, text_col: str = "text"):
+    """Pattern-based PII redaction over a document frame: emails, phone-like
+    and id-like spans are replaced with <EMAIL>/<PHONE>/<ID> tokens and
+    counted per row. Pure JVM regexp_replace/regexp_count — no Python in the
+    row path, embarrassingly parallel (zero shuffles added). At 100 TB this
+    is a map-only pass whose cost is the regex engine, which is exactly
+    where it should sit.
+
+    Returns the input columns plus n_emails/n_phones/n_ids (long),
+    scrubbed (string) and pii_free (boolean: no pattern matches remain)."""
+    t = F.col(text_col)
+    s1 = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    s2 = F.regexp_replace(s1, PII_ID_RE, "<ID>")
+    s3 = F.regexp_replace(s2, PII_PHONE_RE, "<PHONE>")
+    out = docs.withColumns({
+        "n_emails": F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long"),
+        "n_ids": F.regexp_count(t, F.lit(PII_ID_RE)).cast("long"),
+        "n_phones": F.regexp_count(
+            F.regexp_replace(t, PII_ID_RE, "<ID>"), F.lit(PII_PHONE_RE)
+        ).cast("long"),
+        "scrubbed": s3,
+    })
+    clean = ~(out["scrubbed"].rlike(PII_EMAIL_RE)
+              | out["scrubbed"].rlike(PII_ID_RE)
+              | out["scrubbed"].rlike(PII_PHONE_RE))
+    return out.withColumn("pii_free", clean)
+
+
+# The synthetic corpus has no organic PII, so the twin injects deterministic
+# PII-like spans derived from doc_id — with the SAME arithmetic in Spark and
+# the DuckDB oracle — then proves the redaction machinery hash-exactly.
+_PII_AUG_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)"
+    "         || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 1 THEN ' call +1-555-'"
+    "         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 2 THEN ' ref id-'"
+    "         || CAST(100000 + doc_id AS VARCHAR) ELSE '' END"
+)
+
+
+@register(
+    "q_pii_scrub",
+    f"""WITH aug AS (
+          SELECT doc_id, lang, {_PII_AUG_SQL} AS text FROM documents
+       ), scrub AS (
+          SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(text, '{PII_ID_RE}')) AS BIGINT) AS n_ids,
+             CAST(len(regexp_extract_all(
+                 regexp_replace(text, '{PII_ID_RE}', '<ID>', 'g'),
+                 '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+             regexp_replace(regexp_replace(regexp_replace(
+                 text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{PII_ID_RE}', '<ID>', 'g'),
+                 '{PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+          FROM aug)
+       SELECT lang,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_emails) AS BIGINT) AS n_emails,
+          CAST(sum(n_phones) AS BIGINT) AS n_phones,
+          CAST(sum(n_ids) AS BIGINT) AS n_ids,
+          CAST(sum(CASE WHEN n_emails + n_phones + n_ids > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_pii_docs,
+          CAST(sum(CASE WHEN regexp_matches(scrubbed, '{PII_EMAIL_RE}')
+                          OR regexp_matches(scrubbed, '{PII_ID_RE}')
+                          OR regexp_matches(scrubbed, '{PII_PHONE_RE}')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS n_clean_after,
+          CAST(count(DISTINCT md5(scrubbed)) AS BIGINT) AS n_distinct_scrubbed
+       FROM scrub GROUP BY lang""",
+)
+def q_pii_scrub(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id", "lang",
+        F.expr(_PII_AUG_SQL.replace("AS VARCHAR", "AS STRING")).alias("text"))
+    s = pii_scrub(aug)
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_emails").cast("long").alias("n_emails"),
+        F.sum("n_phones").cast("long").alias("n_phones"),
+        F.sum("n_ids").cast("long").alias("n_ids"),
+        F.sum(((F.col("n_emails") + F.col("n_phones") + F.col("n_ids")) > 0)
+              .cast("long")).cast("long").alias("n_pii_docs"),
+        F.sum(F.col("pii_free").cast("long")).cast("long").alias("n_clean_after"),
+        F.countDistinct(F.md5("scrubbed")).cast("long").alias("n_distinct_scrubbed"),
+    )
