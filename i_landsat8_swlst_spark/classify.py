@@ -106,6 +106,89 @@ CLASSIFY_SCHEMA = StructType([
 ])
 
 
+_FEAT_SCHEMA = StructType([
+    StructField("scene_id", StringType()),
+    StructField("n", LongType()),                      # valid pixels in tile
+    StructField("xflat", ArrayType(DoubleType())),     # (n, B) row-major
+])
+
+
+def class_features(tiles: DataFrame, band_cols: list[str]) -> DataFrame:
+    """Decode-once feature frame for model fitting: one row per tile holding
+    the finite-in-every-band pixel stack as a flat double array. Lloyd runs
+    ``iters`` scans over its input; persisting THIS frame (instead of
+    re-reading + re-decoding the f32 tile bytes every iteration) makes the
+    fit one decode per tile total (VERDICT-r5 item 10). The trade is
+    explicit: the cached stack is 8 B/pixel/band (~2x the f32 tile bytes),
+    so callers persist MEMORY_AND_DISK and it spills rather than OOMs —
+    at 100 TB that is iters x (scan+decode) traded for 1 x decode + spill
+    reads of a columnar-compact array column."""
+
+    arrow = pa.schema([pa.field("scene_id", pa.string()),
+                       pa.field("n", pa.int64()),
+                       pa.field("xflat", pa.list_(pa.float64()))])
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in _FEAT_SCHEMA}
+            ap = {k: v.append for k, v in cols.items()}
+            for row in _batch_rows(batch):
+                x = _decode_stack(row, band_cols)
+                x = x[np.isfinite(x).all(axis=1)]
+                if x.shape[0] == 0:
+                    continue
+                ap["scene_id"](row.scene_id)
+                ap["n"](int(x.shape[0]))
+                ap["xflat"](list(x.ravel()))
+            if cols["scene_id"]:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(cols[f.name], type=f.type) for f in arrow],
+                    schema=arrow)
+
+    return tiles.select("scene_id", "w", "h", *band_cols).mapInArrow(
+        fn, _FEAT_SCHEMA)
+
+
+def _moments_from_features(feats: DataFrame, b: int) -> DataFrame:
+    """band_moments' (scene_id, n, sums) tiny frame, sourced from a
+    class_features frame instead of raw tile bytes — same positional
+    map-side-combining reduction, zero additional decodes."""
+    arrow = pa.schema([pa.field("scene_id", pa.string()),
+                       pa.field("n", pa.int64()),
+                       pa.field("sums", pa.list_(pa.float64()))])
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        iu = np.triu_indices(b)
+        for batch in batches:
+            cols: dict[str, list] = {"scene_id": [], "n": [], "sums": []}
+            ap = {k: v.append for k, v in cols.items()}
+            for row in _batch_rows(batch):
+                x = np.asarray(row.xflat, dtype=np.float64).reshape(-1, b)
+                cross = x.T @ x
+                ap["scene_id"](row.scene_id)
+                ap["n"](int(x.shape[0]))
+                ap["sums"](list(x.sum(axis=0)) + list(cross[iu]))
+            if cols["scene_id"]:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(cols[f.name], type=f.type) for f in arrow],
+                    schema=arrow)
+
+    parts = feats.mapInArrow(fn, StructType([
+        StructField("scene_id", StringType()),
+        StructField("n", LongType()),
+        StructField("sums", ArrayType(DoubleType()))]))
+    return (
+        parts.select("scene_id", "n", F.posexplode("sums").alias("pos", "v"))
+        .groupBy("scene_id", "pos")
+        .agg(F.sum("v").alias("v"),
+             F.sum(F.when(F.col("pos") == 0, F.col("n"))).alias("n_part"))
+        .groupBy("scene_id")
+        .agg(F.max("n_part").alias("n"),
+             F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("sv"))
+        .select("scene_id", "n", F.expr("transform(sv, s -> s.v)").alias("sums"))
+    )
+
+
 def _assign(x: np.ndarray, centers: np.ndarray) -> np.ndarray:
     """Nearest-center index per row of x — exact elementwise squared
     distance (NOT the x²-2xc+c² expansion: the expansion's cancellation
@@ -116,11 +199,14 @@ def _assign(x: np.ndarray, centers: np.ndarray) -> np.ndarray:
 
 
 def _class_partials(tiles: DataFrame, band_cols: list[str],
-                    centers_df: DataFrame, with_cross: bool) -> DataFrame:
+                    centers_df: DataFrame, with_cross: bool,
+                    decoded: bool = False) -> DataFrame:
     """Per-(scene, class) partial moments under nearest-center assignment:
     n and ΣX, plus the upper-tri ΣX·Xᵀ when ``with_cross``. One tile scan
     (centers broadcast-joined), one positional map-side-combining SUM —
-    the band_moments reduction shape, keyed by (scene, cls)."""
+    the band_moments reduction shape, keyed by (scene, cls). With
+    ``decoded`` the source is a class_features frame (xflat arrays, no
+    decode) instead of raw tile bytes."""
     b = len(band_cols)
     arrow = pa.schema([pa.field("scene_id", pa.string()),
                        pa.field("cls", pa.int32()),
@@ -135,8 +221,11 @@ def _class_partials(tiles: DataFrame, band_cols: list[str],
             for row in _batch_rows(batch):
                 if row.centers is None:      # scene with no model row
                     continue
-                x = _decode_stack(row, band_cols)
-                x = x[np.isfinite(x).all(axis=1)]
+                if decoded:
+                    x = np.asarray(row.xflat, dtype=np.float64).reshape(-1, b)
+                else:
+                    x = _decode_stack(row, band_cols)
+                    x = x[np.isfinite(x).all(axis=1)]
                 if x.shape[0] == 0:
                     continue
                 k = int(row.k)
@@ -158,9 +247,10 @@ def _class_partials(tiles: DataFrame, band_cols: list[str],
                     [pa.array(cols[f.name], type=f.type) for f in arrow],
                     schema=arrow)
 
-    src = (tiles.select("scene_id", "w", "h", *band_cols)
-           .join(F.broadcast(centers_df.select("scene_id", "k", "centers")),
-                 on="scene_id", how="left"))
+    proj = (tiles.select("scene_id", "xflat") if decoded
+            else tiles.select("scene_id", "w", "h", *band_cols))
+    src = proj.join(F.broadcast(centers_df.select("scene_id", "k", "centers")),
+                    on="scene_id", how="left")
     parts = src.mapInArrow(fn, _PART_SCHEMA)
     return (
         parts.select("scene_id", "cls", "n", F.posexplode("sums").alias("pos", "v"))
@@ -175,9 +265,11 @@ def _class_partials(tiles: DataFrame, band_cols: list[str],
     )
 
 
-def kmeans_init_df(tiles: DataFrame, band_cols: list[str], k: int) -> DataFrame:
-    """Deterministic i.cluster-style seeding: k centers evenly spaced on
-    the per-scene mean ± stddev diagonal, from one band_moments pass."""
+def _init_from_moments(moments: DataFrame, band_cols: list[str],
+                       k: int) -> DataFrame:
+    """kmeans_init_df's spread seeding from an already-computed
+    (scene_id, n, sums) moments frame — shared by the raw-tiles and the
+    decode-once class_features paths."""
     import pandas as pd
 
     b = len(band_cols)
@@ -201,22 +293,36 @@ def kmeans_init_df(tiles: DataFrame, band_cols: list[str], k: int) -> DataFrame:
                               "centers": list(centers.ravel()),
                               "counts": [0] * k}])
 
-    return band_moments(tiles, band_cols).groupBy("scene_id").applyInPandas(
-        mk, _KM_MODEL_SCHEMA)
+    return moments.groupBy("scene_id").applyInPandas(mk, _KM_MODEL_SCHEMA)
+
+
+def kmeans_init_df(tiles: DataFrame, band_cols: list[str], k: int) -> DataFrame:
+    """Deterministic i.cluster-style seeding: k centers evenly spaced on
+    the per-scene mean ± stddev diagonal, from one band_moments pass."""
+    return _init_from_moments(band_moments(tiles, band_cols), band_cols, k)
 
 
 def kmeans_model_df(tiles: DataFrame, band_cols: list[str], k: int = 5,
                     iters: int = 10) -> DataFrame:
     """i.cluster: per-scene Lloyd k-means model as a TINY DataFrame
-    (scene_id, k, b, centers, counts). ``iters`` full scans; see module
-    docstring for the plan shape. Returns a localCheckpointed frame (the
-    loop has already materialized it; callers join it broadcast)."""
+    (scene_id, k, b, centers, counts). The decoded finite-pixel feature
+    stack is computed ONCE (class_features) and persisted MEMORY_AND_DISK
+    across the init pass + ``iters`` Lloyd scans — one decode per tile per
+    fit, the remaining iterations re-read the columnar cache (VERDICT-r5
+    item 10; previously each iteration re-read and re-decoded the tile
+    bytes). Returns a localCheckpointed frame (the loop has already
+    materialized it; callers join it broadcast)."""
     import pandas as pd
+
+    from pyspark import StorageLevel
 
     if k < 1 or k > 254:
         raise ValueError("k must be in [1, 254] (255 is the NULL class)")
     b = len(band_cols)
-    centers = kmeans_init_df(tiles, band_cols, k).localCheckpoint()
+    feats = class_features(tiles, band_cols).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    centers = _init_from_moments(
+        _moments_from_features(feats, b), band_cols, k).localCheckpoint()
 
     def step(pdf: pd.DataFrame) -> pd.DataFrame:
         s = pdf["scene_id"].iloc[0]
@@ -233,12 +339,18 @@ def kmeans_model_df(tiles: DataFrame, band_cols: list[str], k: int = 5,
                               "centers": list(new.ravel()),
                               "counts": [int(c) for c in counts]}])
 
-    for _ in range(iters):
-        parts = _class_partials(tiles, band_cols, centers, with_cross=False)
-        joined = centers.join(parts, on="scene_id", how="left")
-        centers = joined.groupBy("scene_id").applyInPandas(
-            step, _KM_MODEL_SCHEMA).localCheckpoint()
-    return centers
+    try:
+        for _ in range(iters):
+            parts = _class_partials(feats, band_cols, centers,
+                                    with_cross=False, decoded=True)
+            joined = centers.join(parts, on="scene_id", how="left")
+            centers = joined.groupBy("scene_id").applyInPandas(
+                step, _KM_MODEL_SCHEMA).localCheckpoint()
+        return centers
+    finally:
+        # every localCheckpoint above is eager, so the cache has served all
+        # its scans by the time we land here
+        feats.unpersist()
 
 
 def maxlik_model_df(tiles: DataFrame, band_cols: list[str],

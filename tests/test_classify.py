@@ -237,3 +237,42 @@ def test_kappa_on_crosstab_tiles(spark):
     out = classify.kappa_stats(ct).collect()[0]
     assert out["kappa"] == pytest.approx(1.0, abs=1e-12)
     assert out["observed_agree"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_kmeans_decodes_once_per_fit(spark, monkeypatch):
+    """VERDICT-r5 item 10: the Lloyd loop consumes the persisted
+    class_features frame, so a fit builds the decoded feature cache exactly
+    once and every iteration's partials pass runs decoded=True (no tile-byte
+    re-decode in the iterated scans)."""
+    df, _ = _blob_tiles(spark)
+
+    feat_calls = []
+    part_calls = []
+    orig_feats = classify.class_features
+    orig_parts = classify._class_partials
+
+    def counting_feats(tiles, band_cols):
+        feat_calls.append(1)
+        return orig_feats(tiles, band_cols)
+
+    def counting_parts(tiles, band_cols, centers_df, with_cross,
+                       decoded=False):
+        part_calls.append(decoded)
+        return orig_parts(tiles, band_cols, centers_df, with_cross,
+                          decoded=decoded)
+
+    def cached_rdds():
+        return {int(i.id()) for i in
+                spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+    monkeypatch.setattr(classify, "class_features", counting_feats)
+    monkeypatch.setattr(classify, "_class_partials", counting_parts)
+    before = cached_rdds()
+    model = classify.kmeans_model_df(df, BANDS, k=3, iters=4)
+    assert model.count() > 0
+    assert len(feat_calls) == 1, "feature decode pass must run exactly once"
+    assert part_calls == [True] * 4, part_calls
+    # the feature cache must not leak past the fit; the tiny per-iteration
+    # localCheckpoint blocks of the centers frame (iters + init) may remain
+    leaked = cached_rdds() - before
+    assert len(leaked) <= 5, f"k-means fit leaked cached RDDs: {leaked}"
