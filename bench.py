@@ -269,6 +269,53 @@ def main() -> None:
         t0 = time.perf_counter()
         _materialize(spatial.idw_rasterize(grid, _st, idw_geom, k=12))
         idw_sec = min(idw_sec, time.perf_counter() - t0)
+
+    # --- warp (r.proj) throughput (VERDICT-r5 item 9) ---
+    # Reprojects one scene's stored LST product onto that scene's own bbox
+    # at ~source resolution with a different tiling (160px dst tiles vs
+    # 128px src, so fragment fan-out is realistic). Scene bboxes sit oceans
+    # apart, so a union-bbox GridSpec would be gigapixels of untouched
+    # metadata — per-scene dst is the production shape anyway (r.proj warps
+    # into the current region, not the whole catalog extent). Only touched
+    # dst tiles assemble; out-px is measured from the output.
+    from i_landsat8_swlst_spark import warp as Wp
+
+    _geom_pdf = idw_geom.toPandas()
+    _ws = _geom_pdf.iloc[0]
+    _wtiles = ttiles.filter(F.col("scene_id") == _ws.scene_id)
+    _wntx = max(1, int(round(int(_ws.ntx) * 128 / 160)))
+    _wnty = max(1, int(round(int(_ws.nty) * 128 / 160)))
+    _dst = Wp.GridSpec(float(_ws.lon0), float(_ws.lat0), float(_ws.lon1),
+                       float(_ws.lat1), ntx=_wntx, nty=_wnty,
+                       tile_w=160, tile_h=160)
+
+    def _warped():
+        return Wp.warp_tiles(_wtiles, idw_geom, _dst, method="bilinear")
+
+    warp_out_px = _warped().select(
+        F.sum(F.col("w").cast("long") * F.col("h")).alias("p")).collect()[0].p
+    warp_sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _materialize(_warped())
+        warp_sec = min(warp_sec, time.perf_counter() - t0)
+
+    # --- classification (i.cluster fit + i.maxlik-shape assign) throughput ---
+    # Fit a k=5 2-band model on the stored product (2 Lloyd scans over the
+    # persisted decode-once feature cache), then time the per-pixel nearest
+    # assignment pass — broadcast model join + one mapInArrow, no pixel
+    # shuffle. classify_pixels_per_sec is the assignment pass alone.
+    from i_landsat8_swlst_spark import classify as Cl
+
+    _cl_bands = ["lst_bytes", "cwv_bytes"]
+    _cl_model = Cl.kmeans_model_df(ttiles, _cl_bands, k=5, iters=2)
+    _materialize(Cl.classify_tiles(ttiles, _cl_bands, _cl_model))  # warm
+    classify_sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _materialize(Cl.classify_tiles(ttiles, _cl_bands, _cl_model))
+        classify_sec = min(classify_sec, time.perf_counter() - t0)
+
     shutil.rmtree(tmp, ignore_errors=True)
 
     steal_post_ms = _steal_probe()
@@ -320,6 +367,12 @@ def main() -> None:
         "idw_stations": len(_st),
         "idw_sec": round(idw_sec, 3),
         "idw_pixels_per_sec": round(idw_px / idw_sec, 1),
+        "warp_out_pixels": int(warp_out_px),
+        "warp_sec": round(warp_sec, 3),
+        "warp_pixels_per_sec": round(warp_out_px / warp_sec, 1),
+        "classify_pixels": int(tex_px),
+        "classify_sec": round(classify_sec, 3),
+        "classify_pixels_per_sec": round(tex_px / classify_sec, 1),
         "cpus": CPUS,
         "steal_probe_ms_pre": round(steal_pre_ms, 3),
         "steal_probe_ms_post": round(steal_post_ms, 3),

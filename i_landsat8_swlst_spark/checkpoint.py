@@ -102,6 +102,7 @@ def run_lst_job(
     celsius: bool = False,
     slice_batch: int | str = "auto",
     parquet_codec: str = "uncompressed",
+    page_checksum: bool = False,
 ) -> dict:
     """Run (or resume) the tile LST job; returns summary dict.
 
@@ -191,7 +192,7 @@ def run_lst_job(
     try:
         _run_slice_groups(spark, enriched, pending, fps, done, out, out_dir,
                           executed, window, n_slices, fail_after, opts, celsius,
-                          batch)
+                          batch, page_checksum=page_checksum)
     finally:
         spark.conf.set("spark.sql.parquet.compression.codec", old_codec)
         if do_persist:
@@ -208,7 +209,7 @@ def run_lst_job(
 
 def _run_slice_groups(spark, enriched, pending, fps, done, out, out_dir,
                       executed, window, n_slices, fail_after, opts, celsius,
-                      slice_batch) -> None:
+                      slice_batch, page_checksum=False) -> None:
     """Execute pending slices in groups of ``slice_batch`` — ONE dynamic-
     partition-overwrite write job per group.
 
@@ -253,7 +254,20 @@ def _run_slice_groups(spark, enriched, pending, fps, done, out, out_dir,
                            .otherwise(F.lit(0))).alias(f"px_{s}"),
                 ]
             gdf = gdf.observe(obs, *aggs)
-            gdf.write.mode("overwrite").partitionBy("slice").parquet(str(out / "data"))
+            # Writer tuning for f32 raster planes (measured on the 322 Mpx
+            # durable sweep, BENCH/DURABLE.md): dictionary encoding can
+            # never help unique ~65 KB binary values — parquet still hashes
+            # every page before falling back, ~5% of the write wall; page
+            # CRCs cost another ~6% and this product has its own end-to-end
+            # integrity story (per-slice row/pixel/valid observed stats in
+            # the manifests + resume bit-identity tests), so both default
+            # off. Deployments on stores without transport checksums can
+            # re-enable via page_checksum=True.
+            (gdf.write.mode("overwrite")
+                .option("parquet.enable.dictionary", "false")
+                .option("parquet.page.write-checksum.enabled",
+                        "true" if page_checksum else "false")
+                .partitionBy("slice").parquet(str(out / "data")))
             wall_ms = int((time.perf_counter() - t0) * 1000)
             got = obs.get  # metrics accumulated by the write job itself
             for s in group:

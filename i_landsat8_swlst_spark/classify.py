@@ -130,23 +130,40 @@ def class_features(tiles: DataFrame, band_cols: list[str]) -> DataFrame:
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            cols: dict[str, list] = {f.name: [] for f in _FEAT_SCHEMA}
-            ap = {k: v.append for k, v in cols.items()}
+            sids: list[str] = []
+            ns: list[int] = []
+            chunks: list[np.ndarray] = []
+            offs = [0]
             for row in _batch_rows(batch):
                 x = _decode_stack(row, band_cols)
                 x = x[np.isfinite(x).all(axis=1)]
                 if x.shape[0] == 0:
                     continue
-                ap["scene_id"](row.scene_id)
-                ap["n"](int(x.shape[0]))
-                ap["xflat"](list(x.ravel()))
-            if cols["scene_id"]:
+                sids.append(row.scene_id)
+                ns.append(int(x.shape[0]))
+                chunks.append(x.ravel())
+                offs.append(offs[-1] + x.size)
+            if sids:
+                # Arrow-native list assembly: one concatenated values buffer,
+                # no per-element Python boxing (a list(...) here costs more
+                # than the decode it replaces)
+                vals = pa.array(np.concatenate(chunks), type=pa.float64())
+                xarr = pa.ListArray.from_arrays(
+                    pa.array(offs, type=pa.int32()), vals)
                 yield pa.RecordBatch.from_arrays(
-                    [pa.array(cols[f.name], type=f.type) for f in arrow],
-                    schema=arrow)
+                    [pa.array(sids, type=pa.string()),
+                     pa.array(ns, type=pa.int64()), xarr], schema=arrow)
 
     return tiles.select("scene_id", "w", "h", *band_cols).mapInArrow(
         fn, _FEAT_SCHEMA)
+
+
+def _list_views(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(values, offsets) numpy views of an Arrow list<double> column —
+    per-row slices reshape without to_pylist boxing."""
+    flat = col.values.to_numpy(zero_copy_only=False)
+    offs = col.offsets.to_numpy()
+    return flat, offs
 
 
 def _moments_from_features(feats: DataFrame, b: int) -> DataFrame:
@@ -162,10 +179,13 @@ def _moments_from_features(feats: DataFrame, b: int) -> DataFrame:
         for batch in batches:
             cols: dict[str, list] = {"scene_id": [], "n": [], "sums": []}
             ap = {k: v.append for k, v in cols.items()}
-            for row in _batch_rows(batch):
-                x = np.asarray(row.xflat, dtype=np.float64).reshape(-1, b)
+            names = batch.schema.names
+            sid = batch.column(names.index("scene_id")).to_pylist()
+            flat, offs = _list_views(batch.column(names.index("xflat")))
+            for i in range(batch.num_rows):
+                x = flat[offs[i]:offs[i + 1]].reshape(-1, b)
                 cross = x.T @ x
-                ap["scene_id"](row.scene_id)
+                ap["scene_id"](sid[i])
                 ap["n"](int(x.shape[0]))
                 ap["sums"](list(x.sum(axis=0)) + list(cross[iu]))
             if cols["scene_id"]:
@@ -218,18 +238,10 @@ def _class_partials(tiles: DataFrame, band_cols: list[str],
         for batch in batches:
             cols: dict[str, list] = {f.name: [] for f in _PART_SCHEMA}
             ap = {k: v.append for k, v in cols.items()}
-            for row in _batch_rows(batch):
-                if row.centers is None:      # scene with no model row
-                    continue
-                if decoded:
-                    x = np.asarray(row.xflat, dtype=np.float64).reshape(-1, b)
-                else:
-                    x = _decode_stack(row, band_cols)
-                    x = x[np.isfinite(x).all(axis=1)]
-                if x.shape[0] == 0:
-                    continue
-                k = int(row.k)
-                centers = np.asarray(row.centers, dtype=np.float64).reshape(k, b)
+
+            def emit(sid, x, k, centers_flat):
+                centers = np.asarray(
+                    centers_flat, dtype=np.float64).reshape(k, b)
                 a = _assign(x, centers)
                 for cls in range(k):
                     sel = x[a == cls]
@@ -238,10 +250,32 @@ def _class_partials(tiles: DataFrame, band_cols: list[str],
                     s = list(sel.sum(axis=0))
                     if with_cross:
                         s += list((sel.T @ sel)[iu])
-                    ap["scene_id"](row.scene_id)
+                    ap["scene_id"](sid)
                     ap["cls"](cls)
                     ap["n"](int(sel.shape[0]))
                     ap["sums"](s)
+
+            if decoded:
+                # Arrow-native views (no to_pylist of the big value buffer)
+                names = batch.schema.names
+                sid = batch.column(names.index("scene_id")).to_pylist()
+                kk = batch.column(names.index("k")).to_pylist()
+                cen = batch.column(names.index("centers")).to_pylist()
+                flat, offs = _list_views(batch.column(names.index("xflat")))
+                for i in range(batch.num_rows):
+                    if cen[i] is None:       # scene with no model row
+                        continue
+                    x = flat[offs[i]:offs[i + 1]].reshape(-1, b)
+                    if x.shape[0]:
+                        emit(sid[i], x, int(kk[i]), cen[i])
+            else:
+                for row in _batch_rows(batch):
+                    if row.centers is None:  # scene with no model row
+                        continue
+                    x = _decode_stack(row, band_cols)
+                    x = x[np.isfinite(x).all(axis=1)]
+                    if x.shape[0]:
+                        emit(row.scene_id, x, int(row.k), row.centers)
             if cols["scene_id"]:
                 yield pa.RecordBatch.from_arrays(
                     [pa.array(cols[f.name], type=f.type) for f in arrow],

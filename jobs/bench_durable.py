@@ -47,6 +47,11 @@ TMP = Path("/dev/shm/swlst_durable")
 
 
 def main() -> None:
+    # steal qualification (VERDICT-r5 item 6): the gate needs a quiet-window
+    # run, evidenced by the same fresh-subprocess kernel probe bench.py uses
+    from bench import STEAL_REF_MS, _steal_probe
+
+    steal_pre_ms = _steal_probe()
     spark = get_spark("bench_durable")
     scenes_path = TMP / "scenes"
     if not scenes_path.exists():
@@ -95,6 +100,9 @@ def main() -> None:
              .collect())
         reread.append(time.perf_counter() - t0)
 
+    steal_post_ms = _steal_probe()
+    steal_index = ((steal_pre_ms + steal_post_ms) / 2.0) / STEAL_REF_MS
+
     best = {str(a): round(min(w), 2) for a, w in walls.items()}
     mpxs = {str(a): round(total_px / min(w) / 1e6, 1) for a, w in walls.items()}
     res = {
@@ -104,6 +112,9 @@ def main() -> None:
         "wall_best_s": best,
         "mpx_per_s": mpxs,
         "r3_metrics_reread_s": round(min(reread), 2),
+        "steal_probe_ms_pre": round(steal_pre_ms, 3),
+        "steal_probe_ms_post": round(steal_post_ms, 3),
+        "steal_index": round(steal_index, 3),
     }
     print(json.dumps(res))
 
@@ -112,12 +123,15 @@ def main() -> None:
         f"| {a} | {best[str(a)]} | {mpxs[str(a)]} |"
         + (f"  <- auto chose {chosen_auto}" if a == "auto" else "")
         for a in ARMS)
-    md.write_text(f"""# Durable-job throughput (round 4: observed metrics + auto batch)
+    md.write_text(f"""# Durable-job throughput (steal-qualified run)
 
 {REPS} interleaved reps per arm in ONE process, per-arm minima;
 {N_SCENES} bench scenes ~{total_px/1e6:.0f} Mpx, {N_SLICES} slices,
-output on tmpfs, local[32]. Per-slice metrics now accumulate via
-``Observation`` inside each grouped write job (no post-write read).
+output on tmpfs, local[32]. Steal probe (fresh-subprocess fused kernel,
+see bench.py): pre {res['steal_probe_ms_pre']} ms / post
+{res['steal_probe_ms_post']} ms -> steal_index {res['steal_index']}.
+Per-slice metrics accumulate via ``Observation`` inside each grouped
+write job (no post-write read).
 
 | slice_batch | best wall s | Mpx/s |
 | --- | --- | --- |
