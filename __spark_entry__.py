@@ -273,6 +273,78 @@ def _q_maxlik(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_to_vect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: raster -> vector boundary extraction (r.to.vect type=area
+    analog, vectorize.to_vect) — one decode+label+edge pass, LEFT ANTI
+    resolve of tile-border sides, min-label CC, then per-region ring
+    stitching (exterior ring + holes, region-on-right orientation). Exact
+    even-odd mask round-trip, extract_regions area parity, and tiling
+    invariance in tests/test_vectorize.py."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import vectorize
+
+    rng = np.random.default_rng(71)
+    rows = []
+    base = rng.uniform(260.0, 330.0, (12, 12))
+    plane = np.kron(base, np.ones((8, 8))) + rng.uniform(-1.0, 1.0, (96, 96))
+    plane[32:64, 32:64] = 310.0      # hot frame spanning the center tile...
+    plane[40:56, 40:56] = 250.0      # ...with a cold hole across 4 tiles
+    for ty in range(3):
+        for tx in range(3):
+            t = plane[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32]
+            rows.append({"scene_id": "S0", "tile_x": tx, "tile_y": ty,
+                         "w": 32, "h": 32,
+                         "lst_bytes": t.astype("<f4").tobytes()})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    r = vectorize.to_vect(tiles, threshold=300.0)
+    return (
+        r.groupBy("scene_id")
+        .agg(F.count(F.lit(1)).alias("n_rings"),
+             F.countDistinct("region_id").alias("n_regions"),
+             F.sum(F.col("is_hole").cast("long")).alias("n_holes"),
+             F.sum("n_vertices").alias("total_vertices"),
+             F.round(F.sum(F.when(F.col("is_hole"), -F.col("area_px"))
+                            .otherwise(F.col("area_px"))), 1)
+             .alias("net_area_px"))
+        .orderBy("scene_id")
+    )
+
+
+def _q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: marching-squares isolines (r.contour analog,
+    vectorize.contour_lines) — 1-px halo exchange, per-cell segments with
+    bit-identical border crossings, per-(scene, level) chain assembly.
+    Vertex-on-level, crossing-parity, and tiling-invariance oracles in
+    tests/test_vectorize.py."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import vectorize
+
+    rng = np.random.default_rng(72)
+    base = rng.uniform(270.0, 320.0, (8, 8))
+    plane = np.kron(base, np.ones((8, 8))) + rng.uniform(-0.5, 0.5, (64, 64))
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            t = plane[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32]
+            rows.append({"scene_id": "S0", "tile_x": tx, "tile_y": ty,
+                         "w": 32, "h": 32,
+                         "lst_bytes": t.astype("<f4").tobytes()})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    c = vectorize.contour_lines(tiles, levels=[285.0, 295.0, 305.0])
+    return (
+        c.groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             F.sum(F.col("closed").cast("long")).alias("n_closed"),
+             F.sum("n_vertices").alias("total_vertices"),
+             F.round(F.sum("length_px"), 4).alias("total_length_px"))
+        .orderBy("level")
+    )
+
+
 def _q_extract_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: distributed raster connected-component labeling
     (regions.extract_regions) — threshold-region / hot-spot extraction with
@@ -1784,6 +1856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_random_cells"] = _q_random_cells
     q["q_kmeans"] = _q_kmeans
     q["q_maxlik"] = _q_maxlik
+    q["q_to_vect"] = _q_to_vect
+    q["q_contour"] = _q_contour
     return q
 
 

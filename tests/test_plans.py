@@ -581,3 +581,63 @@ def test_idw_cells_path_is_equi_join(spark):
         tiles, spark.createDataFrame(st), geom, radius_km=6.0, k=3))
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan
+
+
+def test_to_vect_equi_only_and_no_plane_shuffle(spark):
+    """to_vect: every join in the stitch/resolve graph is an equi join (the
+    pending-edge resolve is a LEFT ANTI hash join); pixel planes reach ONE
+    MapInArrow with no hash exchange below it."""
+    import pandas as pd
+    import numpy as np
+
+    from i_landsat8_swlst_spark import vectorize
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            t = rng.uniform(0, 10, (8, 8)).astype("<f4")
+            rows.append({"scene_id": "S0", "tile_x": tx, "tile_y": ty,
+                         "w": 8, "h": 8, "lst_bytes": t.tobytes()})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    plan = _plan(vectorize.to_vect(tiles, 5.0))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # rings come back localCheckpointed (the pass cache is released); gate
+    # the pre-collapse plan instead: the edge->region join graph
+    nom = tiles.agg(F.max("w").alias("w"), F.max("h").alias("h")).first()
+    ex = vectorize._tovect_pass(tiles, 5.0, "lst_bytes",
+                                int(nom["w"]), int(nom["h"]))
+    cells = ex.filter("kind = 1").select("scene_id", "gx", "gy")
+    pend = (ex.filter("kind = 4")
+            .join(cells, on=["scene_id", "gx", "gy"], how="left_anti"))
+    p2 = _plan(pend)
+    assert "BroadcastNestedLoopJoin" not in p2 and "CartesianProduct" not in p2
+    # one decode pass: the plane source feeds MapInArrow directly, no
+    # exchange between the scan and the Python stage
+    pre = p2[:p2.index("MapInArrow")]
+    assert "Exchange hashpartitioning" not in pre
+
+
+def test_contour_shuffles_only_halo_and_assembly(spark):
+    """contour_lines: the ONLY hash exchanges are the 1-px halo
+    repartition and the per-(scene, level) assembly — pixel planes never
+    hash-shuffle beyond the r-strip exchange."""
+    import pandas as pd
+    import numpy as np
+
+    from i_landsat8_swlst_spark import vectorize
+
+    rng = np.random.default_rng(6)
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            t = rng.uniform(0, 10, (8, 8)).astype("<f4")
+            rows.append({"scene_id": "S0", "tile_x": tx, "tile_y": ty,
+                         "w": 8, "h": 8, "lst_bytes": t.tobytes()})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    plan = _plan(vectorize.contour_lines(tiles, [5.0]))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 2, f"expected <=2 hash exchanges (halo + assemble), got {n}"
