@@ -1087,6 +1087,47 @@ def _ordered(base: dict) -> dict:
     return out
 
 
+def _q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: line-of-sight visibility from an observer point
+    (r.viewshed analog, terrain.viewshed_tiles) — exact R3 semantics over
+    an angular-sector decomposition; pixel planes never hash-shuffle, only
+    (sector, cell) small rows do. Brute whole-plane ray-march oracle
+    parity (cross-tile sightlines, ragged tiles, NaN transparency,
+    max_dist, sector-count invariance) in tests/test_terrain.py."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import terrain
+
+    rng = np.random.default_rng(73)
+    base = rng.uniform(0.0, 25.0, (12, 12))
+    plane = np.kron(base, np.ones((8, 8))) + rng.uniform(-0.5, 0.5, (96, 96))
+    yy, xx = np.mgrid[0:96, 0:96]
+    plane += 70.0 * np.exp(-((xx - 64.0) ** 2 + (yy - 30.0) ** 2) / 220.0)
+    plane = plane.astype("<f4").astype(np.float64)
+    rows = []
+    for ty in range(3):
+        for tx in range(3):
+            t = plane[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32]
+            rows.append({"scene_id": "S0", "tile_x": tx, "tile_y": ty,
+                         "w": 32, "h": 32,
+                         "lst_bytes": t.astype("<f4").tobytes()})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    obs = pd.DataFrame([{"scene_id": "S0", "ox": 20, "oy": 70}])
+    v = terrain.viewshed_tiles(tiles, obs, obs_height=2.0, max_dist=55.0,
+                               n_sectors=32)
+    return (
+        v.groupBy("scene_id")
+        .agg(F.count(F.lit(1)).alias("n_tiles"),
+             F.sum("n_visible").alias("n_visible"),
+             F.sum("n_evaluated").alias("n_evaluated"),
+             F.round(F.sum("n_visible")
+                     / F.greatest(F.sum("n_evaluated"), F.lit(1)), 4)
+             .alias("visible_frac"))
+        .orderBy("scene_id")
+    )
+
+
 def _q_lst_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: per-pixel linear LST trend across 4 revisits (closed-form
     OLS sums — every term partial-aggregable, ONE map-side-combining
@@ -1858,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_maxlik"] = _q_maxlik
     q["q_to_vect"] = _q_to_vect
     q["q_contour"] = _q_contour
+    q["q_viewshed"] = _q_viewshed
     return q
 
 

@@ -1,0 +1,358 @@
+"""Terrain visibility — the r.viewshed analog.
+
+Reference: no file can be cited (the /root/reference mount is empty every
+round — SURVEY.md §0); the behavioral spec is the published GRASS
+r.viewshed module applied to this engine's tiled raster model.
+
+**Semantics (exact, R3-style):** target cell T (pixel center) is visible
+from the observer O (pixel center, eye at terrain + ``obs_height``) iff at
+every integer gridline crossing STRICTLY between O and T along the segment
+O->T, the sight line's height is >= the terrain height at the crossing,
+where terrain at a crossing is linearly interpolated between the two
+adjacent pixel centers perpendicular to the crossed axis — the classic
+exact per-ray algorithm ("R3" in the viewshed literature; GRASS r.viewshed
+implements the Van Kreveld sweep with the same visibility definition).
+Comparisons use slope = dz / planar distance (monotone in elevation angle,
+no trig). Deviations from GRASS, stated: planar distances in cell units
+(no lat/lon metric or earth-curvature drop), NaN terrain never blocks a
+ray, and a NaN target is class 255 in the output plane.
+
+**Distributed shape** (the same decompose-shuffle-assemble pattern as
+warp): visibility of T depends on O(ray length) cells NOT aligned with the
+tile grid, so tiles are the wrong work unit. Instead the scene decomposes
+into ANGULAR SECTORS around the observer:
+
+1. ONE decode pass (mapInArrow): each in-radius cell computes the sector
+   range its INFLATED angular extent (a halfwidth-1.5 square, covering any
+   ray that passes within one cell of its center — the interpolation
+   support bound) intersects, and emits one (sector, gx, gy, z) row per
+   intersected sector. Far cells subtend tiny angles (1-2 sectors); only
+   the few near-observer cells replicate widely (cells within ~2.5 cells
+   of O go to every sector).
+2. groupBy(scene, sector) -> applyInPandas: every cell whose CENTER angle
+   falls in the sector is a target; its ray marches over the sector-local
+   sparse elevation map, which is guaranteed to contain every support
+   cell of every crossing (the inflation above).
+3. One regroup by destination tile rebuilds u8 visibility planes.
+
+Shuffle volume: ~(1 + near-field) x one small row per cell, twice. Pixel
+planes never cross an exchange. Per-sector work is O(targets x ray), the
+inherent exact-R3 bound — ``max_dist`` is the production knob that keeps
+rays bounded at 100 TB (GRASS's own max_distance). With ``max_dist`` set,
+map cells are kept to ``max_dist + 1.5`` so that interpolation-support
+cells just past the radius still block rays — blocking is full-plane,
+only TARGETS are radius-limited (matching GRASS).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
+)
+
+from . import codecs
+from .pipeline import _batch_from_cols, _batch_rows
+
+_CELL_SCHEMA = StructType([
+    StructField("scene_id", StringType()),
+    StructField("sector", IntegerType()),
+    StructField("gx", IntegerType()),
+    StructField("gy", IntegerType()),
+    StructField("z", DoubleType()),
+    StructField("is_target", IntegerType()),   # center angle in this sector
+])
+
+_VIS_SCHEMA = StructType([
+    StructField("scene_id", StringType()),
+    StructField("gx", IntegerType()),
+    StructField("gy", IntegerType()),
+    StructField("vis", IntegerType()),         # 1 visible, 0 hidden
+])
+
+_EYE_SCHEMA = StructType([
+    StructField("scene_id", StringType()),
+    StructField("z", DoubleType()),
+])
+
+VIEWSHED_SCHEMA = StructType([
+    StructField("scene_id", StringType()),
+    StructField("tile_x", IntegerType()),
+    StructField("tile_y", IntegerType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("vis_bytes", BinaryType()),    # u8: 1/0, 255 = NaN/out-of-radius
+    StructField("n_visible", LongType()),
+    StructField("n_evaluated", LongType()),
+])
+
+
+def _ray_visible(ox: float, oy: float, eye: float, tx: int, ty: int,
+                 tz: float, zmap: dict) -> bool:
+    """Exact R3 test for one target over a {(gx, gy): z} elevation map.
+    NaN / missing support cells never block. Shared verbatim by the
+    distributed kernel and the test oracle's spec (the oracle reimplements
+    it independently; this docstring IS the contract)."""
+    dx, dy = tx - ox, ty - oy
+    dist = math.hypot(dx, dy)
+    if dist == 0:
+        return True
+    tslope = (tz - eye) / dist
+
+    def blocked_at(t: float, zc: float) -> bool:
+        if not math.isfinite(zc):
+            return False
+        d = t * dist
+        return (zc - eye) / d > tslope + 1e-12
+
+    # vertical gridline crossings (x = integer) strictly between
+    if dx != 0:
+        step = 1 if dx > 0 else -1
+        x = int(math.floor(ox)) + (1 if dx > 0 else 0)
+        while (x - ox) * step < abs(dx):
+            if (x - ox) * step > 0:
+                t = (x - ox) / dx
+                y = oy + t * dy
+                y0 = math.floor(y)
+                fy = y - y0
+                za = zmap.get((x, int(y0)), math.nan)
+                zb = zmap.get((x, int(y0) + 1), math.nan) if fy > 0 else za
+                if fy == 0:
+                    zc = za
+                elif not math.isfinite(za) or not math.isfinite(zb):
+                    zc = math.nan
+                else:
+                    zc = (1 - fy) * za + fy * zb
+                if blocked_at(t, zc):
+                    return False
+            x += step
+    # horizontal gridline crossings (y = integer) strictly between
+    if dy != 0:
+        step = 1 if dy > 0 else -1
+        y = int(math.floor(oy)) + (1 if dy > 0 else 0)
+        while (y - oy) * step < abs(dy):
+            if (y - oy) * step > 0:
+                t = (y - oy) / dy
+                x = ox + t * dx
+                x0 = math.floor(x)
+                fx = x - x0
+                za = zmap.get((int(x0), y), math.nan)
+                zb = zmap.get((int(x0) + 1, y), math.nan) if fx > 0 else za
+                if fx == 0:
+                    zc = za
+                elif not math.isfinite(za) or not math.isfinite(zb):
+                    zc = math.nan
+                else:
+                    zc = (1 - fx) * za + fx * zb
+                if blocked_at(t, zc):
+                    return False
+            y += step
+    return True
+
+
+def _sector_pass(tiles: DataFrame, obs: DataFrame, n_sectors: int,
+                 max_dist: float | None, nom_w: int, nom_h: int,
+                 src_col: str) -> DataFrame:
+    two_pi = 2.0 * math.pi
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            for row in _batch_rows(batch):
+                if row.ox is None:
+                    continue                  # scene without an observer
+                w, h = int(row.w), int(row.h)
+                tx0, ty0 = int(row.tile_x) * nom_w, int(row.tile_y) * nom_h
+                oxx, oyy = float(row.ox), float(row.oy)
+                plane = codecs.decode_f32bt(
+                    getattr(row, src_col), w, h).astype(np.float64)
+                yy, xx = np.mgrid[0:h, 0:w]
+                gx = (tx0 + xx).ravel()
+                gy = (ty0 + yy).ravel()
+                z = plane.ravel()
+                rx = gx - oxx
+                ry = gy - oyy
+                r = np.hypot(rx, ry)
+                # map cells keep a +1.5 margin so interpolation-support
+                # cells just past the radius still block; targets are
+                # strictly radius-limited
+                if max_dist is not None:
+                    keep = r <= max_dist + 1.5
+                    if not keep.any():
+                        continue
+                    gx, gy, z, rx, ry, r = (a[keep]
+                                            for a in (gx, gy, z, rx, ry, r))
+                    tgt_ok = r <= max_dist
+                else:
+                    tgt_ok = np.ones(len(r), dtype=bool)
+                ang = np.arctan2(ry, rx)      # [-pi, pi]
+                ctr_sec = (np.floor((ang + math.pi) / two_pi * n_sectors)
+                           .astype(np.int64) % n_sectors)
+                # inflated angular halfwidth: a square of halfwidth 1.5
+                # around the center subtends <= 2*asin(min(1, 1.5*sqrt2/r));
+                # asin saturates to pi/2 near O, near cells go everywhere
+                near = r <= 2.5
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    half = np.arcsin(np.clip(1.5 * math.sqrt(2.0)
+                                             / np.maximum(r, 1e-9), 0, 1.0))
+                s_lo = np.floor((ang - half + math.pi) / two_pi
+                                * n_sectors).astype(np.int64)
+                s_hi = np.floor((ang + half + math.pi) / two_pi
+                                * n_sectors).astype(np.int64)
+                # vectorized replication: each cell i emits `span[i]`
+                # consecutive sectors starting at base[i] (mod n_sectors)
+                span = np.minimum(s_hi - s_lo + 1, n_sectors)
+                span = np.where(near, n_sectors, span)
+                base = np.where(near, 0, s_lo)
+                n_out = int(span.sum())
+                if n_out == 0:
+                    continue
+                idx = np.repeat(np.arange(len(gx)), span)
+                starts = np.concatenate(([0], np.cumsum(span)[:-1]))
+                off = np.arange(n_out) - np.repeat(starts, span)
+                sec = (np.repeat(base, span) + off) % n_sectors
+                is_t = ((sec == np.repeat(ctr_sec, span))
+                        & np.repeat(tgt_ok, span))
+                sid = np.full(n_out, row.scene_id, dtype=object)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(sid, pa.string()),
+                     pa.array(sec.astype(np.int32)),
+                     pa.array(gx[idx].astype(np.int32)),
+                     pa.array(gy[idx].astype(np.int32)),
+                     pa.array(z[idx]),
+                     pa.array(is_t.astype(np.int32))],
+                    names=[f.name for f in _CELL_SCHEMA])
+
+    src = tiles.select("scene_id", "tile_x", "tile_y", "w", "h", src_col) \
+        .join(F.broadcast(obs), on="scene_id", how="left")
+    return src.mapInArrow(fn, _CELL_SCHEMA)
+
+
+def _observer_terrain(tiles: DataFrame, obs_df: DataFrame, nom_w: int,
+                      nom_h: int, src_col: str) -> DataFrame:
+    """(scene_id, z) at each scene's observer cell, decoding only the tile
+    that contains it (an observer outside the raster yields no row)."""
+    hit = (tiles.select("scene_id", "tile_x", "tile_y", "w", "h", src_col)
+           .join(F.broadcast(obs_df), on="scene_id")
+           .filter((F.col("tile_x")
+                    == F.floor(F.col("ox") / nom_w).cast("int"))
+                   & (F.col("tile_y")
+                      == F.floor(F.col("oy") / nom_h).cast("int"))))
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {"scene_id": [], "z": []}
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                lx = int(row.ox) - int(row.tile_x) * nom_w
+                ly = int(row.oy) - int(row.tile_y) * nom_h
+                if not (0 <= lx < w and 0 <= ly < h):
+                    continue
+                plane = codecs.decode_f32bt(getattr(row, src_col), w, h)
+                cols["scene_id"].append(row.scene_id)
+                cols["z"].append(float(plane[ly, lx]))
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, _EYE_SCHEMA)
+
+    return hit.mapInArrow(fn, _EYE_SCHEMA)
+
+
+def viewshed_tiles(tiles: DataFrame, observers, obs_height: float = 1.75,
+                   max_dist: float | None = None, n_sectors: int = 256,
+                   src_col: str = "lst_bytes") -> DataFrame:
+    """r.viewshed: per-scene visibility plane from one observer per scene.
+
+    ``observers``: pandas or Spark frame (scene_id, ox, oy) in scene
+    pixel-CENTER coordinates (integers address cell centers). ``obs_height``
+    is added to the observer cell's terrain (GRASS observer_elevation);
+    a NaN observer cell raises. ``max_dist`` bounds rays in cell units
+    (GRASS max_distance); cells beyond it — and NaN cells — are 255 in the
+    output plane. Returns one row per input tile with a u8 plane.
+    """
+    spark = tiles.sparkSession
+    if isinstance(observers, pd.DataFrame):
+        obs_df = spark.createDataFrame(observers)
+    else:
+        obs_df = observers
+    obs_df = obs_df.select("scene_id", F.col("ox").cast("double"),
+                           F.col("oy").cast("double"))
+
+    nom = tiles.agg(F.max("w").alias("w"), F.max("h").alias("h")).first()
+    nom_w, nom_h = int(nom["w"]), int(nom["h"])
+
+    cells = _sector_pass(tiles, obs_df, n_sectors, max_dist,
+                         nom_w, nom_h, src_col)
+
+    # per-sector exact R3 over the sector-local sparse map
+    def run_sector(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        scene = key[0]
+        o = obs_b.value.get(scene)
+        if o is None:
+            return pd.DataFrame(columns=[f.name for f in _VIS_SCHEMA])
+        ox, oy, eye = o
+        zmap = {(int(r.gx), int(r.gy)): float(r.z)
+                for r in pdf.itertuples()}
+        t = pdf[(pdf.is_target == 1) & np.isfinite(pdf.z)]
+        out = []
+        for r in t.itertuples():
+            vis = _ray_visible(ox, oy, eye, int(r.gx), int(r.gy),
+                               float(r.z), zmap)
+            out.append({"scene_id": scene, "gx": int(r.gx),
+                        "gy": int(r.gy), "vis": 1 if vis else 0})
+        return pd.DataFrame(out, columns=[f.name for f in _VIS_SCHEMA])
+
+    # observer eye heights: terrain at the observer cell + obs_height.
+    # Decode ONLY the one tile per scene that contains the observer —
+    # O(scenes) tiles touched, never a scan of the raster.
+    opdf = obs_df.toPandas()
+    if opdf.scene_id.duplicated().any():
+        raise ValueError("one observer per scene")
+    oz = _observer_terrain(tiles, obs_df, nom_w, nom_h, src_col).toPandas()
+    eyes = {}
+    for r in opdf.itertuples():
+        zrow = oz[oz.scene_id == r.scene_id]
+        if len(zrow) == 0 or not np.isfinite(zrow.z.iloc[0]):
+            raise ValueError(
+                f"observer cell for scene {r.scene_id!r} is NaN or outside "
+                "the raster")
+        eyes[r.scene_id] = (float(r.ox), float(r.oy),
+                            float(zrow.z.iloc[0]) + float(obs_height))
+    obs_b = spark.sparkContext.broadcast(eyes)
+
+    vis = cells.groupBy("scene_id", "sector").applyInPandas(
+        run_sector, _VIS_SCHEMA)
+
+    # regroup to tile planes: one equi join of O(n) small rows
+    layout = tiles.select("scene_id", "tile_x", "tile_y", "w", "h", src_col)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (sid, tx, ty), grp in pdf.groupby(
+                ["scene_id", "tile_x", "tile_y"]):
+            w, h = int(grp.w.iloc[0]), int(grp.h.iloc[0])
+            plane = np.full((h, w), 255, dtype=np.uint8)
+            g = grp[grp.gx.notna()]
+            if len(g):
+                lx = g.gx.astype(int) - tx * nom_w
+                ly = g.gy.astype(int) - ty * nom_h
+                plane[ly, lx] = g.vis.astype(np.uint8)
+            out.append({"scene_id": sid, "tile_x": int(tx), "tile_y": int(ty),
+                        "w": w, "h": h, "vis_bytes": plane.tobytes(),
+                        "n_visible": int((plane == 1).sum()),
+                        "n_evaluated": int((plane != 255).sum())})
+        return pd.DataFrame(out)
+
+    keyed = vis.withColumn(
+        "tile_x", (F.col("gx") / nom_w).cast("int")) \
+        .withColumn("tile_y", (F.col("gy") / nom_h).cast("int"))
+    joined = layout.drop(src_col).join(
+        keyed, on=["scene_id", "tile_x", "tile_y"], how="left")
+    return joined.groupBy("scene_id", "tile_x", "tile_y").applyInPandas(
+        lambda pdf: build(pdf), VIEWSHED_SCHEMA)

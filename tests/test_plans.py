@@ -641,3 +641,36 @@ def test_contour_shuffles_only_halo_and_assembly(spark):
     assert "CartesianProduct" not in plan
     n = plan.count("Exchange hashpartitioning")
     assert n <= 2, f"expected <=2 hash exchanges (halo + assemble), got {n}"
+
+
+def test_viewshed_shuffles_small_rows_only(spark):
+    """viewshed_tiles: pixel planes never hash-shuffle — the only hash
+    exchanges carry (sector, gx, gy, z) / (gx, gy, vis) small rows (sector
+    grouping + tile regroup); the observer and layout sides ride broadcast
+    joins; no nested loop anywhere."""
+    import pandas as pd
+    import numpy as np
+
+    from i_landsat8_swlst_spark import terrain
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            t = rng.uniform(0, 10, (8, 8)).astype("<f4")
+            rows.append({"scene_id": "S0", "tile_x": tx, "tile_y": ty,
+                         "w": 8, "h": 8, "lst_bytes": t.tobytes()})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    obs = pd.DataFrame([{"scene_id": "S0", "ox": 3, "oy": 3}])
+    plan = _plan(terrain.viewshed_tiles(tiles, obs, n_sectors=8))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # sector grouping, vis->tile regroup join, final tile grouping
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 3, f"expected <=3 hash exchanges, got {n}"
+    # the tile scan feeds MapInArrow with no exchange in between: planes
+    # are decomposed to small rows BEFORE any shuffle (plans print
+    # root-first, so the deepest stage — the sector pass — is the LAST
+    # MapInArrow; its subtree is everything after it)
+    below = plan[plan.rindex("MapInArrow"):]
+    assert "Exchange hashpartitioning" not in below
