@@ -1761,6 +1761,39 @@ def _q_rasterize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("scene_id"))
 
 
+def _q_rasterize_lines_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the DISTRIBUTED no-broadcast line-rasterization path
+    (spatial.rasterize_lines_cells) — segments explode executor-side and
+    meet tiles in ONE degree-cell hash equi join; byte-identical to the
+    broadcast path (shared burn kernel; parity + 10^5-segment scale test
+    in tests/test_spatial.py, no-vector-broadcast gate in test_plans)."""
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import pipeline, spatial
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    tiles = pipeline.parse_scenes(scenes).filter(F.col("band") == 10).select(
+        "scene_id", "tile_x", "tile_y", "w", "h")
+    geom = (pipeline.scene_grids(pipeline.parse_scenes(scenes))
+            .join(meta.select("scene_id", "lon0", "lat0", "lon1", "lat1"),
+                  "scene_id"))
+    boxes = meta.select("scene_id", "lon0", "lat0", "lon1", "lat1").toPandas()
+    rows = []
+    for b in boxes.itertuples():
+        sx = lambda f: b.lon0 + f * (b.lon1 - b.lon0)
+        sy = lambda f: b.lat0 + f * (b.lat1 - b.lat0)
+        rows.append({"line_id": f"diag-{b.scene_id}", "cat": 7,
+                     "xs": [sx(0.05), sx(0.95)], "ys": [sy(0.1), sy(0.9)]})
+        rows.append({"line_id": f"bar-{b.scene_id}", "cat": 3,
+                     "xs": [sx(0.1), sx(0.9)], "ys": [sy(0.5), sy(0.5)]})
+    lines = spark.createDataFrame(pd.DataFrame(rows))
+    out = spatial.rasterize_lines_cells(tiles, lines, geom)
+    return (out.groupBy("scene_id")
+            .agg(F.count(F.lit(1)).alias("n_tiles"),
+                 F.sum("n_cells").alias("n_cells"))
+            .orderBy("scene_id"))
+
+
 def _q_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: D8 flow-path tracing (r.drain analog, hydro.drain_paths)
     — per round every live path walks vectorized inside its current tile,
@@ -1892,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_reclass_tiles"] = _q_reclass_tiles
     q["q_grow"] = _q_grow
     q["q_rasterize_lines"] = _q_rasterize_lines
+    q["q_rasterize_lines_cells"] = _q_rasterize_lines_cells
     q["q_drain"] = _q_drain
     q["q_fillnulls"] = _q_fillnulls
     q["q_random_cells"] = _q_random_cells

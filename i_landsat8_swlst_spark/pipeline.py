@@ -43,15 +43,25 @@ META_COLS = ["ml_b10", "al_b10", "ml_b11", "al_b11", "k1_b10", "k2_b10", "k1_b11
 def parse_scenes(scenes: DataFrame) -> DataFrame:
     """Derive (scene_id, band, tile_x, tile_y, landcover) from image_id/caption.
 
-    Pure Catalyst projections — whole-stage codegen, no Python.
+    Pure Catalyst projections — whole-stage codegen, no Python. Columns the
+    input already carries are REUSED, not re-derived: re-deriving would
+    replace the stored column with a new expression and throw away the
+    table's bucketing metadata — the documented 100-TB layout (pre-parsed,
+    bucketed+sorted on (scene_id, tile_x, tile_y)) keeps `pair_bands`
+    zero-shuffle precisely because the stored key columns survive here.
     """
-    return (
-        scenes.withColumn("scene_id", F.regexp_extract("image_id", _ID_RE, 1))
-        .withColumn("band", F.regexp_extract("image_id", _ID_RE, 2).cast("int"))
-        .withColumn("tile_x", F.regexp_extract("image_id", _ID_RE, 3).cast("int"))
-        .withColumn("tile_y", F.regexp_extract("image_id", _ID_RE, 4).cast("int"))
-        .withColumn("landcover", F.regexp_extract("caption", r"landcover=(\w+)", 1))
-    )
+    derive = {
+        "scene_id": F.regexp_extract("image_id", _ID_RE, 1),
+        "band": F.regexp_extract("image_id", _ID_RE, 2).cast("int"),
+        "tile_x": F.regexp_extract("image_id", _ID_RE, 3).cast("int"),
+        "tile_y": F.regexp_extract("image_id", _ID_RE, 4).cast("int"),
+        "landcover": F.regexp_extract("caption", r"landcover=(\w+)", 1),
+    }
+    out = scenes
+    for name, col in derive.items():
+        if name not in scenes.columns:
+            out = out.withColumn(name, col)
+    return out
 
 
 def pair_bands(parsed: DataFrame, with_qa: bool = False) -> DataFrame:

@@ -1655,6 +1655,40 @@ _LINES_SCHEMA = StructType([
 ])
 
 
+def _burn_lines_plane(w: int, h: int, tile_x: int, tile_y: int,
+                      ntx: int, nty: int, lon0: float, lat0: float,
+                      lon1: float, lat1: float, sa: np.ndarray) -> np.ndarray:
+    """Burn a 9-col segment array (bx0, by0, bx1, by1, ax, ay, bx, by, cat)
+    into one tile plane. Shared VERBATIM by the broadcast and distributed
+    paths — identical float expressions, and max-per-cell is order-free,
+    so the two paths stay byte-identical."""
+    gw, gh = ntx * w, nty * h
+    dlon = (lon1 - lon0) / ntx
+    dlat = (lat1 - lat0) / nty
+    tl0 = lon0 + tile_x * dlon
+    tl1 = tl0 + dlon
+    tb1 = lat1 - tile_y * dlat
+    tb0 = tb1 - dlat
+    plane = np.full((h, w), np.nan, dtype=np.float32)
+    if sa.size:
+        hit = ((sa[:, 0] <= tl1) & (sa[:, 2] >= tl0)
+               & (sa[:, 1] <= tb1) & (sa[:, 3] >= tb0))
+        ox, oy = tile_x * w, tile_y * h
+        for bx0, by0, bx1, by1, ax, ay, bx, by, cat in sa[hit]:
+            # global continuous pixel coords (u right, v down)
+            ua = (ax - lon0) / (lon1 - lon0) * gw
+            va = (lat1 - ay) / (lat1 - lat0) * gh
+            ub = (bx - lon0) / (lon1 - lon0) * gw
+            vb = (lat1 - by) / (lat1 - lat0) * gh
+            for cx, cy in supercover_cells(ua, va, ub, vb):
+                px, py = cx - ox, cy - oy
+                if 0 <= px < w and 0 <= py < h:
+                    cur = plane[py, px]
+                    if not np.isfinite(cur) or cat > cur:
+                        plane[py, px] = cat
+    return plane
+
+
 def rasterize_lines(tiles: DataFrame, lines: pd.DataFrame,
                     scene_geom: DataFrame) -> DataFrame:
     """v.to.rast type=line analog: burn polyline categories into the tile
@@ -1696,32 +1730,10 @@ def rasterize_lines(tiles: DataFrame, lines: pd.DataFrame,
             ap = {kk: v.append for kk, v in cols.items()}
             for row in _batch_rows(batch):
                 w, h = int(row.w), int(row.h)
-                ntx, nty = int(row.ntx), int(row.nty)
-                gw, gh = ntx * w, nty * h
-                # tile bbox in lon/lat (lat1 is the TOP edge)
-                dlon = (row.lon1 - row.lon0) / ntx
-                dlat = (row.lat1 - row.lat0) / nty
-                tl0 = row.lon0 + row.tile_x * dlon
-                tl1 = tl0 + dlon
-                tb1 = row.lat1 - row.tile_y * dlat
-                tb0 = tb1 - dlat
-                plane = np.full((h, w), np.nan, dtype=np.float32)
-                if sa.size:
-                    hit = ((sa[:, 0] <= tl1) & (sa[:, 2] >= tl0)
-                           & (sa[:, 1] <= tb1) & (sa[:, 3] >= tb0))
-                    ox, oy = int(row.tile_x) * w, int(row.tile_y) * h
-                    for bx0, by0, bx1, by1, ax, ay, bx, by, cat in sa[hit]:
-                        # global continuous pixel coords (u right, v down)
-                        ua = (ax - row.lon0) / (row.lon1 - row.lon0) * gw
-                        va = (row.lat1 - ay) / (row.lat1 - row.lat0) * gh
-                        ub = (bx - row.lon0) / (row.lon1 - row.lon0) * gw
-                        vb = (row.lat1 - by) / (row.lat1 - row.lat0) * gh
-                        for cx, cy in supercover_cells(ua, va, ub, vb):
-                            px, py = cx - ox, cy - oy
-                            if 0 <= px < w and 0 <= py < h:
-                                cur = plane[py, px]
-                                if not np.isfinite(cur) or cat > cur:
-                                    plane[py, px] = cat
+                plane = _burn_lines_plane(
+                    w, h, int(row.tile_x), int(row.tile_y),
+                    int(row.ntx), int(row.nty),
+                    row.lon0, row.lat0, row.lon1, row.lat1, sa)
                 n = int(np.isfinite(plane).sum())
                 if n == 0:
                     continue  # inner semantics: only touched tiles emit
@@ -1734,6 +1746,113 @@ def rasterize_lines(tiles: DataFrame, lines: pd.DataFrame,
                 yield _batch_from_cols(cols, _LINES_SCHEMA)
 
     return src.mapInArrow(fn, _LINES_SCHEMA)
+
+
+def rasterize_lines_cells(tiles: DataFrame, lines: DataFrame,
+                          scene_geom: DataFrame) -> DataFrame:
+    """v.to.rast type=line analog, DISTRIBUTED no-broadcast path for vector
+    tables too big to broadcast (country-scale road networks). Byte-
+    identical to `rasterize_lines` on the same inputs: both paths burn via
+    the shared `_burn_lines_plane` (identical float expressions) and
+    max-per-cell is order-free, so only the candidate ROUTING differs.
+
+    ``lines`` is a Spark DataFrame (line_id, cat, xs: array<double>,
+    ys: array<double>). Plan shape: segments explode EXECUTOR-side
+    (Catalyst sequence-explode over vertex indices, no driver iteration),
+    each segment lands in the fixed lon/lat degree cells its bbox overlaps,
+    tiles enumerate the cells overlapping their bbox, and the two sides
+    meet in ONE hash equi-join on the cell key — the vector side is never
+    broadcast and never touches the driver. The cell size is the LARGEST
+    tile extent over all scenes (one 1-row aggregate), so a tile overlaps
+    <= 4 cells; a segment emits its bbox's cells — O(len/cell) for the
+    axis-aligned/short segments of real networks (a continental diagonal
+    should be pre-split by the caller, as in GRASS v.split). Malformed
+    xs/ys raise from the executors via raise_error (the broadcast path
+    raises ValueError on the driver).
+
+    Untouched tiles emit nothing (inner-join + n_cells=0 skip), matching
+    the broadcast path's inner semantics.
+    """
+    for c in ("line_id", "cat", "xs", "ys"):
+        if c not in lines.columns:
+            raise ValueError(f"lines needs column {c!r}")
+    ext = scene_geom.agg(
+        F.max((F.col("lon1") - F.col("lon0")) / F.col("ntx")).alias("cw"),
+        F.max((F.col("lat1") - F.col("lat0")) / F.col("nty")).alias("ch"),
+    ).first()
+    if ext["cw"] is None:
+        raise ValueError("rasterize_lines_cells: empty scene_geom")
+    cw, ch = float(ext["cw"]), float(ext["ch"])
+    if cw <= 0 or ch <= 0:
+        raise ValueError("rasterize_lines_cells: degenerate scene_geom")
+
+    bad = (F.size("xs") != F.size("ys")) | (F.size("xs") < 2)
+    first_i = F.when(bad, F.raise_error(F.concat(
+        F.lit("line "), F.col("line_id").cast("string"),
+        F.lit(": xs/ys must be equal-length, >= 2")))).otherwise(F.lit(0))
+    seg = (lines
+           .withColumn("i", F.explode(F.sequence(first_i,
+                                                 F.size("xs") - F.lit(2))))
+           .select("line_id", F.col("cat").cast("double").alias("cat"), "i",
+                   F.element_at("xs", F.col("i") + 1).alias("ax"),
+                   F.element_at("ys", F.col("i") + 1).alias("ay"),
+                   F.element_at("xs", F.col("i") + 2).alias("bx"),
+                   F.element_at("ys", F.col("i") + 2).alias("by")))
+    seg = (seg
+           .withColumn("cell_x", F.explode(F.sequence(
+               F.floor(F.least("ax", "bx") / cw).cast("long"),
+               F.floor(F.greatest("ax", "bx") / cw).cast("long"))))
+           .withColumn("cell_y", F.explode(F.sequence(
+               F.floor(F.least("ay", "by") / ch).cast("long"),
+               F.floor(F.greatest("ay", "by") / ch).cast("long")))))
+
+    t = (tiles.select("scene_id", "tile_x", "tile_y", "w", "h")
+         .join(F.broadcast(scene_geom), on="scene_id"))
+    tdlon = (F.col("lon1") - F.col("lon0")) / F.col("ntx")
+    tdlat = (F.col("lat1") - F.col("lat0")) / F.col("nty")
+    t = (t.withColumn("cell_x", F.explode(F.sequence(
+            F.floor((F.col("lon0") + F.col("tile_x") * tdlon) / cw)
+            .cast("long"),
+            F.floor((F.col("lon0") + (F.col("tile_x") + 1) * tdlon) / cw)
+            .cast("long"))))
+         .withColumn("cell_y", F.explode(F.sequence(
+            F.floor((F.col("lat1") - (F.col("tile_y") + 1) * tdlat) / ch)
+            .cast("long"),
+            F.floor((F.col("lat1") - F.col("tile_y") * tdlat) / ch)
+            .cast("long")))))
+
+    cand = t.join(seg, on=["cell_x", "cell_y"], how="inner")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        row = pdf.iloc[0]
+        # a segment reaches this tile once per shared (tile-cell x its
+        # cell) pairing — dedup to the broadcast path's one-burn-per-seg
+        s = pdf.drop_duplicates(["line_id", "i"])
+        ax = s.ax.to_numpy(np.float64)
+        ay = s.ay.to_numpy(np.float64)
+        bx = s.bx.to_numpy(np.float64)
+        by = s.by.to_numpy(np.float64)
+        cat = s.cat.to_numpy(np.float64)
+        sa = np.column_stack([
+            np.minimum(ax, bx), np.minimum(ay, by),
+            np.maximum(ax, bx), np.maximum(ay, by), ax, ay, bx, by, cat])
+        plane = _burn_lines_plane(
+            int(row.w), int(row.h), int(row.tile_x), int(row.tile_y),
+            int(row.ntx), int(row.nty),
+            float(row.lon0), float(row.lat0),
+            float(row.lon1), float(row.lat1), sa)
+        n = int(np.isfinite(plane).sum())
+        if n == 0:
+            return pd.DataFrame(columns=[f.name for f in _LINES_SCHEMA])
+        return pd.DataFrame({
+            "scene_id": [row.scene_id],
+            "tile_x": [int(row.tile_x)], "tile_y": [int(row.tile_y)],
+            "w": [int(row.w)], "h": [int(row.h)],
+            "line_bytes": [plane.tobytes()], "n_cells": [n],
+        })
+
+    return (cand.groupBy("scene_id", "tile_x", "tile_y")
+            .applyInPandas(fn, _LINES_SCHEMA))
 
 
 # --------------------------------------------------------------------------

@@ -674,3 +674,71 @@ def test_viewshed_shuffles_small_rows_only(spark):
     # MapInArrow; its subtree is everything after it)
     below = plan[plan.rindex("MapInArrow"):]
     assert "Exchange hashpartitioning" not in below
+
+
+def test_rasterize_lines_cells_no_vector_broadcast(spark):
+    """The distributed line-rasterization path must meet tiles in ONE hash
+    equi join on the degree-cell key — the vector side is never broadcast
+    and never driver-iterated; no nested loop anywhere."""
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import spatial
+    from tests.test_spatial import _idw_fixture, _random_lines
+
+    tiles, geom, _st, box = _idw_fixture(spark, n_stations=1)
+    lines = spark.createDataFrame(_random_lines(box, 20, seed=101))
+    # at test scale Catalyst would size-broadcast the tiny seg side and
+    # hide the scale plan; disable auto-broadcast so the gate sees the
+    # at-scale shape (the scene_geom broadcast is HINTED, so it survives)
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spatial.rasterize_lines_cells(tiles, lines, geom))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the cell-key join is the shuffled equi join; the only broadcast is
+    # the tiny scene_geom onto the tile side
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    n_bc = plan.count("BroadcastExchange")
+    assert n_bc == 1, f"expected only the scene_geom broadcast, got {n_bc}"
+
+
+def test_build_enriched_reuses_bucketing_of_parsed_table(spark):
+    """parse_scenes must NOT re-derive key columns a pre-parsed table
+    already stores — re-deriving replaces the stored columns and discards
+    bucketing, silently reintroducing the pair-join shuffle. Over the
+    documented layout (pre-parsed, bucketed+sorted on the tile key) the
+    WHOLE standard build_enriched -> lst_tiles plan must be exchange-free."""
+    import re
+
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import constants as C, pipeline, synth
+
+    scenes = spark.createDataFrame(synth.scenes_pdf("tiny", scenes=[0]))
+    meta = spark.createDataFrame(synth.scene_meta_pdf("tiny"))
+    emis = spark.createDataFrame(
+        pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
+    key = ["scene_id", "tile_x", "tile_y"]
+    spark.sql("DROP TABLE IF EXISTS plans_scenes_bkt")
+    (pipeline.parse_scenes(scenes).write.bucketBy(8, *key).sortBy(*key)
+     .mode("overwrite").format("parquet").saveAsTable("plans_scenes_bkt"))
+    try:
+        tiles = pipeline.lst_tiles(
+            pipeline.build_enriched(spark.table("plans_scenes_bkt"),
+                                    meta, emis), window=5)
+        plan = _plan(tiles)
+        assert not re.search(r"(?<!Broadcast)Exchange\s+\w*[Pp]artitioning",
+                             plan), plan
+        # identical rows to the raw-table path (bit-compare the planes)
+        raw = pipeline.lst_tiles(
+            pipeline.build_enriched(scenes, meta, emis), window=5)
+        a = {(r.scene_id, r.tile_x, r.tile_y): (r.lst_bytes, r.n_valid)
+             for r in tiles.collect()}
+        b = {(r.scene_id, r.tile_x, r.tile_y): (r.lst_bytes, r.n_valid)
+             for r in raw.collect()}
+        assert a == b and len(a) == 16
+    finally:
+        spark.sql("DROP TABLE IF EXISTS plans_scenes_bkt")

@@ -1068,3 +1068,105 @@ def test_sample_random_cells_matches_whole_scene_ranking(spark):
     assert spatial.sample_random_cells(tiny, 10).count() == 2
     with pytest.raises(ValueError, match="n must be"):
         spatial.sample_random_cells(df, 0)
+
+
+# ---- rasterize_lines_cells (distributed no-broadcast path) -----------------
+
+def _random_lines(box, n_lines, seed, max_verts=4):
+    import pandas as pd
+
+    LON0, LAT0, LON1, LAT1 = box[:4]
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_lines):
+        nv = int(rng.integers(2, max_verts + 1))
+        # short wandering polylines (road-network shaped), some dangling
+        # past the grid edge
+        x0 = rng.uniform(LON0 - 0.02, LON1 + 0.02)
+        y0 = rng.uniform(LAT0 - 0.02, LAT1 + 0.02)
+        xs = np.cumsum(np.concatenate(([x0], rng.uniform(-0.04, 0.04, nv - 1))))
+        ys = np.cumsum(np.concatenate(([y0], rng.uniform(-0.04, 0.04, nv - 1))))
+        rows.append({"line_id": f"L{i:05d}", "cat": int(rng.integers(1, 9)),
+                     "xs": xs.tolist(), "ys": ys.tolist()})
+    return pd.DataFrame(rows)
+
+
+def test_rasterize_lines_cells_byte_identical_to_broadcast(spark):
+    tiles, geom, _st, box = _idw_fixture(spark, n_stations=1)
+    lines = _random_lines(box, 60, seed=83)
+    b = spatial.rasterize_lines(tiles, lines, geom).toPandas()
+    s = spatial.rasterize_lines_cells(
+        tiles, spark.createDataFrame(lines), geom).toPandas()
+    key = ["scene_id", "tile_x", "tile_y"]
+    b = b.sort_values(key).reset_index(drop=True)
+    s = s.sort_values(key).reset_index(drop=True)
+    assert len(b) == len(s) and len(b) > 0
+    assert (b[key] == s[key]).all().all()
+    assert (b.line_bytes == s.line_bytes).all()
+    assert (b.n_cells == s.n_cells).all()
+
+
+def test_rasterize_lines_cells_two_scenes(spark):
+    import pandas as pd
+
+    tiles, geom, _st, box = _idw_fixture(spark, n_stations=1)
+    # second scene with a DIFFERENT grid overlapping the same lines
+    t2 = spark.createDataFrame(pd.DataFrame([
+        {"scene_id": "S2", "tile_x": tx, "tile_y": ty, "w": 16, "h": 16}
+        for tx in range(3) for ty in range(2)]))
+    g2 = spark.createDataFrame(pd.DataFrame([{
+        "scene_id": "S2", "lon0": 10.15, "lat0": 40.1,
+        "lon1": 10.75, "lat1": 40.5, "ntx": 3, "nty": 2}]))
+    tiles2, geom2 = tiles.unionByName(t2), geom.unionByName(g2)
+    lines = _random_lines(box, 30, seed=89)
+    b = spatial.rasterize_lines(tiles2, lines, geom2).toPandas()
+    s = spatial.rasterize_lines_cells(
+        tiles2, spark.createDataFrame(lines), geom2).toPandas()
+    key = ["scene_id", "tile_x", "tile_y"]
+    b = b.sort_values(key).reset_index(drop=True)
+    s = s.sort_values(key).reset_index(drop=True)
+    assert set(b.scene_id) == {"S1", "S2"} and len(b) == len(s)
+    assert (b.line_bytes == s.line_bytes).all()
+
+
+def test_rasterize_lines_cells_scale_and_empty(spark):
+    # 10^5 segments never touch the driver: the vector side goes in as a
+    # Spark frame and explodes executor-side
+    import pandas as pd
+
+    tiles, geom, _st, box = _idw_fixture(spark, n_stations=1)
+    n = 50_000  # 2-vertex lines -> 5*10^4 lines, 10^5 vertices
+    rng = np.random.default_rng(97)
+    LON0, LAT0, LON1, LAT1 = box[:4]
+    x0 = rng.uniform(LON0, LON1, n)
+    y0 = rng.uniform(LAT0, LAT1, n)
+    pdf = pd.DataFrame({
+        "line_id": [f"R{i}" for i in range(n)],
+        "cat": rng.integers(1, 100, n),
+        "xs": np.column_stack([x0, x0 + rng.uniform(-0.01, 0.01, n)]).tolist(),
+        "ys": np.column_stack([y0, y0 + rng.uniform(-0.01, 0.01, n)]).tolist(),
+    })
+    out = spatial.rasterize_lines_cells(
+        tiles, spark.createDataFrame(pdf), geom).toPandas()
+    assert len(out) == 4                      # every tile touched
+    # 5*10^4 segments inside a 32x32-px grid saturate every pixel
+    assert (out.n_cells == 16 * 16).all()
+    # empty vector side -> empty result, schema intact
+    empty = spatial.rasterize_lines_cells(
+        tiles, spark.createDataFrame(
+            pdf.head(0), schema="line_id string, cat long, "
+                                "xs array<double>, ys array<double>"),
+        geom).toPandas()
+    assert len(empty) == 0
+    assert list(empty.columns) == [f.name for f in spatial._LINES_SCHEMA]
+
+
+def test_rasterize_lines_cells_bad_input_raises_executor_side(spark):
+    import pandas as pd
+
+    tiles, geom, _st, _box = _idw_fixture(spark, n_stations=1)
+    bad = pd.DataFrame([{"line_id": "x", "cat": 1,
+                         "xs": [1.0], "ys": [2.0]}])
+    with pytest.raises(Exception, match="equal-length"):
+        spatial.rasterize_lines_cells(
+            tiles, spark.createDataFrame(bad), geom).collect()
