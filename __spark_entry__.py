@@ -1128,6 +1128,47 @@ def _q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sun(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: instantaneous clear-sky solar irradiance with cast
+    shadows (r.sun analog, terrain.sun_tiles) — parallel-ray strip
+    decomposition: one decode pass to (strip, cell) small rows, per-strip
+    running-max scan emits only shaded cells, 1-px halo exchange feeds the
+    Horn incidence kernel. Whole-scene bit-identical oracle + tiling
+    invariance in tests/test_terrain.py."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import terrain
+
+    rng = np.random.default_rng(74)
+    base = rng.uniform(0.0, 20.0, (12, 12))
+    plane = np.kron(base, np.ones((8, 8))) + rng.uniform(-0.3, 0.3, (96, 96))
+    yy, xx = np.mgrid[0:96, 0:96]
+    plane += 90.0 * np.exp(-((xx - 30.0) ** 2 + (yy - 60.0) ** 2) / 160.0)
+    plane = plane.astype("<f4").astype(np.float64)
+    rows = []
+    for ty in range(3):
+        for tx in range(3):
+            t = plane[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32]
+            rows.append({"scene_id": "S0", "tile_x": tx, "tile_y": ty,
+                         "w": 32, "h": 32,
+                         "lst_bytes": t.astype("<f4").tobytes()})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    sun = pd.DataFrame([{"scene_id": "S0", "azimuth_deg": 240.0,
+                         "altitude_deg": 22.0}])
+    v = terrain.sun_tiles(tiles, sun)
+    return (
+        v.groupBy("scene_id")
+        .agg(F.count(F.lit(1)).alias("n_tiles"),
+             F.sum("n_shaded").alias("n_shaded"),
+             F.sum("n_valid").alias("n_valid"),
+             F.round(F.sum("n_shaded")
+                     / F.greatest(F.sum("n_valid"), F.lit(1)), 4)
+             .alias("shaded_frac"))
+        .orderBy("scene_id")
+    )
+
+
 def _q_lst_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: per-pixel linear LST trend across 4 revisits (closed-form
     OLS sums — every term partial-aggregable, ONE map-side-combining
@@ -1934,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_to_vect"] = _q_to_vect
     q["q_contour"] = _q_contour
     q["q_viewshed"] = _q_viewshed
+    q["q_sun"] = _q_sun
     return q
 
 

@@ -742,3 +742,33 @@ def test_build_enriched_reuses_bucketing_of_parsed_table(spark):
         assert a == b and len(a) == 16
     finally:
         spark.sql("DROP TABLE IF EXISTS plans_scenes_bkt")
+
+
+def test_sun_tiles_shuffles_small_rows_and_one_halo(spark):
+    """sun_tiles: the only plane-bytes exchange is the 1-px halo
+    repartition; shadow work travels as O(cells) small rows into the
+    strip scan and O(shaded) rows out; no nested loop."""
+    import pandas as pd
+    import numpy as np
+
+    from i_landsat8_swlst_spark import terrain
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            t = rng.uniform(0, 40, (8, 8)).astype("<f4")
+            rows.append({"scene_id": "S0", "tile_x": tx, "tile_y": ty,
+                         "w": 8, "h": 8, "lst_bytes": t.tobytes()})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    sun = pd.DataFrame([{"scene_id": "S0", "azimuth_deg": 225.0,
+                         "altitude_deg": 30.0}])
+    plan = _plan(terrain.sun_tiles(tiles, sun))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 5, f"expected <=5 hash exchanges, got {n}"
+    # both decode stages (cell emit + halo strip emit) sit directly on
+    # scans: nothing below the deepest MapInArrow shuffles
+    below = plan[plan.rindex("MapInArrow"):]
+    assert "Exchange hashpartitioning" not in below

@@ -267,3 +267,112 @@ def test_flat_terrain_all_visible(spark):
     plane = np.full((10, 12), 5.0)
     _, got = _run(spark, plane, ox=4, oy=4, obs_height=1.0)
     assert (got == 1).all()
+
+
+# ---- sun_tiles (r.sun analog, instantaneous) -------------------------------
+
+def _sun_oracle(plane, az, altd):
+    """Whole-scene irradiance: whole-plane Horn gradients + the documented
+    shadow spec (terrain.shadow_plane, the serial reference the distributed
+    strip scan must reproduce), then the same clear-sky formulas."""
+    from i_landsat8_swlst_spark.kernels import slope_aspect
+
+    g = slope_aspect(plane)
+    sl = np.radians(g["slope_deg"])
+    asp = np.radians(np.nan_to_num(g["aspect_deg"]))
+    sh = terrain.shadow_plane(plane, az, altd)
+    lit = sh != 1
+    alt = math.radians(altd)
+    m = 1.0 / math.sin(alt)
+    beam = terrain.SOLAR_CONSTANT * 0.75 ** (m ** 0.678)
+    azr = math.radians(az % 360.0)
+    with np.errstate(invalid="ignore"):
+        cosi = (math.sin(alt) * np.cos(sl)
+                + math.cos(alt) * np.sin(sl) * np.cos(azr - asp))
+        direct = beam * np.clip(cosi, 0.0, None) * lit
+        diffuse = (terrain.SOLAR_CONSTANT * terrain._DIFFUSE_FRAC
+                   * math.sin(alt) * (1.0 + np.cos(sl)) / 2.0)
+        glob = (direct + diffuse).astype(np.float32)
+    glob[np.isnan(sl)] = np.nan
+    return glob
+
+
+def _mosaic_sun(rows, h, w, nom_w, nom_h):
+    out = np.full((h, w), np.nan, dtype=np.float32)
+    for r in rows:
+        t = np.frombuffer(r.glob_bytes, dtype="<f4").reshape(r.h, r.w)
+        out[r.tile_y * nom_h:r.tile_y * nom_h + r.h,
+            r.tile_x * nom_w:r.tile_x * nom_w + r.w] = t
+    return out
+
+
+def test_shadow_plane_pillar_golden():
+    # flat ground with one 10-unit pillar, sun due west at 45 deg: the
+    # shadow runs exactly 10 cells east of the pillar, nothing else shaded
+    plane = np.zeros((9, 30))
+    plane[4, 5] = 10.0
+    sh = terrain.shadow_plane(plane, azimuth_deg=270.0, altitude_deg=45.0)
+    want = np.zeros((9, 30), dtype=np.uint8)
+    want[4, 6:15] = 1          # strictly: z_b - d > 0  ->  d < 10
+    assert np.array_equal(sh, want)
+    # sun due east instead: shadow flips west
+    sh2 = terrain.shadow_plane(plane, azimuth_deg=90.0, altitude_deg=45.0)
+    assert sh2[4, 6:].max() == 0 and (sh2[4, :5] == 1).any()
+
+
+@pytest.mark.parametrize("az,alt", [(135.0, 35.0), (270.0, 20.0),
+                                    (0.0, 60.0)])
+def test_sun_tiles_matches_whole_scene_oracle(spark, az, alt):
+    import pandas as pd
+
+    plane = _terrain(16, 21, seed=41)
+    tiles = _scene(spark, plane, tw=7, th=5)
+    sun = pd.DataFrame([{"scene_id": "S0", "azimuth_deg": az,
+                         "altitude_deg": alt}])
+    rows = terrain.sun_tiles(tiles, sun).collect()
+    got = _mosaic_sun(rows, 16, 21, 7, 5)
+    want = _sun_oracle(plane, az, alt)
+    assert np.array_equal(np.isnan(got), np.isnan(want))
+    m = np.isfinite(want)
+    assert np.array_equal(got[m], want[m])      # bit-identical
+    n_shaded = sum(r.n_shaded for r in rows)
+    sh = terrain.shadow_plane(plane, az, alt)
+    assert n_shaded == int(((sh == 1) & m).sum())
+    assert sum(r.n_valid for r in rows) == int(m.sum())
+
+
+def test_sun_tiles_tiling_invariance(spark):
+    import pandas as pd
+
+    plane = _terrain(18, 24, seed=43)
+    plane[7:9, 10:12] = np.nan
+    sun = pd.DataFrame([{"scene_id": "S0", "azimuth_deg": 200.0,
+                         "altitude_deg": 25.0}])
+    a = _mosaic_sun(terrain.sun_tiles(_scene(spark, plane, tw=6, th=6),
+                                      sun).collect(), 18, 24, 6, 6)
+    b = _mosaic_sun(terrain.sun_tiles(_scene(spark, plane, tw=24, th=18),
+                                      sun).collect(), 18, 24, 24, 18)
+    assert np.array_equal(np.isnan(a), np.isnan(b))
+    m = np.isfinite(a)
+    assert np.array_equal(a[m], b[m])
+
+
+def test_sun_tiles_validation_and_missing_scene(spark):
+    import pandas as pd
+
+    plane = _terrain(10, 14, seed=47)
+    tiles = _scene(spark, plane)
+    with pytest.raises(ValueError, match="altitude"):
+        terrain.sun_tiles(tiles, pd.DataFrame([{
+            "scene_id": "S0", "azimuth_deg": 90.0, "altitude_deg": 0.0}]))
+    with pytest.raises(ValueError, match="one sun position"):
+        terrain.sun_tiles(tiles, pd.DataFrame([
+            {"scene_id": "S0", "azimuth_deg": 90.0, "altitude_deg": 30.0},
+            {"scene_id": "S0", "azimuth_deg": 91.0, "altitude_deg": 30.0}]))
+    # a scene absent from the sun table emits all-NaN planes
+    rows = terrain.sun_tiles(tiles, pd.DataFrame([{
+        "scene_id": "OTHER", "azimuth_deg": 90.0,
+        "altitude_deg": 30.0}])).collect()
+    assert all(r.n_valid == 0 for r in rows)
+    got = _mosaic_sun(rows, 10, 14, 7, 5)
+    assert np.isnan(got).all()
