@@ -135,8 +135,20 @@ def run_lst_job(
             "emissivity_b10", F.lit(float(e.emissivity_b10))
         ).withColumn("emissivity_b11", F.lit(float(e.emissivity_b11)))
     enriched = enriched.withColumn("slice", _slice_col(n_slices))
-    fps = slice_fingerprints(enriched, n_slices)
     done = read_manifest(out_dir) if resume else {}
+    # Lazy fingerprints: the upfront metadata scan exists to VALIDATE prior
+    # manifests (and to size auto batches) — a fresh run has nothing to
+    # validate, and at 100 TB a full pre-pass over the input before any
+    # work is real money. Fresh runs instead record fingerprints OBSERVED
+    # inside the write job (lst_tiles emits one row per input tile carrying
+    # image_id = image_id_b10, so bit_xor(xxhash64(image_id)) per slice over
+    # the OUTPUT equals the input fingerprint when nothing was dropped; a
+    # dropped row makes the recorded fp differ from the true input fp, so
+    # the NEXT resume's validation scan re-executes that slice —
+    # self-healing instead of fail-fast).
+    fps = None
+    if done or slice_batch == "auto":
+        fps = slice_fingerprints(enriched, n_slices)
 
     # resume set as a real anti-join against completed manifest keys whose
     # fingerprint still matches (lineage check) — and whose recorded options
@@ -147,11 +159,12 @@ def run_lst_job(
                     "emissivity_class": None, "celsius": False}
     valid_done = {
         s: rec for s, rec in done.items()
-        if s in fps and rec.get("input_fingerprint") == fps[s][0]
+        if fps is not None and s in fps
+        and rec.get("input_fingerprint") == fps[s][0]
         and rec.get("code_version") == __version__
         and rec.get("options", default_opts) == opts
     }
-    all_slices = sorted(fps)
+    all_slices = sorted(fps) if fps is not None else list(range(n_slices))
     if valid_done:
         done_df = spark.createDataFrame([(s,) for s in valid_done], "slice int")
         pending_rows = (
@@ -253,6 +266,12 @@ def _run_slice_groups(spark, enriched, pending, fps, done, out, out_dir,
                     F.sum(F.when(hit, F.col("w").cast("long") * F.col("h"))
                            .otherwise(F.lit(0))).alias(f"px_{s}"),
                 ]
+                if fps is None:
+                    # observed input fingerprint (lazy-fp fresh run): one
+                    # output row per input tile, image_id == image_id_b10
+                    aggs.append(F.expr(
+                        f"bit_xor(if(slice = {s}, xxhash64(image_id), "
+                        "cast(null as bigint)))").alias(f"fp_{s}"))
             gdf = gdf.observe(obs, *aggs)
             # Writer tuning for f32 raster planes (measured on the 322 Mpx
             # durable sweep, BENCH/DURABLE.md): dictionary encoding can
@@ -272,7 +291,7 @@ def _run_slice_groups(spark, enriched, pending, fps, done, out, out_dir,
             got = obs.get  # metrics accumulated by the write job itself
             for s in group:
                 rows_out = int(got.get(f"rows_{s}") or 0)
-                if rows_out == 0 and fps[s][1] > 0:
+                if fps is not None and rows_out == 0 and fps[s][1] > 0:
                     # A slice with input rows MUST appear in the write job's
                     # observed stats (lst_tiles emits one row per input
                     # tile). Missing means the write dropped it (e.g. a
@@ -283,11 +302,19 @@ def _run_slice_groups(spark, enriched, pending, fps, done, out, out_dir,
                         f"slice {s} ({fps[s][1]} input rows) missing from "
                         f"post-write stats of group {group}; refusing to "
                         "record an empty 'done' manifest")
+                if fps is None and rows_out == 0:
+                    # lazy-fp fresh run: a hash-gap slice genuinely owns no
+                    # tiles — nothing durable to record; a DROPPED slice is
+                    # indistinguishable here, but its absent/stale manifest
+                    # makes the next resume's validation scan re-execute it
+                    executed.append(s)
+                    continue
                 rec = {
                     "slice": s,
                     "status": "done",
-                    "input_fingerprint": fps[s][0],
-                    "input_rows": fps[s][1],
+                    "input_fingerprint": (fps[s][0] if fps is not None
+                                          else int(got.get(f"fp_{s}") or 0)),
+                    "input_rows": fps[s][1] if fps is not None else rows_out,
                     "rows_out": rows_out,
                     "pixels": int(got.get(f"px_{s}") or 0),
                     "valid_px": int(got.get(f"valid_{s}") or 0),

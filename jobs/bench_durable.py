@@ -41,9 +41,14 @@ from i_landsat8_swlst_spark.session import get_spark
 
 N_SCENES = 4
 N_SLICES = 16
-ARMS = [1, 4, 8, "auto", 16]
+# "bkt16": slice_batch=16 over the PRE-PARSED BUCKETED scenes layout (the
+# documented 100-TB table layout) — parse_scenes keeps the stored key
+# columns, so the b10/b11 pair join inside the job is zero-shuffle
+# (tests/test_plans.py::test_build_enriched_reuses_bucketing_of_parsed_table)
+ARMS = [1, 4, 8, "auto", 16, "bkt16"]
 REPS = 4
 TMP = Path("/dev/shm/swlst_durable")
+BKT_TABLE = "swlst_durable_scenes_bkt"
 
 
 def main() -> None:
@@ -58,6 +63,12 @@ def main() -> None:
         synth.synth_scenes_spark(spark, "bench", scenes=range(N_SCENES)) \
             .write.mode("overwrite").parquet(str(scenes_path))
     scenes = spark.read.parquet(str(scenes_path))
+    from i_landsat8_swlst_spark import pipeline
+    key = ["scene_id", "tile_x", "tile_y"]
+    spark.sql(f"DROP TABLE IF EXISTS {BKT_TABLE}")
+    (pipeline.parse_scenes(scenes).write.bucketBy(32, *key).sortBy(*key)
+     .mode("overwrite").format("parquet").saveAsTable(BKT_TABLE))
+    scenes_bkt = spark.table(BKT_TABLE)
     meta = spark.createDataFrame(synth.scene_meta_pdf("bench"))
     emis = spark.createDataFrame(pd.DataFrame([e._asdict() for e in C.load_emissivities()]))
 
@@ -70,10 +81,12 @@ def main() -> None:
         for arm in ARMS:
             out = TMP / f"out_{arm}_{rep}"
             shutil.rmtree(out, ignore_errors=True)
+            src = scenes_bkt if arm == "bkt16" else scenes
+            batch_arg = 16 if arm == "bkt16" else arm
             t0 = time.perf_counter()
-            r = checkpoint.run_lst_job(spark, scenes, meta, emis, str(out),
+            r = checkpoint.run_lst_job(spark, src, meta, emis, str(out),
                                        n_slices=N_SLICES, window=5,
-                                       slice_batch=arm)
+                                       slice_batch=batch_arg)
             walls[arm].append(time.perf_counter() - t0)
             assert len(r["executed"]) == N_SLICES
             if arm == "auto":
@@ -100,6 +113,7 @@ def main() -> None:
              .collect())
         reread.append(time.perf_counter() - t0)
 
+    spark.sql(f"DROP TABLE IF EXISTS {BKT_TABLE}")
     steal_post_ms = _steal_probe()
     steal_index = ((steal_pre_ms + steal_post_ms) / 2.0) / STEAL_REF_MS
 

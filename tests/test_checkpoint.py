@@ -236,3 +236,61 @@ def test_observed_metrics_match_written_table(spark, fixture, tmp_path_factory):
         assert rec["valid_px"] == truth[s]["valid_px"], s
         assert rec["pixels"] == truth[s]["pixels"], s
         assert rec["input_rows"] > 0
+
+
+def test_lazy_fingerprints_fresh_run_then_resume(spark, fixture,
+                                                 tmp_path_factory):
+    """Explicit-batch fresh runs skip the upfront metadata scan and record
+    OBSERVED fingerprints (bit_xor(xxhash64(image_id)) inside the write
+    job). They must equal what the resume validation scan recomputes: the
+    rerun is a no-op, and the manifests match slice_fingerprints exactly."""
+    scenes, meta, emis = fixture
+    out = str(tmp_path_factory.mktemp("lazyfp"))
+    r1 = checkpoint.run_lst_job(spark, scenes, meta, emis, out, n_slices=3,
+                                window=5, slice_batch=3)
+    assert sorted(r1["executed"]) == [0, 1, 2]
+    # resume: the validation scan now runs, and every observed fp validates
+    r2 = checkpoint.run_lst_job(spark, scenes, meta, emis, out, n_slices=3,
+                                window=5, slice_batch=3)
+    assert r2["executed"] == [] and sorted(r2["skipped"]) == [0, 1, 2]
+    # recorded fingerprints ARE the scan's fingerprints
+    from i_landsat8_swlst_spark import pipeline
+
+    enriched = pipeline.build_enriched(scenes, meta, emis).withColumn(
+        "slice", checkpoint._slice_col(3))
+    fps = checkpoint.slice_fingerprints(enriched, 3)
+    recs = checkpoint.read_manifest(out)
+    for s, rec in recs.items():
+        assert rec["input_fingerprint"] == fps[s][0]
+        assert rec["input_rows"] == fps[s][1]
+
+
+def test_lazy_fingerprints_dropped_slice_self_heals(spark, fixture,
+                                                    tmp_path_factory,
+                                                    monkeypatch):
+    """On the lazy path a dropped slice cannot fail fast (no input stats
+    exist) — but it must leave NO 'done' manifest, so the next resume's
+    validation scan re-executes exactly that slice with the real kernel."""
+    scenes, meta, emis = fixture
+    out = str(tmp_path_factory.mktemp("lazyheal"))
+    real = checkpoint.pipeline.lst_tiles
+
+    def dropping(enriched, window=C.DEFAULT_CWV_WINDOW, celsius=False):
+        from pyspark.sql import functions as F  # noqa: F401
+        df = real(enriched, window=window, celsius=celsius)
+        return df.filter(checkpoint._slice_col(4) != 0)
+
+    monkeypatch.setattr(checkpoint.pipeline, "lst_tiles", dropping)
+    checkpoint.run_lst_job(spark, scenes, meta, emis, out, n_slices=4,
+                           window=5, slice_batch=4)
+    assert 0 not in checkpoint.read_manifest(out)
+    monkeypatch.setattr(checkpoint.pipeline, "lst_tiles", real)
+    r = checkpoint.run_lst_job(spark, scenes, meta, emis, out, n_slices=4,
+                               window=5, slice_batch=4)
+    assert r["executed"] == [0]
+    assert sorted(r["skipped"]) == [1, 2, 3]
+    # and now the output is complete and identical to a clean run
+    clean = str(tmp_path_factory.mktemp("lazyclean"))
+    checkpoint.run_lst_job(spark, scenes, meta, emis, clean, n_slices=4,
+                           window=5, slice_batch=4)
+    assert _table(spark, out).equals(_table(spark, clean))
