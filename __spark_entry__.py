@@ -1046,8 +1046,8 @@ def _q_stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   _ATTEST_LAST  := (n_twins - 50) stable, unchanged twins that DID get a
 #                    row this round (they can safely sit out the next one).
 _ATTEST_FIRST = [
-    # new twin in r06 (PII redaction, VERDICT r5 item 8) -> attest first
-    "q_pii_scrub",
+    # new twins in r06 (PII redaction, paragraph dedup) -> attest first
+    "q_pii_scrub", "q_paragraph_dedup",
     # sat out r05 (newest row is r04) -> re-attest first in r06
     "q_token_stats", "q_lang_id", "q_quality_score", "q_fingerprint",
     "q_bpe_tokens", "q_winnow_fingerprint", "q_tfidf", "q_regr_manual",
@@ -1061,9 +1061,11 @@ _ATTEST_FIRST = [
     "q_tumbling_window",
 ]
 _ATTEST_LAST = [
-    # green in r05, unchanged this round; 85 twins - 50 window = 35 demoted
-    # (the 15 core LST/spatial/dedup headline twins — q_radiance ...
-    # q_minhash_lsh_pairs, also green r05 — stay in the window middle)
+    # green in r05, unchanged this round; 86 twins - 50 window = 36 demoted
+    # (the core LST/spatial/dedup headline twins — q_radiance ...
+    # q_minhash_signatures, also green r05 — stay in the window middle;
+    # q_minhash_lsh_pairs, green r05 and unchanged, sits out this round)
+    "q_minhash_lsh_pairs",
     "q_ann_ivf", "q_string_agg", "q_bit_ops", "q_percent_rank_band",
     "q_kappa", "q_epoch_agg", "q_reclass",
     "q_sort_limit", "q_null_logic", "q_set_ops", "q_intersect",

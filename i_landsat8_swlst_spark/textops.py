@@ -14,6 +14,8 @@ on both sides and rounded before ranking.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd  # module-level: pandas_udf type-hint strings (PEP 563)
 from pyspark.sql import Window, functions as F
 
@@ -1572,3 +1574,88 @@ def q_pii_scrub(spark, sf_dir):
         F.sum(F.col("pii_free").cast("long")).cast("long").alias("n_clean_after"),
         F.countDistinct(F.md5("scrubbed")).cast("long").alias("n_distinct_scrubbed"),
     )
+
+
+# --------------------------------------------------------------------------
+# Paragraph-level dedup (fine-grained corpus curation: drop repeated
+# paragraphs ACROSS documents, keep each document's residual text)
+# --------------------------------------------------------------------------
+
+def paragraph_dedup(docs, delim: str = "\n\n", join_delim: str | None = None,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Cross-document paragraph dedup (the RefinedWeb/CCNet-style curation
+    stage finer than doc-level dedup): split every document into paragraphs
+    on ``delim``, keep only the GLOBALLY FIRST occurrence of each exact
+    paragraph (first = lowest (doc_id, position) — deterministic under any
+    partitioning), and reassemble each document from its surviving
+    paragraphs in original order. Whitespace-only paragraphs are dropped
+    outright.
+
+    Returns (id_col, n_paras, n_kept, clean_text). Plan: one split+explode
+    projection, ONE window shuffle on the paragraph key (the dedup hash
+    partitioning — skew on pathological repeated paragraphs is bounded
+    because row_number needs only a sort within each paragraph's
+    partition), ONE groupBy shuffle on the doc key to reassemble. No
+    Python in the row path.
+    """
+    jd = delim if join_delim is None else join_delim
+    parts = (docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), re.escape(delim)))
+        .alias("idx", "para"))
+        .filter(F.length(F.trim("para")) > 0))
+    w = Window.partitionBy("para").orderBy(id_col, "idx")
+    ranked = parts.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum((F.col("rn") == 1).cast("long")).cast("long").alias("n_kept"),
+        F.concat_ws(jd, F.transform(
+            F.filter(F.array_sort(F.collect_list(
+                F.struct("idx", "rn", "para"))),
+                lambda s: s["rn"] == F.lit(1)),
+            lambda s: s["para"])).alias("clean_text"))
+
+
+# The synthetic corpus is single-paragraph word streams, so the twin derives
+# pseudo-paragraph boundaries by splitting on a fixed delimiter token (the
+# operator takes any delimiter); machinery — global keep-first, ordered
+# reassembly — is what the hash compare proves.
+_PARA_DELIM = " the "
+
+@register(
+    "q_paragraph_dedup",
+    f"""WITH parts AS (
+          SELECT doc_id, unnest(string_split(text, '{_PARA_DELIM}')) AS para,
+                 generate_subscripts(string_split(text, '{_PARA_DELIM}'), 1)
+                     AS idx
+          FROM documents)
+       , p2 AS (SELECT doc_id, idx - 1 AS idx, para FROM parts
+                WHERE trim(para) <> '')
+       , rn AS (SELECT *, row_number() OVER
+                    (PARTITION BY para ORDER BY doc_id, idx) AS rn FROM p2)
+       , per_doc AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+                 CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_kept,
+                 coalesce(string_agg(para, ' | ' ORDER BY idx)
+                          FILTER (WHERE rn = 1), '') AS clean_text
+          FROM rn GROUP BY doc_id)
+       SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_paras) AS BIGINT) AS n_paras,
+              CAST(sum(n_kept) AS BIGINT) AS n_kept,
+              CAST(count(DISTINCT md5(CAST(doc_id AS VARCHAR) || ':'
+                                      || clean_text)) AS BIGINT) AS n_distinct,
+              CAST(sum(len(clean_text)) AS BIGINT) AS clean_chars
+       FROM per_doc""",
+)
+def q_paragraph_dedup(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    pd_ = paragraph_dedup(d, delim=_PARA_DELIM, join_delim=" | ")
+    return pd_.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_paras").cast("long").alias("n_paras"),
+        F.sum("n_kept").cast("long").alias("n_kept"),
+        F.countDistinct(F.md5(F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"),
+            F.col("clean_text")))).cast("long").alias("n_distinct"),
+        F.sum(F.length("clean_text")).cast("long").alias("clean_chars"))
