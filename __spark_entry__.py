@@ -1130,6 +1130,47 @@ def _q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_viewshed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: cumulative multi-observer viewshed (r.viewshed.cva
+    analog, terrain.viewshed_count_tiles) — per-observer exact-R3 sector
+    decomposition, visible cells collapsed by a map-side-combining SUM
+    into per-cell coverage counts. Sum-of-singles oracle parity in
+    tests/test_terrain.py."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import terrain
+
+    rng = np.random.default_rng(75)
+    base = rng.uniform(0.0, 25.0, (12, 12))
+    plane = np.kron(base, np.ones((8, 8))) + rng.uniform(-0.5, 0.5, (96, 96))
+    yy, xx = np.mgrid[0:96, 0:96]
+    plane += 60.0 * np.exp(-((xx - 48.0) ** 2 + (yy - 48.0) ** 2) / 200.0)
+    plane = plane.astype("<f4").astype(np.float64)
+    rows = []
+    for ty in range(3):
+        for tx in range(3):
+            t = plane[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32]
+            rows.append({"scene_id": "S0", "tile_x": tx, "tile_y": ty,
+                         "w": 32, "h": 32,
+                         "lst_bytes": t.astype("<f4").tobytes()})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    obs = pd.DataFrame([
+        {"scene_id": "S0", "obs_id": "a", "ox": 10, "oy": 10},
+        {"scene_id": "S0", "obs_id": "b", "ox": 80, "oy": 20},
+        {"scene_id": "S0", "obs_id": "c", "ox": 48, "oy": 85},
+    ])
+    v = terrain.viewshed_count_tiles(tiles, obs, max_dist=45.0,
+                                     n_sectors=32)
+    return (
+        v.groupBy("scene_id")
+        .agg(F.count(F.lit(1)).alias("n_tiles"),
+             F.sum("n_covered").alias("n_covered"),
+             F.sum("n_evaluated").alias("n_evaluated"))
+        .orderBy("scene_id")
+    )
+
+
 def _q_sun(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: instantaneous clear-sky solar irradiance with cast
     shadows (r.sun analog, terrain.sun_tiles) — parallel-ray strip
@@ -1978,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_contour"] = _q_contour
     q["q_viewshed"] = _q_viewshed
     q["q_sun"] = _q_sun
+    q["q_viewshed_count"] = _q_viewshed_count
     return q
 
 

@@ -613,3 +613,238 @@ def sun_tiles(tiles: DataFrame, sun: DataFrame | pd.DataFrame,
 
     return joined.groupBy("scene_id", "tile_x", "tile_y").applyInPandas(
         build, SUN_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Cumulative multi-observer viewshed (visibility coverage counts)
+# --------------------------------------------------------------------------
+
+_MCELL_SCHEMA = StructType([
+    StructField("scene_id", StringType()),
+    StructField("obs_id", StringType()),
+    StructField("sector", IntegerType()),
+    StructField("gx", IntegerType()),
+    StructField("gy", IntegerType()),
+    StructField("z", DoubleType()),
+    StructField("is_target", IntegerType()),
+])
+
+_SEEN_SCHEMA = StructType([
+    StructField("scene_id", StringType()),
+    StructField("gx", IntegerType()),
+    StructField("gy", IntegerType()),
+    StructField("n_seen", LongType()),
+])
+
+VIEWSHED_COUNT_SCHEMA = StructType([
+    StructField("scene_id", StringType()),
+    StructField("tile_x", IntegerType()),
+    StructField("tile_y", IntegerType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("count_bytes", BinaryType()),  # f32: observers seeing the
+    StructField("n_covered", LongType()),      # cell; NaN = NaN terrain
+    StructField("n_evaluated", LongType()),
+])
+
+
+def viewshed_count_tiles(tiles: DataFrame, observers,
+                         obs_height: float = 1.75,
+                         max_dist: float | None = None,
+                         n_sectors: int = 256,
+                         src_col: str = "lst_bytes") -> DataFrame:
+    """Cumulative viewshed over MANY observers per scene (the r.viewshed
+    coverage-analysis composite, GRASS addon r.viewshed.cva): per cell, how
+    many observers see it, under exactly `viewshed_tiles`' R3 semantics per
+    observer. ``observers``: (scene_id, obs_id, ox, oy).
+
+    Work is inherently O(sum over observers of their in-radius cells) —
+    every observer needs its own rays — so ``max_dist`` is the scale knob
+    exactly as in GRASS CVA studies; the sector decomposition bounds the
+    per-task state the same way as the single-observer path. The count
+    regroup carries one row per VISIBLE (cell, observer) pair collapsed by
+    a map-side-combining SUM, so the final exchange is O(covered cells).
+
+    Output planes are f32 counts (0 = evaluated, never seen; NaN = NaN
+    terrain). A cell outside every observer's radius counts 0 — it is
+    still evaluated terrain (n_evaluated counts finite cells, matching
+    the sum over observers' n_evaluated only when radii cover the scene).
+    """
+    spark = tiles.sparkSession
+    if isinstance(observers, pd.DataFrame):
+        obs_pdf = observers
+    else:
+        obs_pdf = observers.toPandas()
+    if obs_pdf[["scene_id", "obs_id"]].duplicated().any():
+        raise ValueError("duplicate (scene_id, obs_id)")
+    two_pi = 2.0 * math.pi
+
+    nom = tiles.agg(F.max("w").alias("w"), F.max("h").alias("h")).first()
+    nom_w, nom_h = int(nom["w"]), int(nom["h"])
+
+    by_scene: dict[str, list] = {}
+    for r in obs_pdf.itertuples():
+        by_scene.setdefault(r.scene_id, []).append(
+            (str(r.obs_id), float(r.ox), float(r.oy)))
+    obs_b = spark.sparkContext.broadcast(by_scene)
+
+    def emit(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            for row in _batch_rows(batch):
+                olist = obs_b.value.get(row.scene_id)
+                if not olist:
+                    continue
+                w, h = int(row.w), int(row.h)
+                tx0, ty0 = int(row.tile_x) * nom_w, int(row.tile_y) * nom_h
+                plane = codecs.decode_f32bt(
+                    getattr(row, src_col), w, h).astype(np.float64)
+                yy, xx = np.mgrid[0:h, 0:w]
+                gx0 = (tx0 + xx).ravel()
+                gy0 = (ty0 + yy).ravel()
+                z0 = plane.ravel()
+                for obs_id, oxx, oyy in olist:
+                    rx = gx0 - oxx
+                    ry = gy0 - oyy
+                    r = np.hypot(rx, ry)
+                    if max_dist is not None:
+                        keep = r <= max_dist + 1.5
+                        if not keep.any():
+                            continue
+                        gx, gy, z, rxx, ryy, rr = (a[keep] for a in
+                                                   (gx0, gy0, z0, rx, ry, r))
+                        tgt_ok = rr <= max_dist
+                    else:
+                        gx, gy, z, rxx, ryy, rr = gx0, gy0, z0, rx, ry, r
+                        tgt_ok = np.ones(len(rr), dtype=bool)
+                    ang = np.arctan2(ryy, rxx)
+                    ctr = (np.floor((ang + math.pi) / two_pi * n_sectors)
+                           .astype(np.int64) % n_sectors)
+                    near = rr <= 2.5
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        half = np.arcsin(np.clip(
+                            1.5 * math.sqrt(2.0) / np.maximum(rr, 1e-9),
+                            0, 1.0))
+                    s_lo = np.floor((ang - half + math.pi) / two_pi
+                                    * n_sectors).astype(np.int64)
+                    s_hi = np.floor((ang + half + math.pi) / two_pi
+                                    * n_sectors).astype(np.int64)
+                    span = np.minimum(s_hi - s_lo + 1, n_sectors)
+                    span = np.where(near, n_sectors, span)
+                    base = np.where(near, 0, s_lo)
+                    n_out = int(span.sum())
+                    if n_out == 0:
+                        continue
+                    idx = np.repeat(np.arange(len(gx)), span)
+                    starts = np.concatenate(([0], np.cumsum(span)[:-1]))
+                    off = np.arange(n_out) - np.repeat(starts, span)
+                    sec = (np.repeat(base, span) + off) % n_sectors
+                    is_t = ((sec == np.repeat(ctr, span))
+                            & np.repeat(tgt_ok, span))
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(np.full(n_out, row.scene_id, dtype=object),
+                                  pa.string()),
+                         pa.array(np.full(n_out, obs_id, dtype=object),
+                                  pa.string()),
+                         pa.array(sec.astype(np.int32)),
+                         pa.array(gx[idx].astype(np.int32)),
+                         pa.array(gy[idx].astype(np.int32)),
+                         pa.array(z[idx]),
+                         pa.array(is_t.astype(np.int32))],
+                        names=[f.name for f in _MCELL_SCHEMA])
+
+    cells = tiles.select("scene_id", "tile_x", "tile_y", "w", "h", src_col) \
+        .mapInArrow(emit, _MCELL_SCHEMA)
+
+    # eye heights per (scene, observer): decode only the containing tiles
+    obs_df = spark.createDataFrame(obs_pdf[["scene_id", "obs_id",
+                                            "ox", "oy"]])
+    eye_schema = StructType([
+        StructField("scene_id", StringType()),
+        StructField("obs_id", StringType()),
+        StructField("z", DoubleType()),
+    ])
+    hit = (tiles.select("scene_id", "tile_x", "tile_y", "w", "h", src_col)
+           .join(F.broadcast(obs_df), on="scene_id")
+           .filter((F.col("tile_x")
+                    == F.floor(F.col("ox") / nom_w).cast("int"))
+                   & (F.col("tile_y")
+                      == F.floor(F.col("oy") / nom_h).cast("int"))))
+
+    def eye_fn(batches: Iterator[pa.RecordBatch]) \
+            -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {"scene_id": [], "obs_id": [], "z": []}
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                lx = int(row.ox) - int(row.tile_x) * nom_w
+                ly = int(row.oy) - int(row.tile_y) * nom_h
+                if not (0 <= lx < w and 0 <= ly < h):
+                    continue
+                plane = codecs.decode_f32bt(getattr(row, src_col), w, h)
+                cols["scene_id"].append(row.scene_id)
+                cols["obs_id"].append(row.obs_id)
+                cols["z"].append(float(plane[ly, lx]))
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, eye_schema)
+
+    oz = hit.mapInArrow(eye_fn, eye_schema).toPandas()
+    eyes = {}
+    for r in obs_pdf.itertuples():
+        zr = oz[(oz.scene_id == r.scene_id) & (oz.obs_id == str(r.obs_id))]
+        if len(zr) == 0 or not np.isfinite(zr.z.iloc[0]):
+            raise ValueError(
+                f"observer {r.obs_id!r} of scene {r.scene_id!r} is NaN or "
+                "outside the raster")
+        eyes[(r.scene_id, str(r.obs_id))] = (
+            float(r.ox), float(r.oy), float(zr.z.iloc[0]) + float(obs_height))
+    eyes_b = spark.sparkContext.broadcast(eyes)
+
+    def run_sector(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        scene, obs_id = key[0], key[1]
+        o = eyes_b.value.get((scene, obs_id))
+        if o is None:
+            return pd.DataFrame(columns=["scene_id", "gx", "gy", "n_seen"])
+        ox, oy, eye = o
+        zmap = {(int(r.gx), int(r.gy)): float(r.z)
+                for r in pdf.itertuples()}
+        t = pdf[(pdf.is_target == 1) & np.isfinite(pdf.z)]
+        out = []
+        for r in t.itertuples():
+            if _ray_visible(ox, oy, eye, int(r.gx), int(r.gy),
+                            float(r.z), zmap):
+                out.append({"scene_id": scene, "gx": int(r.gx),
+                            "gy": int(r.gy), "n_seen": 1})
+        return pd.DataFrame(out, columns=["scene_id", "gx", "gy", "n_seen"])
+
+    seen = (cells.groupBy("scene_id", "obs_id", "sector")
+            .applyInPandas(run_sector, _SEEN_SCHEMA)
+            .groupBy("scene_id", "gx", "gy")
+            .agg(F.sum("n_seen").alias("n_seen")))
+
+    layout = tiles.select("scene_id", "tile_x", "tile_y", "w", "h", src_col)
+    keyed = seen.withColumn(
+        "tile_x", (F.col("gx") / nom_w).cast("int")) \
+        .withColumn("tile_y", (F.col("gy") / nom_h).cast("int"))
+    joined = layout.join(keyed, on=["scene_id", "tile_x", "tile_y"],
+                         how="left")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        row = pdf.iloc[0]
+        w, h = int(row.w), int(row.h)
+        plane = codecs.decode_f32bt(getattr(row, src_col), w, h)
+        cnt = np.where(np.isfinite(plane), 0.0, np.nan).astype(np.float32)
+        g = pdf[pdf.gx.notna()]
+        if len(g):
+            lx = g.gx.astype(int) - int(row.tile_x) * nom_w
+            ly = g.gy.astype(int) - int(row.tile_y) * nom_h
+            cnt[ly, lx] = g.n_seen.astype(np.float32)
+        valid = np.isfinite(cnt)
+        return pd.DataFrame({
+            "scene_id": [row.scene_id], "tile_x": [int(row.tile_x)],
+            "tile_y": [int(row.tile_y)], "w": [w], "h": [h],
+            "count_bytes": [cnt.tobytes()],
+            "n_covered": [int((cnt > 0).sum())],
+            "n_evaluated": [int(valid.sum())]})
+
+    return joined.groupBy("scene_id", "tile_x", "tile_y").applyInPandas(
+        build, VIEWSHED_COUNT_SCHEMA)

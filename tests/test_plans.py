@@ -772,3 +772,32 @@ def test_sun_tiles_shuffles_small_rows_and_one_halo(spark):
     # scans: nothing below the deepest MapInArrow shuffles
     below = plan[plan.rindex("MapInArrow"):]
     assert "Exchange hashpartitioning" not in below
+
+
+def test_viewshed_count_regroup_is_aggregated_small_rows(spark):
+    """Cumulative viewshed: visible (cell, observer) rows collapse through
+    a map-side-combining SUM before the tile regroup; planes never
+    hash-shuffle; no nested loop."""
+    import pandas as pd
+    import numpy as np
+
+    from i_landsat8_swlst_spark import terrain
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            t = rng.uniform(0, 10, (8, 8)).astype("<f4")
+            rows.append({"scene_id": "S0", "tile_x": tx, "tile_y": ty,
+                         "w": 8, "h": 8, "lst_bytes": t.tobytes()})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    obs = pd.DataFrame([
+        {"scene_id": "S0", "obs_id": "a", "ox": 3, "oy": 3},
+        {"scene_id": "S0", "obs_id": "b", "ox": 12, "oy": 12}])
+    plan = _plan(terrain.viewshed_count_tiles(tiles, obs, n_sectors=8))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 4, f"expected <=4 hash exchanges, got {n}"
+    below = plan[plan.rindex("MapInArrow"):]
+    assert "Exchange hashpartitioning" not in below

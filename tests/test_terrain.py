@@ -376,3 +376,68 @@ def test_sun_tiles_validation_and_missing_scene(spark):
     assert all(r.n_valid == 0 for r in rows)
     got = _mosaic_sun(rows, 10, 14, 7, 5)
     assert np.isnan(got).all()
+
+
+# ---- viewshed_count_tiles (cumulative multi-observer) ----------------------
+
+def _mosaic_cnt(rows, h, w, nom_w, nom_h):
+    out = np.full((h, w), np.nan, dtype=np.float32)
+    for r in rows:
+        t = np.frombuffer(r.count_bytes, dtype="<f4").reshape(r.h, r.w)
+        out[r.tile_y * nom_h:r.tile_y * nom_h + r.h,
+            r.tile_x * nom_w:r.tile_x * nom_w + r.w] = t
+    return out
+
+
+def test_viewshed_count_equals_sum_of_singles(spark):
+    plane = _terrain(16, 21, seed=53)
+    plane[6, 10] = np.nan
+    tiles = _scene(spark, plane)
+    obs = pd.DataFrame([
+        {"scene_id": "S0", "obs_id": "a", "ox": 2, "oy": 2},
+        {"scene_id": "S0", "obs_id": "b", "ox": 18, "oy": 13},
+        {"scene_id": "S0", "obs_id": "c", "ox": 10, "oy": 8},
+    ])
+    rows = terrain.viewshed_count_tiles(tiles, obs, n_sectors=8).collect()
+    got = _mosaic_cnt(rows, 16, 21, 7, 5)
+    want = np.where(np.isfinite(plane), 0.0, np.nan).astype(np.float32)
+    for _, o in obs.iterrows():
+        single = oracle_viewshed(plane, int(o.ox), int(o.oy), 1.75)
+        want[single == 1] += 1.0
+    assert np.array_equal(np.isnan(got), np.isnan(want))
+    m = np.isfinite(want)
+    assert np.array_equal(got[m], want[m])
+    assert sum(r.n_covered for r in rows) == int((want > 0).sum())
+    assert sum(r.n_evaluated for r in rows) == int(m.sum())
+    # observers see their own cells: counts there >= 1
+    for _, o in obs.iterrows():
+        assert got[int(o.oy), int(o.ox)] >= 1
+
+
+def test_viewshed_count_max_dist_rings(spark):
+    plane = np.zeros((20, 20))                 # flat: radius is the only cap
+    tiles = _scene(spark, plane, tw=10, th=10)
+    obs = pd.DataFrame([
+        {"scene_id": "S0", "obs_id": "a", "ox": 5, "oy": 5},
+        {"scene_id": "S0", "obs_id": "b", "ox": 14, "oy": 14},
+    ])
+    rows = terrain.viewshed_count_tiles(tiles, obs, max_dist=6.0,
+                                        n_sectors=8).collect()
+    got = _mosaic_cnt(rows, 20, 20, 10, 10)
+    yy, xx = np.mgrid[0:20, 0:20]
+    in_a = np.hypot(xx - 5, yy - 5) <= 6.0
+    in_b = np.hypot(xx - 14, yy - 14) <= 6.0
+    want = in_a.astype(np.float32) + in_b.astype(np.float32)
+    assert np.array_equal(got, want)
+
+
+def test_viewshed_count_validation(spark):
+    plane = _terrain(10, 14, seed=59)
+    tiles = _scene(spark, plane)
+    with pytest.raises(ValueError, match="duplicate"):
+        terrain.viewshed_count_tiles(tiles, pd.DataFrame([
+            {"scene_id": "S0", "obs_id": "a", "ox": 1, "oy": 1},
+            {"scene_id": "S0", "obs_id": "a", "ox": 2, "oy": 2}]))
+    with pytest.raises(ValueError, match="NaN or outside"):
+        terrain.viewshed_count_tiles(tiles, pd.DataFrame([
+            {"scene_id": "S0", "obs_id": "a", "ox": 99, "oy": 1}]))
