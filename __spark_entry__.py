@@ -1212,6 +1212,38 @@ def _q_sun(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: horizon-angle maps (r.horizon analog,
+    terrain.horizon_tiles) — per-azimuth parallel-ray strips, exact
+    convex-hull scan per strip (O(n log n), max slope to any azimuth-ward
+    cell), plane regroup by equi join. Brute per-strip oracle parity +
+    shadow-consistency cross-check in tests/test_terrain.py."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import terrain
+
+    rng = np.random.default_rng(76)
+    base = rng.uniform(0.0, 25.0, (12, 12))
+    plane = np.kron(base, np.ones((8, 8))) + rng.uniform(-0.5, 0.5, (96, 96))
+    plane = plane.astype("<f4").astype(np.float64)
+    rows = []
+    for ty in range(3):
+        for tx in range(3):
+            t = plane[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32]
+            rows.append({"scene_id": "S0", "tile_x": tx, "tile_y": ty,
+                         "w": 32, "h": 32,
+                         "lst_bytes": t.astype("<f4").tobytes()})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    v = terrain.horizon_tiles(tiles, [90.0, 180.0, 270.0])
+    return (
+        v.groupBy("azimuth")
+        .agg(F.count(F.lit(1)).alias("n_tiles"),
+             F.sum("n_valid").alias("n_valid"))
+        .orderBy("azimuth")
+    )
+
+
 def _q_lst_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: per-pixel linear LST trend across 4 revisits (closed-form
     OLS sums — every term partial-aggregable, ONE map-side-combining
@@ -2020,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_viewshed"] = _q_viewshed
     q["q_sun"] = _q_sun
     q["q_viewshed_count"] = _q_viewshed_count
+    q["q_horizon"] = _q_horizon
     return q
 
 

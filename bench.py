@@ -316,6 +316,31 @@ def main() -> None:
         _materialize(Cl.classify_tiles(ttiles, _cl_bands, _cl_model))
         classify_sec = min(classify_sec, time.perf_counter() - t0)
 
+    # --- solar irradiance (r.sun shape) throughput: O(cells) strip rows
+    # through the shadow scan + the 1-px halo incidence pass; additive
+    # comparator field (round 6), sized like the IDW block
+    from i_landsat8_swlst_spark import terrain as Tr
+
+    _sun_in = ttiles.select("scene_id", "tile_x", "tile_y", "w", "h",
+                            "lst_bytes").limit(n_idw)
+    _sun_scenes = [r.scene_id for r in
+                   _sun_in.select("scene_id").distinct().collect()]
+    _sun_pos = pd.DataFrame([
+        {"scene_id": s, "azimuth_deg": 225.0, "altitude_deg": 30.0}
+        for s in _sun_scenes])
+    sun_px = _sun_in.select(
+        F.sum(F.col("w").cast("long") * F.col("h")).alias("p")).collect()[0].p
+
+    def _sunned():
+        return Tr.sun_tiles(_sun_in, _sun_pos)
+
+    _materialize(_sunned())  # warm
+    sun_sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _materialize(_sunned())
+        sun_sec = min(sun_sec, time.perf_counter() - t0)
+
     shutil.rmtree(tmp, ignore_errors=True)
 
     steal_post_ms = _steal_probe()
@@ -373,6 +398,9 @@ def main() -> None:
         "classify_pixels": int(tex_px),
         "classify_sec": round(classify_sec, 3),
         "classify_pixels_per_sec": round(tex_px / classify_sec, 1),
+        "sun_pixels": int(sun_px),
+        "sun_sec": round(sun_sec, 3),
+        "sun_pixels_per_sec": round(sun_px / sun_sec, 1),
         "cpus": CPUS,
         "steal_probe_ms_pre": round(steal_pre_ms, 3),
         "steal_probe_ms_post": round(steal_post_ms, 3),

@@ -563,7 +563,13 @@ def sun_tiles(tiles: DataFrame, sun: DataFrame | pd.DataFrame,
         src = tiles.withColumn("image_id", F.lit(""))
     pad = halo_plane_tiles(src, r=1, src_col=src_col) \
         .select("scene_id", "tile_x", "tile_y", "w", "h", "pad_bytes")
-    joined = pad.join(shadows, on=["scene_id", "tile_x", "tile_y"],
+    # shaded cells collapse to ONE array row per tile BEFORE meeting the
+    # plane bytes — joining per-cell rows against pad_bytes would replicate
+    # the 65 KB payload once per shaded cell (the plane-bytes-x-cells
+    # anti-pattern)
+    sh_tile = shadows.groupBy("scene_id", "tile_x", "tile_y").agg(
+        F.collect_list(F.array("gx", "gy")).alias("sh_cells"))
+    joined = pad.join(sh_tile, on=["scene_id", "tile_x", "tile_y"],
                       how="left")
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -587,10 +593,11 @@ def sun_tiles(tiles: DataFrame, sun: DataFrame | pd.DataFrame,
         sl = np.radians(g["slope_deg"][1:-1, 1:-1])
         asp = np.radians(np.nan_to_num(g["aspect_deg"][1:-1, 1:-1]))
         lit = np.ones((h, w), dtype=bool)
-        hit = pdf[pdf.gx.notna()]
-        if len(hit):
-            lx = hit.gx.astype(int) - int(row.tile_x) * nom_w
-            ly = hit.gy.astype(int) - int(row.tile_y) * nom_h
+        cells = row.sh_cells
+        if cells is not None and len(cells):
+            arr = np.asarray([list(c) for c in cells], dtype=np.int64)
+            lx = arr[:, 0] - int(row.tile_x) * nom_w
+            ly = arr[:, 1] - int(row.tile_y) * nom_h
             lit[ly, lx] = False
         m = 1.0 / math.sin(alt)                       # air mass
         beam = SOLAR_CONSTANT * 0.75 ** (m ** 0.678)  # Meinel clear-sky
@@ -822,9 +829,14 @@ def viewshed_count_tiles(tiles: DataFrame, observers,
             .agg(F.sum("n_seen").alias("n_seen")))
 
     layout = tiles.select("scene_id", "tile_x", "tile_y", "w", "h", src_col)
-    keyed = seen.withColumn(
-        "tile_x", (F.col("gx") / nom_w).cast("int")) \
+    # collapse seen cells to ONE array row per tile before meeting the
+    # plane bytes (never join per-cell rows against a 65 KB payload)
+    keyed = (seen.withColumn(
+        "tile_x", (F.col("gx") / nom_w).cast("int"))
         .withColumn("tile_y", (F.col("gy") / nom_h).cast("int"))
+        .groupBy("scene_id", "tile_x", "tile_y")
+        .agg(F.collect_list(F.array("gx", "gy", "n_seen"))
+             .alias("seen_cells")))
     joined = layout.join(keyed, on=["scene_id", "tile_x", "tile_y"],
                          how="left")
 
@@ -833,11 +845,12 @@ def viewshed_count_tiles(tiles: DataFrame, observers,
         w, h = int(row.w), int(row.h)
         plane = codecs.decode_f32bt(getattr(row, src_col), w, h)
         cnt = np.where(np.isfinite(plane), 0.0, np.nan).astype(np.float32)
-        g = pdf[pdf.gx.notna()]
-        if len(g):
-            lx = g.gx.astype(int) - int(row.tile_x) * nom_w
-            ly = g.gy.astype(int) - int(row.tile_y) * nom_h
-            cnt[ly, lx] = g.n_seen.astype(np.float32)
+        cells_ = row.seen_cells
+        if cells_ is not None and len(cells_):
+            arr = np.asarray([list(c) for c in cells_], dtype=np.int64)
+            lx = arr[:, 0] - int(row.tile_x) * nom_w
+            ly = arr[:, 1] - int(row.tile_y) * nom_h
+            cnt[ly, lx] = arr[:, 2].astype(np.float32)
         valid = np.isfinite(cnt)
         return pd.DataFrame({
             "scene_id": [row.scene_id], "tile_x": [int(row.tile_x)],
@@ -848,3 +861,191 @@ def viewshed_count_tiles(tiles: DataFrame, observers,
 
     return joined.groupBy("scene_id", "tile_x", "tile_y").applyInPandas(
         build, VIEWSHED_COUNT_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Horizon angle maps (r.horizon analog): per-cell elevation angle of the
+# horizon toward each requested azimuth
+# --------------------------------------------------------------------------
+
+_HCELL_SCHEMA = StructType([
+    StructField("scene_id", StringType()),
+    StructField("azimuth", DoubleType()),
+    StructField("strip", LongType()),
+    StructField("s", DoubleType()),
+    StructField("gx", IntegerType()),
+    StructField("gy", IntegerType()),
+    StructField("z", DoubleType()),
+])
+
+_HANG_SCHEMA = StructType([
+    StructField("scene_id", StringType()),
+    StructField("azimuth", DoubleType()),
+    StructField("gx", IntegerType()),
+    StructField("gy", IntegerType()),
+    StructField("horizon_deg", DoubleType()),
+])
+
+HORIZON_SCHEMA = StructType([
+    StructField("scene_id", StringType()),
+    StructField("azimuth", DoubleType()),
+    StructField("tile_x", IntegerType()),
+    StructField("tile_y", IntegerType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("horizon_bytes", BinaryType()),  # f32 deg; NaN = NaN cell
+    StructField("n_valid", LongType()),          #        or no sunward cell
+])
+
+
+def _horizon_strip_scan(s: np.ndarray, z: np.ndarray) -> np.ndarray:
+    """Exact per-cell max elevation angle toward the azimuth within one
+    strip: for each cell c, max over cells b with s_b > s_c of
+    (z_b - z_c) / (s_b - s_c), as DEGREES of atan; NaN when no strictly
+    azimuth-ward cell exists. O(n log n): cells processed in descending s
+    keep an upper convex hull of seen points; the slope from a query point
+    to hull vertices is unimodal, found by ternary search. Equal-s cells
+    never obstruct each other (the sun-shadow convention)."""
+    order = np.argsort(-s, kind="mergesort")
+    ss, zz = s[order], z[order]
+    n = len(ss)
+    out = np.full(n, np.nan)
+    hx: list[float] = []   # hull s (descending)
+    hz: list[float] = []
+
+    def query(sc: float, zc: float) -> float:
+        lo, hi = 0, len(hx) - 1
+        while hi - lo > 2:
+            m1 = lo + (hi - lo) // 3
+            m2 = hi - (hi - lo) // 3
+            f1 = (hz[m1] - zc) / (hx[m1] - sc)
+            f2 = (hz[m2] - zc) / (hx[m2] - sc)
+            if f1 < f2:
+                lo = m1 + 1
+            else:
+                hi = m2
+        return max((hz[i] - zc) / (hx[i] - sc) for i in range(lo, hi + 1))
+
+    i = 0
+    while i < n:
+        j = i
+        while j < n and ss[j] == ss[i]:
+            j += 1
+        if hx:
+            for k in range(i, j):
+                out[k] = math.degrees(math.atan(query(ss[k], zz[k])))
+        for k in range(i, j):           # add the group to the upper hull
+            sk, zk = float(ss[k]), float(zz[k])
+            if hx and hx[-1] == sk:     # same s: keep only the higher point
+                if zk <= hz[-1]:
+                    continue
+                hx.pop(); hz.pop()
+            while len(hx) >= 2:
+                # pop while the last vertex is under the (prev, new) chord
+                # (s descends along the hull, so the cross test flips sign)
+                x1, y1, x2, y2 = hx[-2], hz[-2], hx[-1], hz[-1]
+                if (y2 - y1) * (sk - x1) >= (zk - y1) * (x2 - x1):
+                    hx.pop(); hz.pop()
+                else:
+                    break
+            hx.append(sk); hz.append(zk)
+        i = j
+    res = np.full(n, np.nan)
+    res[order] = out
+    return res
+
+
+def horizon_tiles(tiles: DataFrame, azimuths, src_col: str = "lst_bytes"
+                  ) -> DataFrame:
+    """r.horizon analog: per-cell horizon ELEVATION ANGLE (signed degrees,
+    atan of the max slope to any strictly azimuth-ward cell in the cell's
+    parallel-ray strip; NaN for NaN cells and for cells with nothing
+    azimuth-ward — the scene-edge cells of that direction) for each
+    requested compass azimuth. One output plane row per (scene, azimuth,
+    tile).
+
+    Same distributed shape as `sun_tiles`' shadow pass, once per azimuth:
+    one decode pass emits (azimuth, strip, cell) small rows, each strip
+    runs the exact convex-hull scan, one equi regroup rebuilds planes —
+    pixel planes never hash-shuffle. Work is O(azimuths x cells) rows, the
+    honest cost of independent directions (GRASS iterates the whole raster
+    per direction too)."""
+    azs = [float(a) % 360.0 for a in azimuths]
+    if len(azs) == 0:
+        raise ValueError("horizon_tiles needs at least one azimuth")
+    if len(set(azs)) != len(azs):
+        raise ValueError("duplicate azimuths")
+    nom = tiles.agg(F.max("w").alias("w"), F.max("h").alias("h")).first()
+    nom_w, nom_h = int(nom["w"]), int(nom["h"])
+
+    def emit(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                tx0, ty0 = int(row.tile_x) * nom_w, int(row.tile_y) * nom_h
+                plane = codecs.decode_f32bt(
+                    getattr(row, src_col), w, h).astype(np.float64)
+                vv, uu = np.mgrid[0:h, 0:w]
+                gx = (tx0 + uu).ravel()
+                gy = (ty0 + vv).ravel()
+                z = plane.ravel()
+                keep = np.isfinite(z)
+                if not keep.any():
+                    continue
+                gx, gy, z = gx[keep], gy[keep], z[keep]
+                for az in azs:
+                    a = math.radians(az)
+                    du, dv = math.sin(a), -math.cos(a)
+                    s = gx * du + gy * dv
+                    p = gx * math.cos(a) + gy * math.sin(a)
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(np.full(len(gx), row.scene_id,
+                                          dtype=object), pa.string()),
+                         pa.array(np.full(len(gx), az)),
+                         pa.array(np.floor(p).astype(np.int64)),
+                         pa.array(s),
+                         pa.array(gx.astype(np.int32)),
+                         pa.array(gy.astype(np.int32)),
+                         pa.array(z)],
+                        names=[f.name for f in _HCELL_SCHEMA])
+
+    cells = tiles.select("scene_id", "tile_x", "tile_y", "w", "h", src_col) \
+        .mapInArrow(emit, _HCELL_SCHEMA)
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        ang = _horizon_strip_scan(pdf.s.to_numpy(np.float64),
+                                  pdf.z.to_numpy(np.float64))
+        return pd.DataFrame({
+            "scene_id": pdf.scene_id, "azimuth": pdf.azimuth,
+            "gx": pdf.gx, "gy": pdf.gy, "horizon_deg": ang})
+
+    angles = cells.groupBy("scene_id", "azimuth", "strip").applyInPandas(
+        scan, _HANG_SCHEMA)
+
+    layout = tiles.select("scene_id", "tile_x", "tile_y", "w", "h")
+    keyed = angles.withColumn(
+        "tile_x", (F.col("gx") / nom_w).cast("int")) \
+        .withColumn("tile_y", (F.col("gy") / nom_h).cast("int"))
+    az_df = tiles.sparkSession.createDataFrame(
+        pd.DataFrame({"azimuth": azs}))
+    grid = layout.crossJoin(F.broadcast(az_df))
+    joined = grid.join(keyed, on=["scene_id", "azimuth", "tile_x", "tile_y"],
+                       how="left")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        row = pdf.iloc[0]
+        w, h = int(row.w), int(row.h)
+        plane = np.full((h, w), np.nan, dtype=np.float32)
+        g = pdf[pdf.gx.notna()]
+        if len(g):
+            lx = g.gx.astype(int) - int(row.tile_x) * nom_w
+            ly = g.gy.astype(int) - int(row.tile_y) * nom_h
+            plane[ly, lx] = g.horizon_deg.astype(np.float32)
+        return pd.DataFrame({
+            "scene_id": [row.scene_id], "azimuth": [float(row.azimuth)],
+            "tile_x": [int(row.tile_x)], "tile_y": [int(row.tile_y)],
+            "w": [w], "h": [h], "horizon_bytes": [plane.tobytes()],
+            "n_valid": [int(np.isfinite(plane).sum())]})
+
+    return joined.groupBy("scene_id", "azimuth", "tile_x", "tile_y") \
+        .applyInPandas(build, HORIZON_SCHEMA)

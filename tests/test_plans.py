@@ -801,3 +801,31 @@ def test_viewshed_count_regroup_is_aggregated_small_rows(spark):
     assert n <= 4, f"expected <=4 hash exchanges, got {n}"
     below = plan[plan.rindex("MapInArrow"):]
     assert "Exchange hashpartitioning" not in below
+
+
+def test_horizon_tiles_plan_shape(spark):
+    """horizon_tiles: pixel planes never hash-shuffle — only (azimuth,
+    strip, cell) small rows do; the sole nested-loop is the tiny broadcast
+    azimuth fan-out onto tile METADATA (w/h keys, no plane bytes)."""
+    import pandas as pd
+    import numpy as np
+
+    from i_landsat8_swlst_spark import terrain
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            t = rng.uniform(0, 10, (8, 8)).astype("<f4")
+            rows.append({"scene_id": "S0", "tile_x": tx, "tile_y": ty,
+                         "w": 8, "h": 8, "lst_bytes": t.tobytes()})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    plan = _plan(terrain.horizon_tiles(tiles, [90.0, 270.0]))
+    assert "CartesianProduct" not in plan
+    # the azimuth fan-out is the one sanctioned broadcast nested loop: it
+    # replicates O(tiles x azimuths) metadata rows, never plane bytes
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 4, f"expected <=4 hash exchanges, got {n}"
+    below = plan[plan.rindex("MapInArrow"):]
+    assert "Exchange hashpartitioning" not in below

@@ -441,3 +441,97 @@ def test_viewshed_count_validation(spark):
     with pytest.raises(ValueError, match="NaN or outside"):
         terrain.viewshed_count_tiles(tiles, pd.DataFrame([
             {"scene_id": "S0", "obs_id": "a", "ox": 99, "oy": 1}]))
+
+
+# ---- horizon_tiles (r.horizon analog) --------------------------------------
+
+def oracle_horizon(plane, az):
+    """Brute whole-plane horizon: same strip spec (floor(u cosA + v sinA)),
+    per-cell O(strip) max slope over strictly azimuth-ward cells."""
+    h, w = plane.shape
+    a = math.radians(az % 360.0)
+    du, dv = math.sin(a), -math.cos(a)
+    vv, uu = np.mgrid[0:h, 0:w]
+    s = uu * du + vv * dv
+    strip = np.floor(uu * math.cos(a) + vv * math.sin(a)).astype(np.int64)
+    out = np.full((h, w), np.nan)
+    fin = np.isfinite(plane)
+    for st in np.unique(strip):
+        m = (strip == st) & fin
+        idx = np.argwhere(m)
+        for cy, cx in idx:
+            best = None
+            for by, bx in idx:
+                if s[by, bx] > s[cy, cx]:
+                    sl = (plane[by, bx] - plane[cy, cx]) \
+                        / (s[by, bx] - s[cy, cx])
+                    if best is None or sl > best:
+                        best = sl
+            if best is not None:
+                out[cy, cx] = math.degrees(math.atan(best))
+    return out
+
+
+def _mosaic_hz(rows, h, w, nom_w, nom_h, az):
+    out = np.full((h, w), np.nan, dtype=np.float32)
+    for r in rows:
+        if r.azimuth != az:
+            continue
+        t = np.frombuffer(r.horizon_bytes, dtype="<f4").reshape(r.h, r.w)
+        out[r.tile_y * nom_h:r.tile_y * nom_h + r.h,
+            r.tile_x * nom_w:r.tile_x * nom_w + r.w] = t
+    return out
+
+
+@pytest.mark.parametrize("az", [90.0, 210.0, 337.5])
+def test_horizon_matches_brute_oracle(spark, az):
+    plane = _terrain(12, 15, seed=61)
+    plane[5, 7] = np.nan
+    tiles = _scene(spark, plane, tw=6, th=5)
+    rows = terrain.horizon_tiles(tiles, [az]).collect()
+    got = _mosaic_hz(rows, 12, 15, 6, 5, az)
+    want = oracle_horizon(plane, az).astype(np.float32)
+    assert np.array_equal(np.isnan(got), np.isnan(want))
+    m = np.isfinite(want)
+    np.testing.assert_allclose(got[m], want[m], rtol=0, atol=1e-5)
+
+
+def test_horizon_multi_azimuth_and_tiling_invariance(spark):
+    plane = _terrain(14, 18, seed=67)
+    azs = [45.0, 270.0]
+    a = terrain.horizon_tiles(_scene(spark, plane, tw=6, th=7), azs).collect()
+    b = terrain.horizon_tiles(_scene(spark, plane, tw=18, th=14),
+                              azs).collect()
+    for az in azs:
+        ma = _mosaic_hz(a, 14, 18, 6, 7, az)
+        mb = _mosaic_hz(b, 14, 18, 18, 14, az)
+        assert np.array_equal(np.isnan(ma), np.isnan(mb))
+        f = np.isfinite(ma)
+        assert np.array_equal(ma[f], mb[f])
+    assert len(a) == len(set((r.azimuth, r.tile_x, r.tile_y) for r in a))
+
+
+def test_horizon_consistent_with_shadow(spark):
+    # a cell is cast-shaded at sun altitude alt iff its horizon angle
+    # toward the sun exceeds alt (away from float ties)
+    plane = _terrain(13, 16, seed=71)
+    az, alt = 225.0, 30.0
+    hz = oracle_horizon(plane, az)
+    sh = terrain.shadow_plane(plane, az, alt)
+    m = np.isfinite(hz) & (np.abs(hz - alt) > 1e-6) & (sh != 255)
+    assert ((hz[m] > alt) == (sh[m] == 1)).all()
+    # and the distributed op agrees with the oracle here too
+    rows = terrain.horizon_tiles(_scene(spark, plane), [az]).collect()
+    got = _mosaic_hz(rows, 13, 16, 7, 5, az)
+    f = np.isfinite(hz)
+    np.testing.assert_allclose(got[f], hz.astype(np.float32)[f],
+                               rtol=0, atol=1e-5)
+
+
+def test_horizon_validation(spark):
+    plane = _terrain(8, 8, seed=73)
+    tiles = _scene(spark, plane)
+    with pytest.raises(ValueError, match="at least one"):
+        terrain.horizon_tiles(tiles, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        terrain.horizon_tiles(tiles, [90.0, 450.0])
