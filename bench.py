@@ -322,7 +322,7 @@ def main() -> None:
     from i_landsat8_swlst_spark import terrain as Tr
 
     _sun_in = ttiles.select("scene_id", "tile_x", "tile_y", "w", "h",
-                            "lst_bytes").limit(n_idw)
+                            "lst_bytes").limit(n_idw).repartition(CPUS)
     _sun_scenes = [r.scene_id for r in
                    _sun_in.select("scene_id").distinct().collect()]
     _sun_pos = pd.DataFrame([

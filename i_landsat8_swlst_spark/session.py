@@ -16,6 +16,33 @@ from pyspark.sql import SparkSession
 ARROW_BATCH_ROWS = 64
 
 
+def _sweep_stale_local_dirs() -> None:
+    """Remove orphaned shuffle/blockmgr dirs under the tmpfs local dir.
+
+    SIGKILLed or OOM-killed sessions leave their spark-*/blockmgr-* trees
+    behind; on a tmpfs those pages ARE resident memory, so a few killed
+    runs can quietly eat the whole box (observed: 106 GB of orphans
+    starving later JVMs into the OOM killer). Spark never reuses another
+    session's dirs, so anything present while NO java process is alive is
+    garbage by construction. Swept at session bootstrap; best-effort."""
+    import shutil
+    import subprocess
+
+    base = os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+    if not os.path.isdir(base):
+        return
+    try:
+        has_jvm = subprocess.run(
+            ["pgrep", "-x", "java"], capture_output=True).returncode == 0
+        if has_jvm:
+            return
+        for name in os.listdir(base):
+            if name.startswith(("spark-", "blockmgr-")):
+                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+    except Exception:
+        pass
+
+
 def get_spark(
     app: str = "i_landsat8_swlst_spark",
     cores: int | None = None,
@@ -35,6 +62,7 @@ def get_spark(
     # too (executorEnv covers real clusters)
     for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ.setdefault(v, "1")
+    _sweep_stale_local_dirs()
     b = (
         SparkSession.builder.appName(app)
         .master(f"local[{cores}]")
