@@ -1212,6 +1212,41 @@ def _q_sun(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ndvi_emissivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: NDVI + NDVI-threshold emissivity (i.vi / i.emissivity
+    analogs, multiband.ndvi_emissivity_tiles) — per-pixel emissivity from
+    the red/NIR bands themselves (Sobrino threshold method, Carlson-Ripley
+    FVC^2), the standard alternative to the reference's landcover lookup
+    (C5). One mapInArrow hop, zero shuffles. numpy oracle + threshold
+    goldens in tests/test_multiband.py."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import multiband
+
+    rng = np.random.default_rng(77)
+    red = rng.uniform(0.02, 0.45, (96, 96)).astype(np.float32)
+    nir = rng.uniform(0.05, 0.65, (96, 96)).astype(np.float32)
+    red[10:14, 20:24] = np.nan
+    rows = []
+    for ty in range(3):
+        for tx in range(3):
+            sl = np.s_[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32]
+            rows.append({"scene_id": "S0", "tile_x": tx, "tile_y": ty,
+                         "w": 32, "h": 32,
+                         "red_bytes": red[sl].astype("<f4").tobytes(),
+                         "nir_bytes": nir[sl].astype("<f4").tobytes()})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    v = multiband.ndvi_emissivity_tiles(tiles, "red_bytes", "nir_bytes")
+    return (
+        v.groupBy("scene_id")
+        .agg(F.count(F.lit(1)).alias("n_tiles"),
+             F.sum("n_valid").alias("n_valid"),
+             F.round(F.avg("ndvi_mean"), 4).alias("avg_tile_ndvi"))
+        .orderBy("scene_id")
+    )
+
+
 def _q_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: horizon-angle maps (r.horizon analog,
     terrain.horizon_tiles) — per-azimuth parallel-ray strips, exact
@@ -2053,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_sun"] = _q_sun
     q["q_viewshed_count"] = _q_viewshed_count
     q["q_horizon"] = _q_horizon
+    q["q_ndvi_emissivity"] = _q_ndvi_emissivity
     return q
 
 

@@ -715,3 +715,103 @@ def histo_match_tiles(tiles: DataFrame, ref_scene: str,
 
     src = tiles.join(F.broadcast(luts_df), on="scene_id", how="left")
     return src.mapInArrow(fn, HISTO_MATCH_SCHEMA), luts_df
+
+
+# --------------------------------------------------------------------------
+# NDVI + NDVI-threshold emissivity (i.vi ndvi / i.emissivity analogs)
+# --------------------------------------------------------------------------
+
+NDVI_EMIS_SCHEMA = StructType([
+    StructField("scene_id", StringType()),
+    StructField("tile_x", IntegerType()),
+    StructField("tile_y", IntegerType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("ndvi_bytes", BinaryType()),   # f32 [-1, 1]
+    StructField("emis_bytes", BinaryType()),   # f32 emissivity
+    StructField("n_valid", LongType()),
+    StructField("ndvi_mean", DoubleType()),
+])
+
+
+def ndvi_plane(red: np.ndarray, nir: np.ndarray) -> np.ndarray:
+    """NDVI = (NIR - RED) / (NIR + RED); zero-sum pixels and any NaN input
+    poison to NaN (never +-inf)."""
+    red = np.asarray(red, dtype=np.float64)
+    nir = np.asarray(nir, dtype=np.float64)
+    den = nir + red
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = (nir - red) / den
+    out[~np.isfinite(out)] = np.nan
+    return out
+
+
+def emissivity_from_ndvi_plane(ndvi: np.ndarray,
+                               ndvi_soil: float = 0.2,
+                               ndvi_veg: float = 0.5,
+                               eps_soil: float = 0.97,
+                               eps_veg: float = 0.99,
+                               cavity: float = 0.005) -> np.ndarray:
+    """The NDVI-threshold emissivity method (Sobrino et al. 2004, 2008):
+
+    - NDVI < ndvi_soil: bare soil, eps = eps_soil;
+    - NDVI > ndvi_veg: full vegetation, eps = eps_veg + cavity;
+    - between: eps = eps_veg * FVC + eps_soil * (1 - FVC) + cavity * FVC,
+      with the fractional vegetation cover
+      FVC = ((NDVI - ndvi_soil) / (ndvi_veg - ndvi_soil))^2 (Carlson &
+      Ripley 1997).
+
+    This is the standard alternative to the reference's landcover-class
+    emissivity lookup (C5): it derives per-pixel emissivity from the
+    red/NIR bands themselves instead of an external map. NaN NDVI stays
+    NaN."""
+    if not (ndvi_veg > ndvi_soil):
+        raise ValueError("ndvi_veg must exceed ndvi_soil")
+    ndvi = np.asarray(ndvi, dtype=np.float64)
+    with np.errstate(invalid="ignore"):
+        fvc = np.clip((ndvi - ndvi_soil) / (ndvi_veg - ndvi_soil),
+                      0.0, 1.0) ** 2
+        eps = eps_veg * fvc + eps_soil * (1.0 - fvc) + cavity * fvc
+    eps[np.isnan(ndvi)] = np.nan
+    return eps
+
+
+def ndvi_emissivity_tiles(tiles: DataFrame, red_col: str, nir_col: str,
+                          ndvi_soil: float = 0.2, ndvi_veg: float = 0.5,
+                          eps_soil: float = 0.97, eps_veg: float = 0.99,
+                          cavity: float = 0.005) -> DataFrame:
+    """i.vi (NDVI) + i.emissivity analog over co-registered red/NIR plane
+    columns of the same tile row: ONE mapInArrow hop, zero shuffles —
+    embarrassingly parallel band algebra, the plan shape of pansharpen.
+    Returns NDVI and emissivity planes plus per-tile mean NDVI (for the
+    scene-level vegetation summaries GRASS users pull from r.univar)."""
+    if not (ndvi_veg > ndvi_soil):
+        raise ValueError("ndvi_veg must exceed ndvi_soil")
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in NDVI_EMIS_SCHEMA}
+            ap = {k: v.append for k, v in cols.items()}
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                red = codecs.decode_f32bt(getattr(row, red_col), w, h)
+                nir = codecs.decode_f32bt(getattr(row, nir_col), w, h)
+                nd = ndvi_plane(red, nir)
+                eps = emissivity_from_ndvi_plane(
+                    nd, ndvi_soil, ndvi_veg, eps_soil, eps_veg, cavity)
+                nd32 = nd.astype("<f4")
+                m = np.isfinite(nd)
+                ap["scene_id"](row.scene_id)
+                ap["tile_x"](int(row.tile_x)); ap["tile_y"](int(row.tile_y))
+                ap["w"](w); ap["h"](h)
+                ap["ndvi_bytes"](nd32.tobytes())
+                ap["emis_bytes"](eps.astype("<f4").tobytes())
+                ap["n_valid"](int(m.sum()))
+                ap["ndvi_mean"](float(np.nanmean(nd)) if m.any()
+                                else float("nan"))
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, NDVI_EMIS_SCHEMA)
+
+    src = tiles.select("scene_id", "tile_x", "tile_y", "w", "h",
+                       red_col, nir_col)
+    return src.mapInArrow(fn, NDVI_EMIS_SCHEMA)

@@ -401,3 +401,71 @@ def test_histo_match_unknown_ref_raises(spark):
     df, _ = _synth_tiles(spark, scenes=("A",), nx=1, ny=1)
     with pytest.raises(ValueError, match="reference scene"):
         histo_match_tiles(df, "NOPE", "b1_bytes")
+
+
+# ---- NDVI + NDVI-threshold emissivity (i.vi / i.emissivity analogs) --------
+
+def _ndvi_fixture(spark, seed=79, nan_at=((2, 3),), zero_at=((4, 5),)):
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    red = rng.uniform(0.02, 0.4, (12, 10)).astype(np.float32)
+    nir = rng.uniform(0.05, 0.6, (12, 10)).astype(np.float32)
+    for (y, x) in nan_at:
+        red[y, x] = np.nan
+    for (y, x) in zero_at:           # zero-sum pixel -> NaN NDVI
+        red[y, x] = 0.0
+        nir[y, x] = 0.0
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            sl = np.s_[ty * 6:(ty + 1) * 6, tx * 5:(tx + 1) * 5]
+            rows.append({"scene_id": "S0", "tile_x": tx, "tile_y": ty,
+                         "w": 5, "h": 6,
+                         "red_bytes": red[sl].astype("<f4").tobytes(),
+                         "nir_bytes": nir[sl].astype("<f4").tobytes()})
+    return (spark.createDataFrame(pd.DataFrame(rows)),
+            red.astype(np.float64), nir.astype(np.float64))
+
+
+def test_ndvi_emissivity_matches_numpy_oracle(spark):
+    tiles, red, nir = _ndvi_fixture(spark)
+    rows = multiband.ndvi_emissivity_tiles(
+        tiles, "red_bytes", "nir_bytes").collect()
+    nd_m = np.full((12, 10), np.nan, dtype=np.float32)
+    ep_m = np.full((12, 10), np.nan, dtype=np.float32)
+    for r in rows:
+        sl = np.s_[r.tile_y * 6:r.tile_y * 6 + r.h,
+                   r.tile_x * 5:r.tile_x * 5 + r.w]
+        nd_m[sl] = np.frombuffer(r.ndvi_bytes, "<f4").reshape(r.h, r.w)
+        ep_m[sl] = np.frombuffer(r.emis_bytes, "<f4").reshape(r.h, r.w)
+        t = np.frombuffer(r.ndvi_bytes, "<f4").reshape(r.h, r.w)
+        assert r.n_valid == int(np.isfinite(t).sum())
+    want_nd = multiband.ndvi_plane(red, nir)
+    want_ep = multiband.emissivity_from_ndvi_plane(want_nd)
+    assert np.array_equal(np.isnan(nd_m), np.isnan(want_nd))
+    m = np.isfinite(want_nd)
+    assert np.array_equal(nd_m[m], want_nd.astype(np.float32)[m])
+    assert np.array_equal(ep_m[m], want_ep.astype(np.float32)[m])
+    # NaN red and zero-sum pixels are NaN in BOTH outputs
+    assert np.isnan(nd_m[2, 3]) and np.isnan(ep_m[2, 3])
+    assert np.isnan(nd_m[4, 5]) and np.isnan(ep_m[4, 5])
+
+
+def test_emissivity_thresholds_and_fvc():
+    nd = np.array([[-0.5, 0.1, 0.2, 0.35, 0.5, 0.9, np.nan]])
+    ep = multiband.emissivity_from_ndvi_plane(nd)
+    # below soil threshold: bare soil
+    assert ep[0, 0] == 0.97 and ep[0, 1] == 0.97 and ep[0, 2] == 0.97
+    # full vegetation: eps_veg + cavity
+    assert np.isclose(ep[0, 4], 0.995) and np.isclose(ep[0, 5], 0.995)
+    # mixed pixel: Carlson-Ripley FVC^2 blend + cavity*FVC
+    fvc = ((0.35 - 0.2) / 0.3) ** 2
+    assert np.isclose(ep[0, 3], 0.99 * fvc + 0.97 * (1 - fvc) + 0.005 * fvc)
+    assert np.isnan(ep[0, 6])
+    # emissivity is monotone in NDVI across the mixed range
+    grid = np.linspace(0.2, 0.5, 100)[None, :]
+    eg = multiband.emissivity_from_ndvi_plane(grid)
+    assert (np.diff(eg[0]) >= 0).all()
+    with pytest.raises(ValueError, match="exceed"):
+        multiband.emissivity_from_ndvi_plane(nd, ndvi_soil=0.5, ndvi_veg=0.2)
