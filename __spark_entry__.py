@@ -1247,6 +1247,47 @@ def _q_ndvi_emissivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lst_ndvi_emissivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the NDVI->emissivity->LST loop closed end-to-end — derive
+    per-pixel emissivity planes from synthetic red/NIR (Sobrino threshold,
+    multiband.ndvi_emissivity_tiles), join them onto the enriched band
+    pairs (co-keyed tile equi join, the pair_bands class), and run the
+    fused split-window kernel through lst_from_bt's ARRAY branch
+    (pipeline.lst_tiles_pixel_emissivity). Constant-plane bit-identity to
+    the scalar path + per-pixel kernel parity in tests/test_pipeline.py."""
+    import numpy as np
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import multiband, pipeline
+
+    scenes, meta, emis = _tiny_fixture(spark)
+    enriched = pipeline.build_enriched(scenes, meta, emis)
+    grid = enriched.select("scene_id", "tile_x", "tile_y", "w", "h") \
+        .toPandas()
+    rng = np.random.default_rng(78)
+    rows = []
+    for r in grid.itertuples():
+        w, h = int(r.w), int(r.h)
+        rows.append({
+            "scene_id": r.scene_id, "tile_x": r.tile_x, "tile_y": r.tile_y,
+            "w": w, "h": h,
+            "red_bytes": rng.uniform(0.02, 0.45, (h, w)).astype("<f4")
+            .tobytes(),
+            "nir_bytes": rng.uniform(0.05, 0.65, (h, w)).astype("<f4")
+            .tobytes()})
+    bands = spark.createDataFrame(pd.DataFrame(rows))
+    etiles = multiband.ndvi_emissivity_tiles(bands, "red_bytes",
+                                             "nir_bytes")
+    out = pipeline.lst_tiles_pixel_emissivity(enriched, etiles, window=5)
+    return (
+        out.groupBy("scene_id")
+        .agg(F.count(F.lit(1)).alias("n_tiles"),
+             F.sum("n_valid").alias("n_valid"),
+             F.round(F.avg("lst_mean"), 2).alias("avg_lst_k"))
+        .orderBy("scene_id")
+    )
+
+
 def _q_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: horizon-angle maps (r.horizon analog,
     terrain.horizon_tiles) — per-azimuth parallel-ray strips, exact
@@ -2089,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_viewshed_count"] = _q_viewshed_count
     q["q_horizon"] = _q_horizon
     q["q_ndvi_emissivity"] = _q_ndvi_emissivity
+    q["q_lst_ndvi_emissivity"] = _q_lst_ndvi_emissivity
     return q
 
 

@@ -342,6 +342,111 @@ def lst_tiles(enriched: DataFrame, window: int = C.DEFAULT_CWV_WINDOW,
     return enriched.mapInArrow(fn, TILE_SCHEMA)
 
 
+def lst_tiles_pixel_emissivity(enriched: DataFrame, emis_tiles: DataFrame,
+                               window: int = C.DEFAULT_CWV_WINDOW,
+                               celsius: bool = False,
+                               e10_col: str = "emis_bytes",
+                               e11_col: str | None = None,
+                               emit_arrays: bool = True) -> DataFrame:
+    """C5 alternative source: per-PIXEL emissivity planes (e.g. the
+    NDVI-threshold method, multiband.ndvi_emissivity_tiles) instead of the
+    scalar landcover-class values — the same fused physics through
+    lst_from_bt's ARRAY branch, which the kernel documents as bit-identical
+    in IEEE op order to the folded scalar path (tests assert byte equality
+    on constant planes).
+
+    ``emis_tiles``: (scene_id, tile_x, tile_y, e10_col [, e11_col]) f32
+    planes co-registered with the band tiles; ``e11_col=None`` reuses the
+    one plane for both bands (the single-plane NDVI-threshold output).
+    The join is the co-keyed tile equi join (the pair_bands class — the
+    bucketed layout makes it shuffle-free). Semantics: a MISSING
+    emissivity tile or NaN emissivity pixel poisons the LST to NaN
+    (refused, not approximated); BT/CWV are emissivity-independent and
+    stay valid.
+    """
+    ecols = [e10_col] + ([e11_col] if e11_col else [])
+    joined = enriched.join(
+        emis_tiles.select("scene_id", "tile_x", "tile_y", *ecols),
+        on=["scene_id", "tile_x", "tile_y"], how="left")
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in TILE_SCHEMA}
+            ap = {k: v.append for k, v in cols.items()}
+            rows = list(_batch_rows(batch))
+            # group by everything the stacked kernel requires to be
+            # homogeneous; emissivity is per-row array data, not a key
+            groups: dict[tuple, list[int]] = {}
+            for i, row in enumerate(rows):
+                qa_bytes = getattr(row, "bytes_qa", None)
+                key = (int(row.w), int(row.h), row.fmt_b10, row.fmt_b11,
+                       tuple(float(getattr(row, k)) for k in META_COLS),
+                       qa_bytes is not None,
+                       getattr(row, e10_col) is None)
+                groups.setdefault(key, []).append(i)
+            out: list[dict | None] = [None] * len(rows)
+            for (w, h, fmt10, fmt11, meta_vals, has_qa,
+                 no_emis), gidxs in groups.items():
+                if no_emis:
+                    continue          # NaN planes emitted below
+                meta = dict(zip(META_COLS, meta_vals))
+                bt_in = fmt10 == codecs.FMT_BT
+                if bt_in != (fmt11 == codecs.FMT_BT):
+                    raise ValueError(
+                        f"mixed DN/BT band pair: fmt_b10={fmt10!r} "
+                        f"fmt_b11={fmt11!r}")
+                for s in range(0, len(gidxs), _KERNEL_STACK):
+                    idxs = gidxs[s : s + _KERNEL_STACK]
+                    dn10 = np.stack([codecs.decode_tile_dn(
+                        rows[i].bytes_b10, w, h, fmt10) for i in idxs])
+                    dn11 = np.stack([codecs.decode_tile_dn(
+                        rows[i].bytes_b11, w, h, fmt11) for i in idxs])
+                    qa = (np.stack([codecs.decode_u16le(
+                        rows[i].bytes_qa, w, h) for i in idxs])
+                        if has_qa else None)
+                    e10 = np.stack([codecs.decode_f32bt(
+                        getattr(rows[i], e10_col), w, h) for i in idxs])
+                    e11 = (np.stack([codecs.decode_f32bt(
+                        getattr(rows[i], e11_col), w, h) for i in idxs])
+                        if e11_col else e10)
+                    r = K.fused_lst_kernel(
+                        dn10, dn11, meta, e10=e10, e11=e11, window=window,
+                        qa=qa, cloud_values=_CLOUD_VALUES if has_qa else None,
+                        bt_input=bt_in)
+                    for j, i in enumerate(idxs):
+                        out[i] = {k: v[j] for k, v in r.items()}
+            for i, row in enumerate(rows):
+                r = out[i]
+                w, h = int(row.w), int(row.h)
+                if r is None:         # no emissivity tile: LST refused
+                    nanp = np.full((h, w), np.nan)
+                    r = {"lst_k": nanp, "lst_c": nanp, "cwv": nanp,
+                         "bt10": nanp, "bt11": nanp}
+                lst = r["lst_c"] if celsius else r["lst_k"]
+                n_valid, lst_min, lst_max, lst_mean = _finite_stats(lst)
+                _, _, _, cwv_mean = _finite_stats(r["cwv"])
+                _, _, _, bt10_mean = _finite_stats(r["bt10"])
+                _, _, _, bt11_mean = _finite_stats(r["bt11"])
+                ap["image_id"](row.image_id_b10)
+                ap["scene_id"](row.scene_id)
+                ap["tile_x"](row.tile_x); ap["tile_y"](row.tile_y)
+                ap["w"](row.w); ap["h"](row.h)
+                ap["caption"](row.caption_b10)
+                ap["lst_bytes"](lst.astype("<f4").tobytes()
+                                if emit_arrays else b"")
+                ap["cwv_bytes"](r["cwv"].astype("<f4").tobytes()
+                                if emit_arrays else b"")
+                ap["n_valid"](n_valid)
+                ap["lst_min"](lst_min); ap["lst_max"](lst_max)
+                ap["lst_mean"](lst_mean)
+                ap["cwv_mean"](cwv_mean)
+                ap["bt10_mean"](bt10_mean); ap["bt11_mean"](bt11_mean)
+            if cols["image_id"]:
+                yield _batch_from_cols(cols, TILE_SCHEMA)
+
+    return joined.mapInArrow(fn, TILE_SCHEMA)
+
+
 def lst_pixels(
     enriched_with_grid: DataFrame,
     window: int = C.DEFAULT_CWV_WINDOW,

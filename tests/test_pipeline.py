@@ -490,3 +490,104 @@ def test_fillnulls_tiles_halo_equals_whole_scene(spark):
               slice(r.tile_x * 32, (r.tile_x + 1) * 32))
         p = np.frombuffer(r.grown_bytes, dtype="<f4").reshape(32, 32)
         np.testing.assert_array_equal(p, exp[sl], err_msg=f"{r.tile_x},{r.tile_y}")
+
+
+# ---- lst_tiles_pixel_emissivity (per-pixel C5 source) ----------------------
+
+def test_pixel_emissivity_constant_planes_bit_identical_to_scalar(spark):
+    """lst_from_bt documents its folded scalar path as IEEE-op-order
+    identical to the array path; feeding CONSTANT emissivity planes must
+    therefore reproduce lst_tiles byte-for-byte."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from i_landsat8_swlst_spark import constants as C_, synth
+
+    scenes = spark.createDataFrame(synth.scenes_pdf("tiny", scenes=[0]))
+    meta = spark.createDataFrame(synth.scene_meta_pdf("tiny"))
+    emis = spark.createDataFrame(
+        pd.DataFrame([e._asdict() for e in C_.load_emissivities()]))
+    enriched = pipeline.build_enriched(scenes, meta, emis)
+    # dyadic emissivities (exact in f32) so the f32 plane encoding is
+    # lossless and the scalar-vs-array comparison isolates op order
+    enriched = enriched.withColumn(
+        "emissivity_b10", F.lit(0.96875)).withColumn(
+        "emissivity_b11", F.lit(0.953125))
+    base = pipeline.lst_tiles(enriched, window=5).collect()
+    epairs = {(r.scene_id, r.tile_x, r.tile_y) for r in base}
+    # constant planes carrying each tile's scalar (e10, e11)
+    epdf = enriched.select("scene_id", "tile_x", "tile_y", "w", "h",
+                           "emissivity_b10", "emissivity_b11").toPandas()
+    erows = []
+    for r in epdf.itertuples():
+        e10 = np.full((int(r.h), int(r.w)), r.emissivity_b10,
+                      dtype="<f4").tobytes()
+        e11 = np.full((int(r.h), int(r.w)), r.emissivity_b11,
+                      dtype="<f4").tobytes()
+        erows.append({"scene_id": r.scene_id, "tile_x": r.tile_x,
+                      "tile_y": r.tile_y, "e10_bytes": e10,
+                      "e11_bytes": e11})
+    etiles = spark.createDataFrame(pd.DataFrame(erows))
+    got = pipeline.lst_tiles_pixel_emissivity(
+        enriched, etiles, window=5, e10_col="e10_bytes",
+        e11_col="e11_bytes").collect()
+    a = {(r.scene_id, r.tile_x, r.tile_y):
+         (r.lst_bytes, r.cwv_bytes, r.n_valid) for r in base}
+    b = {(r.scene_id, r.tile_x, r.tile_y):
+         (r.lst_bytes, r.cwv_bytes, r.n_valid) for r in got}
+    assert a == b and set(a) == epairs and len(a) > 0
+
+
+def test_pixel_emissivity_varying_plane_and_missing_tile(spark):
+    """A spatially-varying emissivity plane changes LST per-pixel exactly
+    as the direct kernel call says; a missing emissivity tile refuses
+    (NaN LST, n_valid 0) rather than approximating."""
+    import pandas as pd
+
+    from i_landsat8_swlst_spark import constants as C_, kernels as K_, synth
+
+    scenes = spark.createDataFrame(synth.scenes_pdf("tiny", scenes=[0]))
+    meta = spark.createDataFrame(synth.scene_meta_pdf("tiny"))
+    emis = spark.createDataFrame(
+        pd.DataFrame([e._asdict() for e in C_.load_emissivities()]))
+    enriched = pipeline.build_enriched(scenes, meta, emis)
+    rows = enriched.collect()
+    rng = np.random.default_rng(83)
+    erows, skip = [], None
+    for r in rows:
+        if skip is None:
+            skip = (r.scene_id, r.tile_x, r.tile_y)   # drop one tile
+            continue
+        ep = rng.uniform(0.95, 0.995, (r.h, r.w)).astype("<f4")
+        ep[0, 0] = np.nan                              # NaN pixel poisons
+        erows.append({"scene_id": r.scene_id, "tile_x": r.tile_x,
+                      "tile_y": r.tile_y, "emis_bytes": ep.tobytes()})
+    etiles = spark.createDataFrame(pd.DataFrame(erows))
+    got = {(r.scene_id, r.tile_x, r.tile_y): r
+           for r in pipeline.lst_tiles_pixel_emissivity(
+               enriched, etiles, window=5).collect()}
+    assert set(got) == {(r.scene_id, r.tile_x, r.tile_y) for r in rows}
+    emap = {(e["scene_id"], e["tile_x"], e["tile_y"]): e["emis_bytes"]
+            for e in erows}
+    from i_landsat8_swlst_spark import codecs as cod
+
+    for r in rows:
+        key = (r.scene_id, r.tile_x, r.tile_y)
+        out = got[key]
+        if key == skip:
+            assert out.n_valid == 0
+            assert np.isnan(np.frombuffer(out.lst_bytes, "<f4")).all()
+            continue
+        w, h = int(r.w), int(r.h)
+        ep = cod.decode_f32bt(emap[key], w, h)
+        kr = K_.fused_lst_kernel(
+            cod.decode_tile_dn(r.bytes_b10, w, h, r.fmt_b10),
+            cod.decode_tile_dn(r.bytes_b11, w, h, r.fmt_b11),
+            {k: float(getattr(r, k)) for k in pipeline.META_COLS},
+            e10=ep, e11=ep, window=5, bt_input=r.fmt_b10 == cod.FMT_BT)
+        want = kr["lst_k"].astype("<f4")
+        gotp = np.frombuffer(out.lst_bytes, "<f4").reshape(h, w)
+        assert np.array_equal(np.isnan(gotp), np.isnan(want))
+        m = np.isfinite(want)
+        assert np.array_equal(gotp[m], want[m])
+        assert np.isnan(gotp[0, 0])                   # NaN emissivity pixel
