@@ -611,19 +611,32 @@ def grow_plane(x: np.ndarray, radius: float,
 
 
 def fillnulls_plane(x: np.ndarray, radius: float = 3.0,
-                    power: float = 2.0) -> np.ndarray:
-    """r.fillnulls analog (method=IDW): every NULL cell takes the
-    inverse-distance-weighted mean of ALL valid cells within the Euclidean
-    ``radius`` (w = 1/d^power over cell-center distances); valid cells
-    never change; a hole with no valid cell in range stays NULL. GRASS's
-    default interpolator is the RST spline — this engine ships the IDW
-    method (numpy-expressible, deterministic: the weighted sums accumulate
-    in fixed sorted offset order) and states the deviation here.
+                    power: float = 2.0, method: str = "idw",
+                    sweeps: int | None = None) -> np.ndarray:
+    """r.fillnulls analog: every NULL cell with at least one valid cell
+    within the Euclidean ``radius`` gets filled; valid cells never change;
+    a hole with nothing in range stays NULL.
 
-    O(radius²) vectorized shifted-plane passes, no per-pixel Python —
-    the convolve/grow implementation family."""
+    ``method="idw"``: inverse-distance-weighted mean of ALL in-range valid
+    cells (w = 1/d^power; deterministic — weighted sums accumulate in fixed
+    sorted offset order).
+
+    ``method="spline"``: membrane interpolation — the IDW fill is refined
+    by ``sweeps`` synchronous Jacobi sweeps of the discrete Laplace
+    equation (each fill cell moves to the mean of its available
+    4-neighbors, valid cells act as Dirichlet boundary), the tension→∞
+    limit of GRASS's RST; the full RST tension/smoothing model is NOT
+    replicated (stated deviation). Default sweeps = 2*floor(radius).
+    Synchronous Jacobi keeps the result independent of traversal order,
+    and the maximum principle holds: filled values never leave the range
+    of the valid cells.
+
+    O(radius² + sweeps) vectorized shifted-plane passes, no per-pixel
+    Python — the convolve/grow implementation family."""
     if radius <= 0:
         raise ValueError(f"radius must be positive, got {radius}")
+    if method not in ("idw", "spline"):
+        raise ValueError(f"unknown fillnulls method {method!r}")
     r = int(np.floor(radius))
     x = np.asarray(x, dtype=np.float64)
     h, w = x.shape
@@ -652,4 +665,27 @@ def fillnulls_plane(x: np.ndarray, radius: float = 3.0,
     out = x.copy()
     fill = need & (wsum > 0)
     out[fill] = acc[fill] / wsum[fill]
-    return out
+    if method == "idw" or not fill.any():
+        return out
+    k = 2 * r if sweeps is None else int(sweeps)
+    fixed = np.isfinite(x)
+    cur = out
+    for _ in range(k):
+        num = np.zeros((h, w))
+        cnt = np.zeros((h, w))
+        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            src_y = slice(max(0, dy), min(h, h + dy))
+            src_x = slice(max(0, dx), min(w, w + dx))
+            dst_y = slice(max(0, -dy), min(h, h - dy))
+            dst_x = slice(max(0, -dx), min(w, w - dx))
+            sub = cur[src_y, src_x]
+            fin = np.isfinite(sub)
+            n_ = num[dst_y, dst_x]
+            c_ = cnt[dst_y, dst_x]
+            n_[fin] += sub[fin]
+            c_[fin] += 1.0
+        new = cur.copy()
+        upd = fill & ~fixed & (cnt > 0)
+        new[upd] = num[upd] / cnt[upd]
+        cur = new
+    return cur

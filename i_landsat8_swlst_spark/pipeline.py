@@ -1263,17 +1263,26 @@ def grow_tiles(tiles: DataFrame, radius: float = 1.01,
 
 def fillnulls_tiles(tiles: DataFrame, radius: float = 3.0,
                     power: float = 2.0, src_col: str = "lst_bytes",
-                    halo: bool = True) -> DataFrame:
-    """r.fillnulls analog over the tile table: smooth IDW interpolation of
-    NULL holes from the valid cells within a Euclidean radius — the
-    cloud-hole repair companion to grow_tiles (which copies the single
-    nearest value; this one blends all in-range neighbors). halo=True
-    (default) exchanges floor(radius) strips so filling crosses tile
-    borders exactly like one whole-scene kernels.fillnulls_plane pass.
-    Output reuses GROW_SCHEMA (grown_bytes / n_grown = filled cells)."""
+                    halo: bool = True, method: str = "idw",
+                    sweeps: int | None = None) -> DataFrame:
+    """r.fillnulls analog over the tile table: interpolation of NULL holes
+    from the valid cells within a Euclidean radius — the cloud-hole repair
+    companion to grow_tiles (which copies the single nearest value).
+    ``method="idw"`` blends all in-range neighbors; ``method="spline"``
+    refines that fill with ``sweeps`` Jacobi sweeps of the membrane
+    equation (kernels.fillnulls_plane — the tension→∞ RST limit).
+    halo=True (default) exchanges floor(radius) strips — plus ``sweeps``
+    more for the spline, whose Jacobi dependence radius grows one cell per
+    sweep — so filling crosses tile borders exactly like one whole-scene
+    kernels.fillnulls_plane pass. Output reuses GROW_SCHEMA (grown_bytes /
+    n_grown = filled cells)."""
     if radius <= 0:
         raise ValueError(f"radius must be positive, got {radius}")
-    m = int(np.floor(radius)) if halo else 0
+    if method not in ("idw", "spline"):
+        raise ValueError(f"unknown fillnulls method {method!r}")
+    k_sw = (2 * int(np.floor(radius)) if sweeps is None
+            else int(sweeps)) if method == "spline" else 0
+    m = (int(np.floor(radius)) + k_sw) if halo else 0
     src = halo_plane_tiles(tiles, r=m, src_col=src_col) if halo else tiles
     col = "pad_bytes" if halo else src_col
 
@@ -1286,7 +1295,9 @@ def fillnulls_tiles(tiles: DataFrame, radius: float = 3.0,
                 plane = codecs.decode_f32bt(getattr(row, col),
                                             w + 2 * m, h + 2 * m)
                 before = np.isfinite(plane)
-                out = K.fillnulls_plane(plane, radius, power)
+                out = K.fillnulls_plane(
+                    plane, radius, power, method=method,
+                    sweeps=k_sw if method == "spline" else None)
                 if m:
                     out = out[m:m + h, m:m + w]
                     before = before[m:m + h, m:m + w]

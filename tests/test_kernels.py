@@ -400,3 +400,52 @@ def test_fillnulls_plane_matches_naive():
     assert np.isnan(K.fillnulls_plane(x, 1.5)[2, 2])  # deep-hole center
     with pytest.raises(ValueError, match="radius"):
         K.fillnulls_plane(x, -1.0)
+
+
+def test_fillnulls_spline_membrane_properties():
+    """Spline method: (1) valid cells unchanged, (2) unreachable holes stay
+    NULL, (3) maximum principle — filled values never leave the valid
+    range, (4) on a plane whose boundary is LINEAR the membrane fill
+    recovers the linear surface far better than IDW (IDW plateaus)."""
+    from i_landsat8_swlst_spark import kernels
+
+    yy, xx = np.mgrid[0:15, 0:15]
+    truth = 2.0 * xx + 0.5 * yy + 10.0
+    x = truth.copy()
+    x[5:10, 5:10] = np.nan                      # 5x5 hole
+    x[0, 14] = np.nan                           # far corner: reachable
+    sp = kernels.fillnulls_plane(x, radius=3.0, method="spline", sweeps=60)
+    idw = kernels.fillnulls_plane(x, radius=3.0)
+    fixed = np.isfinite(x)
+    assert np.array_equal(sp[fixed], x[fixed])
+    assert np.isfinite(sp[5:10, 5:10]).all()
+    assert sp[np.isfinite(sp)].min() >= np.nanmin(x) - 1e-9
+    assert sp[np.isfinite(sp)].max() <= np.nanmax(x) + 1e-9
+    hole = ~fixed
+    err_sp = np.abs(sp - truth)[hole].max()
+    err_idw = np.abs(idw - truth)[hole].max()
+    assert err_sp < 0.35 * err_idw             # membrane ~linear-exact
+    # the interior hole recovers the linear surface almost exactly (the
+    # lone corner-cell fill is legitimately offset: a corner's 2-neighbor
+    # mean is not the linear value)
+    assert np.abs(sp - truth)[5:10, 5:10].max() < 0.2
+    # an unreachable deep-hole center stays NULL in both methods
+    big = truth.copy()
+    big[2:13, 2:13] = np.nan
+    spb = kernels.fillnulls_plane(big, radius=2.0, method="spline")
+    assert np.isnan(spb[7, 7])
+    with pytest.raises(ValueError, match="method"):
+        kernels.fillnulls_plane(x, radius=3.0, method="rst")
+
+
+def test_fillnulls_spline_idw_zero_sweeps_degenerates():
+    from i_landsat8_swlst_spark import kernels
+
+    rng = np.random.default_rng(91)
+    x = rng.uniform(0, 10, (12, 12))
+    x[4:7, 4:8] = np.nan
+    a = kernels.fillnulls_plane(x, radius=2.5)
+    b = kernels.fillnulls_plane(x, radius=2.5, method="spline", sweeps=0)
+    assert np.array_equal(np.isnan(a), np.isnan(b))
+    m = np.isfinite(a)
+    assert np.array_equal(a[m], b[m])

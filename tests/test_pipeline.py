@@ -591,3 +591,39 @@ def test_pixel_emissivity_varying_plane_and_missing_tile(spark):
         m = np.isfinite(want)
         assert np.array_equal(gotp[m], want[m])
         assert np.isnan(gotp[0, 0])                   # NaN emissivity pixel
+
+
+def test_fillnulls_spline_tiles_match_whole_scene(spark):
+    """Tiled spline fill (halo = floor(radius) + sweeps) equals one
+    whole-scene kernels.fillnulls_plane pass bit-for-bit, including a
+    hole straddling the tile border."""
+    from i_landsat8_swlst_spark import kernels
+
+    rng = np.random.default_rng(93)
+    plane = rng.uniform(280.0, 320.0, (20, 24)).astype(np.float32) \
+        .astype(np.float64)
+    plane[8:13, 10:15] = np.nan          # straddles the 2x2 tile cross
+    want = kernels.fillnulls_plane(plane, radius=2.0, method="spline",
+                                   sweeps=4).astype("<f4")
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            t = plane[ty * 10:(ty + 1) * 10, tx * 12:(tx + 1) * 12]
+            rows.append({"image_id": f"t{tx}{ty}", "scene_id": "S0",
+                         "tile_x": tx, "tile_y": ty, "w": 12, "h": 10,
+                         "lst_bytes": t.astype("<f4").tobytes()})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    got = np.full((20, 24), np.nan, dtype=np.float32)
+    n_filled = 0
+    for r in pipeline.fillnulls_tiles(tiles, radius=2.0, method="spline",
+                                      sweeps=4).collect():
+        t = np.frombuffer(r.grown_bytes, "<f4").reshape(r.h, r.w)
+        got[r.tile_y * 10:(r.tile_y + 1) * 10,
+            r.tile_x * 12:(r.tile_x + 1) * 12] = t
+        n_filled += r.n_grown
+    assert np.array_equal(np.isnan(got), np.isnan(want))
+    m = np.isfinite(want)
+    assert np.array_equal(got[m], want[m])
+    assert n_filled == int(np.isnan(plane).sum() - np.isnan(want).sum()
+                           + 0) or n_filled == int(
+        (np.isfinite(want) & np.isnan(plane)).sum())
