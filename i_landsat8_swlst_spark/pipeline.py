@@ -186,6 +186,34 @@ def _batch_from_cols(cols: dict[str, list], spark_schema: StructType) -> pa.Reco
         [pa.array(cols[f.name], type=f.type) for f in schema], schema=schema)
 
 
+def _coalesce_batches(batches, min_rows: int = 8192):
+    """Re-chunk an Arrow batch stream to >= min_rows rows per batch.
+
+    The session-wide maxRecordsPerBatch is sized for ~65 KB binary tile
+    rows (64/batch); point-row operators fed through the same hop would see
+    thousands of 64-row batches, and their per-batch numpy setup dominates
+    the kernel (guide §4.2: keep batches large enough for vectorization to
+    pay off). Row order is preserved — consecutive batches concatenate —
+    so operator output is row-identical, only batch boundaries move."""
+    buf: list[pa.RecordBatch] = []
+    n = 0
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        if b.num_rows >= min_rows and not buf:
+            yield b
+            continue
+        buf.append(b)
+        n += b.num_rows
+        if n >= min_rows:
+            yield from pa.Table.from_batches(buf).combine_chunks() \
+                .to_batches(max_chunksize=None)
+            buf, n = [], 0
+    if buf:
+        yield from pa.Table.from_batches(buf).combine_chunks() \
+            .to_batches(max_chunksize=None)
+
+
 def _batch_rows(batch: pa.RecordBatch):
     """Iterate an Arrow batch as attribute-access rows without converting to
     pandas (object boxing of 17 columns per tile showed up in the profile)."""

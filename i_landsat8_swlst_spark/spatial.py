@@ -40,7 +40,7 @@ from pyspark.sql.types import (
 )
 
 from . import geo
-from .pipeline import _batch_from_cols, _batch_rows
+from .pipeline import _batch_from_cols, _batch_rows, _coalesce_batches
 
 # --------------------------------------------------------------------------
 # batched cell-encode (vectorized pandas UDFs)
@@ -907,7 +907,7 @@ def enrich_pixels(points: DataFrame, aoi: pd.DataFrame, stations: pd.DataFrame,
         m = len(ids)
         kk = min(k, m)
         id_rank = np.argsort(np.argsort(ids, kind="stable"))
-        for batch in batches:
+        for batch in _coalesce_batches(batches):
             n = batch.num_rows
             if n == 0:
                 continue

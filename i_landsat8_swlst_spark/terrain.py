@@ -362,21 +362,28 @@ def viewshed_tiles(tiles: DataFrame, observers, obs_height: float = 1.75,
 # Solar irradiance with cast shadows (r.sun analog, instantaneous mode)
 # --------------------------------------------------------------------------
 
-_SUN_CELL_SCHEMA = StructType([
+_SUN_SEG_SCHEMA = StructType([
     StructField("scene_id", StringType()),
-    StructField("strip", LongType()),
-    StructField("s", DoubleType()),
-    StructField("gx", IntegerType()),
+    StructField("bkt", LongType()),            # floor(strip / _SUN_BKT)
     StructField("gy", IntegerType()),
-    StructField("q", DoubleType()),            # z - s * tan(alt)
+    StructField("gx0", IntegerType()),
+    StructField("z_bytes", BinaryType()),      # f32 LE elevation row segment
 ])
+
+# strips per scan bucket: one task hosts a contiguous band of strips (a
+# scene-width raster has O(w + h) strips, far fewer buckets)
+_SUN_BKT = 64
 
 _SHADOW_SCHEMA = StructType([
     StructField("scene_id", StringType()),
     StructField("tile_x", IntegerType()),
     StructField("tile_y", IntegerType()),
-    StructField("gx", IntegerType()),
-    StructField("gy", IntegerType()),
+    # np.packbits bitmap over the nominal tile grid (ly * nom_w + lx),
+    # set = shaded: with a low sun half the raster can be shaded, so
+    # per-shaded-CELL rows out of the strip scan were the next row
+    # explosion (4.8M rows measured at the 8.4 Mpx bench block) — a tile's
+    # shaded set is <= 2 KB as a bitmap, one row per (tile, bucket)
+    StructField("mask_bytes", BinaryType()),
 ])
 
 SUN_SCHEMA = StructType([
@@ -392,6 +399,14 @@ SUN_SCHEMA = StructType([
 
 SOLAR_CONSTANT = 1367.0      # W/m^2
 _DIFFUSE_FRAC = 0.10         # clear-sky isotropic diffuse fraction
+
+
+def _runs_arange(lens: np.ndarray) -> np.ndarray:
+    """Concatenated [0..len) ranges: [2, 3] -> [0, 1, 0, 1, 2]."""
+    total = int(lens.sum())
+    idx = np.arange(total, dtype=np.int64)
+    off = np.repeat(np.cumsum(lens) - lens, lens)
+    return idx - off
 
 
 def _sun_vectors(azimuth_deg: float, altitude_deg: float):
@@ -466,13 +481,20 @@ def sun_tiles(tiles: DataFrame, sun: DataFrame | pd.DataFrame,
     gradient is NULL-poisoned (scene edges / NaN neighbors), matching
     gradient_tiles semantics.
 
-    Distributed shape: ONE decode pass emits one small row per finite
-    cell keyed by its parallel-ray strip; groupBy(scene, strip) runs the
-    running-max scan of `shadow_plane`'s spec and emits ONLY shaded cells;
-    the 1-px halo exchange carries the elevation planes; a final equi join
-    + grouped kernel computes irradiance per tile. Pixel planes cross one
-    repartition (the halo, ~1.1x plane bytes); everything else is O(cells)
-    small rows, O(shaded) after the scan.
+    Distributed shape: ONE decode pass emits run-length ROW SEGMENTS —
+    one (bkt, gy, gx0, f32 bytes) row per maximal run of raster-row cells
+    whose strip falls in the same bucket of ``_SUN_BKT`` strips (strip is
+    monotone in gx along a row, so runs are contiguous; a 128-px row spans
+    <= 3 buckets). groupBy(scene, bkt) rebuilds the per-cell (gx, gy, z)
+    arrays executor-side and runs the running-max scan of `shadow_plane`'s
+    spec per strip, fully vectorized (tie groups of equal s via reduceat +
+    accumulate — the same group-atomic comparisons as the serial walk),
+    emitting ONLY shaded cells; the 1-px halo exchange carries the
+    elevation planes; a final equi join + grouped kernel computes
+    irradiance per tile. The segment exchange moves ~1x plane bytes in
+    O(rows x buckets-per-row) rows — never one row per pixel (that emit
+    was measured at ~5x plane bytes of small rows and dominated the whole
+    operator: 0.49 Mpx/s).
     """
     spark = tiles.sparkSession
     if isinstance(sun, pd.DataFrame):
@@ -492,80 +514,142 @@ def sun_tiles(tiles: DataFrame, sun: DataFrame | pd.DataFrame,
     nom = tiles.agg(F.max("w").alias("w"), F.max("h").alias("h")).first()
     nom_w, nom_h = int(nom["w"]), int(nom["h"])
 
-    def emit_cells(batches: Iterator[pa.RecordBatch]) \
+    def emit_segments(batches: Iterator[pa.RecordBatch]) \
             -> Iterator[pa.RecordBatch]:
         for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in _SUN_SEG_SCHEMA}
+            ap = {k: v.append for k, v in cols.items()}
             for row in _batch_rows(batch):
                 pos = sun_b.value.get(row.scene_id)
                 if pos is None:
                     continue
-                du, dv, tanalt = _sun_vectors(*pos)
                 ca = math.cos(math.radians(pos[0] % 360.0))
                 sa = math.sin(math.radians(pos[0] % 360.0))
                 w, h = int(row.w), int(row.h)
                 tx0 = int(row.tile_x) * nom_w
                 ty0 = int(row.tile_y) * nom_h
-                plane = codecs.decode_f32bt(
-                    getattr(row, src_col), w, h).astype(np.float64)
-                vv, uu = np.mgrid[0:h, 0:w]
-                gx = (tx0 + uu).ravel()
-                gy = (ty0 + vv).ravel()
-                z = plane.ravel()
-                keep = np.isfinite(z)
-                if not keep.any():
+                plane = codecs.decode_f32bt(getattr(row, src_col), w, h)
+                sid = row.scene_id
+                # per-cell bucket exactly as the scan recomputes it:
+                # strip = floor(gx*ca + gy*sa), bkt = strip // _SUN_BKT
+                # (floor-div of the int strip == floor(strip/_SUN_BKT));
+                # the outer-sum form below produces the same per-cell
+                # gx*ca + gy*sa values elementwise. Strip is monotone in
+                # gx along a row, so equal-bkt runs are contiguous; one
+                # row-major cut pass finds every (row, bkt) segment.
+                gx = tx0 + np.arange(w, dtype=np.int64)
+                gy = ty0 + np.arange(h, dtype=np.int64)
+                p = gy[:, None] * sa + gx[None, :] * ca
+                bkt = np.floor(p).astype(np.int64) // _SUN_BKT
+                flat = bkt.ravel()
+                rowid = np.repeat(np.arange(h), w)
+                row_ok = np.isfinite(plane).any(axis=1)
+                newseg = np.r_[True, (flat[1:] != flat[:-1])
+                               | (rowid[1:] != rowid[:-1])]
+                starts = np.flatnonzero(newseg)
+                keepseg = row_ok[rowid[starts]]
+                starts = starts[keepseg]
+                if not len(starts):
                     continue
-                gx, gy, z = gx[keep], gy[keep], z[keep]
-                s = gx * du + gy * dv
-                p = gx * ca + gy * sa
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(np.full(len(gx), row.scene_id, dtype=object),
-                              pa.string()),
-                     pa.array(np.floor(p).astype(np.int64)),
-                     pa.array(s),
-                     pa.array(gx.astype(np.int32)),
-                     pa.array(gy.astype(np.int32)),
-                     pa.array(z - s * tanalt)],
-                    names=[f.name for f in _SUN_CELL_SCHEMA])
+                ends_all = np.r_[np.flatnonzero(newseg)[1:], h * w]
+                ends = ends_all[keepseg]
+                seg_bkt = flat[starts]
+                seg_gy = gy[rowid[starts]]
+                seg_gx0 = gx[starts % w]
+                zflat = plane.ravel()
+                for i in range(len(starts)):
+                    ap["scene_id"](sid)
+                    ap["bkt"](int(seg_bkt[i]))
+                    ap["gy"](int(seg_gy[i]))
+                    ap["gx0"](int(seg_gx0[i]))
+                    ap["z_bytes"](
+                        zflat[starts[i]:ends[i]].astype("<f4").tobytes())
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, _SUN_SEG_SCHEMA)
 
-    cells = tiles.select("scene_id", "tile_x", "tile_y", "w", "h", src_col) \
-        .mapInArrow(emit_cells, _SUN_CELL_SCHEMA)
+    segs = tiles.select("scene_id", "tile_x", "tile_y", "w", "h", src_col) \
+        .mapInArrow(emit_segments, _SUN_SEG_SCHEMA)
 
-    def scan_strips(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one task hosts a BUCKET of strips (a scene-width raster has
-        # O(w + h) strips; per-group pandas overhead at one-group-per-strip
-        # dominated the whole op — measured 10x). Each strip still scans
-        # alone, so results are bit-identical to per-strip grouping.
-        outs = []
-        for _, g in pdf.groupby("strip", sort=False):
-            ss = g.s.to_numpy(np.float64)
-            qq = g.q.to_numpy(np.float64)
-            order = np.argsort(-ss, kind="mergesort")
-            ss_o, qq_o = ss[order], qq[order]
-            runmax = -np.inf
-            shaded = np.zeros(len(ss_o), dtype=bool)
-            i = 0
-            while i < len(ss_o):
-                j = i
-                while j < len(ss_o) and ss_o[j] == ss_o[i]:
-                    j += 1
-                shaded[i:j] = qq_o[i:j] < runmax
-                runmax = max(runmax, float(qq_o[i:j].max()))
-                i = j
-            sel = g.iloc[order[shaded]]
-            if len(sel):
-                outs.append(sel)
-        if not outs:
+    def scan_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
             return pd.DataFrame(columns=[f.name for f in _SHADOW_SCHEMA])
-        sel = pd.concat(outs)
+        sid = pdf.scene_id.iloc[0]
+        pos = sun_b.value.get(sid)
+        du, dv, tanalt = _sun_vectors(*pos)
+        ca = math.cos(math.radians(pos[0] % 360.0))
+        sa = math.sin(math.radians(pos[0] % 360.0))
+        # rebuild the per-cell arrays from the row segments
+        zs = [np.frombuffer(b, dtype="<f4") for b in pdf.z_bytes]
+        lens = np.array([len(a) for a in zs])
+        z = np.concatenate(zs).astype(np.float64)
+        gx = (np.repeat(pdf.gx0.to_numpy(np.int64), lens)
+              + _runs_arange(lens))
+        gy = np.repeat(pdf.gy.to_numpy(np.int64), lens)
+        keep = np.isfinite(z)
+        gx, gy, z = gx[keep], gy[keep], z[keep]
+        if not len(z):
+            return pd.DataFrame(columns=[f.name for f in _SHADOW_SCHEMA])
+        # same formulas/dtypes as the whole-plane spec: int64 coords into
+        # float64 products
+        s = gx * du + gy * dv
+        q = z - s * tanalt
+        strip = np.floor(gx * ca + gy * sa).astype(np.int64)
+        # ONE stable lexsort for the whole bucket: strip ascending, s
+        # descending within a strip — each strip then scans as its own
+        # contiguous slice, exactly the per-strip argsort(-s, mergesort)
+        # of the serial spec
+        order = np.lexsort((-s, strip))
+        st_o, s_o, q_o = strip[order], s[order], q[order]
+        # tie groups = runs of equal s within a strip; the serial walk
+        # treats them atomically (group members never shade each other),
+        # so the vectorized form compares each group against the running
+        # max of STRICTLY-PRIOR groups — identical comparisons, no fp
+        # accumulation anywhere (max and < are exact)
+        new_strip = np.r_[True, st_o[1:] != st_o[:-1]]
+        new_group = new_strip | np.r_[True, s_o[1:] != s_o[:-1]]
+        starts = np.flatnonzero(new_group)
+        gmax = np.maximum.reduceat(q_o, starts)
+        runbefore = np.empty(len(starts))
+        gs = np.flatnonzero(new_strip[starts])   # first group of each strip
+        bounds = np.r_[gs, len(starts)]
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            runbefore[a] = -np.inf
+            if b - a > 1:
+                runbefore[a + 1:b] = np.maximum.accumulate(gmax[a:b - 1])
+        sizes = np.diff(np.r_[starts, len(q_o)])
+        shaded = q_o < np.repeat(runbefore, sizes)
+        sel = np.flatnonzero(shaded)
+        if not len(sel):
+            return pd.DataFrame(columns=[f.name for f in _SHADOW_SCHEMA])
+        sgx, sgy = gx[order][sel], gy[order][sel]
+        # pack the shaded set as one bitmap row per tile (nom grid, row-
+        # major ly * nom_w + lx, np.packbits bit order) — the per-cell
+        # row form was O(shaded) small rows through collect_list and a
+        # Python list per cell in the assembly kernel
+        tx = sgx // nom_w
+        ty = sgy // nom_h
+        bit = (sgy - ty * nom_h) * nom_w + (sgx - tx * nom_w)
+        torder = np.lexsort((bit, ty, tx))
+        tx, ty, bit = tx[torder], ty[torder], bit[torder]
+        tstarts = np.flatnonzero(
+            np.r_[True, (tx[1:] != tx[:-1]) | (ty[1:] != ty[:-1])])
+        tends = np.r_[tstarts[1:], len(tx)]
+        out_tx, out_ty, out_mask = [], [], []
+        nbits = nom_w * nom_h
+        for a, b in zip(tstarts, tends):
+            m = np.zeros(nbits, dtype=np.uint8)
+            m[bit[a:b]] = 1
+            out_tx.append(int(tx[a]))
+            out_ty.append(int(ty[a]))
+            out_mask.append(np.packbits(m).tobytes())
         return pd.DataFrame({
-            "scene_id": sel.scene_id,
-            "tile_x": (sel.gx // nom_w).astype(np.int32),
-            "tile_y": (sel.gy // nom_h).astype(np.int32),
-            "gx": sel.gx.astype(np.int32), "gy": sel.gy.astype(np.int32)})
+            "scene_id": np.full(len(out_tx), sid, dtype=object),
+            "tile_x": np.array(out_tx, dtype=np.int32),
+            "tile_y": np.array(out_ty, dtype=np.int32),
+            "mask_bytes": out_mask})
 
-    shadows = cells.groupBy(
-        "scene_id", F.floor(F.col("strip") / 64).alias("strip_bkt")
-    ).applyInPandas(lambda key, pdf: scan_strips(pdf), _SHADOW_SCHEMA)
+    shadows = segs.groupBy("scene_id", "bkt").applyInPandas(
+        lambda key, pdf: scan_bucket(pdf), _SHADOW_SCHEMA)
 
     from .pipeline import halo_plane_tiles
     src = tiles
@@ -573,63 +657,69 @@ def sun_tiles(tiles: DataFrame, sun: DataFrame | pd.DataFrame,
         src = tiles.withColumn("image_id", F.lit(""))
     pad = halo_plane_tiles(src, r=1, src_col=src_col) \
         .select("scene_id", "tile_x", "tile_y", "w", "h", "pad_bytes")
-    # shaded cells collapse to ONE array row per tile BEFORE meeting the
-    # plane bytes — joining per-cell rows against pad_bytes would replicate
-    # the 65 KB payload once per shaded cell (the plane-bytes-x-cells
-    # anti-pattern)
+    # shaded bitmaps collapse to ONE short list per tile (<= one 2 KB mask
+    # per strip bucket the tile intersects) BEFORE meeting the plane bytes
     sh_tile = shadows.groupBy("scene_id", "tile_x", "tile_y").agg(
-        F.collect_list(F.array("gx", "gy")).alias("sh_cells"))
+        F.collect_list("mask_bytes").alias("sh_masks"))
+    # the join output is already exactly one row per tile, so the assembly
+    # kernel is a mapInArrow — the old groupBy+applyInPandas re-shuffled
+    # the pad planes a second time for nothing
     joined = pad.join(sh_tile, on=["scene_id", "tile_x", "tile_y"],
                       how="left")
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+    def build(batches: Iterator[pa.RecordBatch]) \
+            -> Iterator[pa.RecordBatch]:
         from .kernels import slope_aspect
 
-        row = pdf.iloc[0]
-        pos = sun_b.value.get(row.scene_id)
-        w, h = int(row.w), int(row.h)
-        if pos is None:
-            glob = np.full((h, w), np.nan, dtype=np.float32)
-            return pd.DataFrame({
-                "scene_id": [row.scene_id], "tile_x": [int(row.tile_x)],
-                "tile_y": [int(row.tile_y)], "w": [w], "h": [h],
-                "glob_bytes": [glob.tobytes()], "n_shaded": [0],
-                "n_valid": [0]})
-        az, altd = pos
-        alt = math.radians(altd)
-        pad_p = np.frombuffer(row.pad_bytes, dtype="<f4") \
-            .reshape(h + 2, w + 2).astype(np.float64)
-        g = slope_aspect(pad_p)
-        sl = np.radians(g["slope_deg"][1:-1, 1:-1])
-        asp = np.radians(np.nan_to_num(g["aspect_deg"][1:-1, 1:-1]))
-        lit = np.ones((h, w), dtype=bool)
-        cells = row.sh_cells
-        if cells is not None and len(cells):
-            arr = np.asarray([list(c) for c in cells], dtype=np.int64)
-            lx = arr[:, 0] - int(row.tile_x) * nom_w
-            ly = arr[:, 1] - int(row.tile_y) * nom_h
-            lit[ly, lx] = False
-        m = 1.0 / math.sin(alt)                       # air mass
-        beam = SOLAR_CONSTANT * 0.75 ** (m ** 0.678)  # Meinel clear-sky
-        azr = math.radians(az % 360.0)
-        with np.errstate(invalid="ignore"):
-            cosi = (math.sin(alt) * np.cos(sl)
-                    + math.cos(alt) * np.sin(sl) * np.cos(azr - asp))
-            direct = beam * np.clip(cosi, 0.0, None) * lit
-            diffuse = (SOLAR_CONSTANT * _DIFFUSE_FRAC * math.sin(alt)
-                       * (1.0 + np.cos(sl)) / 2.0)
-            glob = (direct + diffuse).astype(np.float32)
-        glob[np.isnan(sl)] = np.nan
-        valid = np.isfinite(glob)
-        return pd.DataFrame({
-            "scene_id": [row.scene_id], "tile_x": [int(row.tile_x)],
-            "tile_y": [int(row.tile_y)], "w": [w], "h": [h],
-            "glob_bytes": [glob.tobytes()],
-            "n_shaded": [int((~lit & valid).sum())],
-            "n_valid": [int(valid.sum())]})
+        for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in SUN_SCHEMA}
+            ap = {k: v.append for k, v in cols.items()}
+            for row in _batch_rows(batch):
+                pos = sun_b.value.get(row.scene_id)
+                w, h = int(row.w), int(row.h)
+                ap["scene_id"](row.scene_id)
+                ap["tile_x"](int(row.tile_x)); ap["tile_y"](int(row.tile_y))
+                ap["w"](w); ap["h"](h)
+                if pos is None:
+                    glob = np.full((h, w), np.nan, dtype=np.float32)
+                    ap["glob_bytes"](glob.tobytes())
+                    ap["n_shaded"](0); ap["n_valid"](0)
+                    continue
+                az, altd = pos
+                alt = math.radians(altd)
+                pad_p = np.frombuffer(row.pad_bytes, dtype="<f4") \
+                    .reshape(h + 2, w + 2).astype(np.float64)
+                g = slope_aspect(pad_p)
+                sl = np.radians(g["slope_deg"][1:-1, 1:-1])
+                asp = np.radians(np.nan_to_num(g["aspect_deg"][1:-1, 1:-1]))
+                lit = np.ones((h, w), dtype=bool)
+                masks = row.sh_masks
+                if masks is not None and len(masks):
+                    acc = np.frombuffer(masks[0], dtype=np.uint8)
+                    for mb in masks[1:]:
+                        acc = acc | np.frombuffer(mb, dtype=np.uint8)
+                    shaded = np.unpackbits(acc, count=nom_w * nom_h) \
+                        .reshape(nom_h, nom_w)[:h, :w]
+                    lit &= shaded == 0
+                m = 1.0 / math.sin(alt)                      # air mass
+                beam = SOLAR_CONSTANT * 0.75 ** (m ** 0.678)  # Meinel
+                azr = math.radians(az % 360.0)
+                with np.errstate(invalid="ignore"):
+                    cosi = (math.sin(alt) * np.cos(sl)
+                            + math.cos(alt) * np.sin(sl) * np.cos(azr - asp))
+                    direct = beam * np.clip(cosi, 0.0, None) * lit
+                    diffuse = (SOLAR_CONSTANT * _DIFFUSE_FRAC
+                               * math.sin(alt) * (1.0 + np.cos(sl)) / 2.0)
+                    glob = (direct + diffuse).astype(np.float32)
+                glob[np.isnan(sl)] = np.nan
+                valid = np.isfinite(glob)
+                ap["glob_bytes"](glob.tobytes())
+                ap["n_shaded"](int((~lit & valid).sum()))
+                ap["n_valid"](int(valid.sum()))
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, SUN_SCHEMA)
 
-    return joined.groupBy("scene_id", "tile_x", "tile_y").applyInPandas(
-        build, SUN_SCHEMA)
+    return joined.mapInArrow(build, SUN_SCHEMA)
 
 
 # --------------------------------------------------------------------------

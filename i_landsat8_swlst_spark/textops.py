@@ -96,7 +96,17 @@ def _minhash_sql() -> str:
 
 
 def _minh_wide(spark, sf_dir):
-    d = load(spark, sf_dir, "documents").filter(_SUBSET)
+    # documents ships as ONE parquet row group, so the scan is a single
+    # task — and everything pipelined onto it (the shingle explode, one md5
+    # + 16 permutations per shingle: the expensive part of this operator)
+    # ran single-core (measured 9.5 s at sf1.0 / 4.9M shingles on 32 idle
+    # cores). Spreading the ~5 MB of doc rows by doc_id BEFORE the explode
+    # parallelizes the per-shingle work, and the signature aggregate reuses
+    # the hash(doc_id) partitioning, so the plan still has exactly ONE
+    # hash exchange (guide §2.5: unsplittable input -> repartition right
+    # after the read; partition count follows spark.sql.shuffle.partitions,
+    # so it stays scale-adaptive on a cluster).
+    d = load(spark, sf_dir, "documents").filter(_SUBSET).repartition("doc_id")
     # NO .distinct() here, deliberately: min() is duplicate-insensitive, so
     # deduping (doc_id, shingle) first cannot change any mh_i — but it IS the
     # query's largest shuffle (every shingle row through an exchange + hash
@@ -161,8 +171,17 @@ def q_minhash_lsh_pairs(spark, sf_dir):
         "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "band_key"))
     a = bands.alias("a")
     b = bands.alias("b")
+    # SHUFFLE_HASH instead of the default broadcast: with a broadcast build
+    # the two identical minhash subtrees CANNOT share work (no exchange to
+    # reuse) and the whole shingle+md5 pipeline runs twice; as a shuffled
+    # hash join both sides produce the SAME Exchange hashpartitioning(band,
+    # band_key) and ReusedExchange computes the signatures once (guide
+    # §2.4: two operations keyed the same way share one exchange). The
+    # band rows are a few dozen bytes each, so the shuffle is tiny at any
+    # scale.
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
+        a.join(b.hint("shuffle_hash"),
+               (F.col("a.band") == F.col("b.band"))
                & (F.col("a.band_key") == F.col("b.band_key"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -521,14 +540,15 @@ def q_repetition_ratio(spark, sf_dir):
 # embedding similarity search
 # --------------------------------------------------------------------------
 
-# explicit sequential double fold -> identical fp result in both engines
+# explicit sequential double fold -> identical fp result in both engines.
+# (An unrolled 64-term codegen sum was prototyped in r7 and measured 10x
+# SLOWER than this interpreted fold at sf1.0 — the single ~400-node
+# expression exceeds the JIT's huge-method limit and runs as un-JIT-ted
+# bytecode. The fold stays; parallelism comes from repartitioning the
+# single-row-group input instead.)
 _DOT_SPARK = (
     "aggregate(zip_with(CAST(a.embedding AS array<double>), CAST(b.embedding AS array<double>),"
     " (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
-)
-_NRM_SPARK = (
-    "sqrt(aggregate(transform(CAST({t}.embedding AS array<double>), x -> x * x),"
-    " 0D, (acc, v) -> acc + v))"
 )
 
 _DOT_DUCK = "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
@@ -564,8 +584,11 @@ def q_embed_cosine_topk(spark, sf_dir):
     This is the small-scale recall oracle and exactness twin ONLY — at 100-TB
     scale route through q_ann_ivf (coarse-quantizer candidates, equi-join
     plan) whose recall@k floor is asserted against this form in
-    tests/test_textops.py. Not a bench headline for that reason."""
-    e = load(spark, sf_dir, "embeddings").withColumn("nrm", F.expr(_NRM_SELF))
+    tests/test_textops.py. Not a bench headline for that reason.
+    repartition("vec_id") spreads the single-row-group scan so the |Q| x n
+    nested loop and the top-k window run on every core (guide §2.5)."""
+    e = load(spark, sf_dir, "embeddings").repartition("vec_id") \
+        .withColumn("nrm", F.expr(_NRM_SELF))
     a = e.filter("vec_id % 50 = 0").alias("a")
     b = e.alias("b")
     cos = F.round(F.expr(_DOT_SPARK) / (F.col("a.nrm") * F.col("b.nrm")), 4)
@@ -976,16 +999,89 @@ _IVF_K = 5
          FROM scored) WHERE rnk <= {_IVF_K}""",
 )
 def q_ann_ivf(spark, sf_dir):
+    """The |V| x |C| assignment stage is the cost of this operator. Round-6
+    ran it as a Catalyst cross join whose per-pair cosine was an interpreted
+    higher-order-function fold — measured 31 s at sf1.0 (and single-task:
+    embeddings ships as one parquet row group). Round 7 moves the raw
+    arithmetic into ONE vectorized mapInArrow pass (guide §4.2/§8: decide
+    with small rows):
+
+    - the centroid matrix (model-sized, like every kmeans/maxlik model in
+      this engine) is sc.broadcast; each task folds its vectors against it
+      with the EXACT same IEEE op sequence as the SQL fold (acc starts at
+      0.0 and adds the elementwise products in dimension order — a
+      per-dimension `acc += v_d * c_d` loop IS that fold, so dot, norm and
+      ratio are bit-identical to the oracle's list_dot_product algebra);
+    - ROUNDING AND RANKING STAY IN THE JVM: the pass emits the raw ratio
+      and only prunes pairs that provably cannot appear in the rounded
+      top-k. Monotonicity of round(.,6) gives the bound: any pair tying
+      with the k-th rounded value has raw >= (k-th largest raw) - 1e-6, so
+      a cut at kth_raw - 2e-6 keeps every top-k member AND every pair
+      ranked above one, which makes the window's row_number over the subset
+      identical to the full-cross-join ranking. Emitted rows drop from
+      |V| x |C| to ~|V| + nprobe-slack.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .pipeline import _coalesce_batches
+
     # norms precomputed per VECTOR, not per joined pair (bit-identical value,
-    # |V|+|C| folds instead of |V|*|C| — the assignment stage is the cost)
-    e = load(spark, sf_dir, "embeddings").withColumn("nrm", F.expr(_NRM_SELF))
-    cent = e.filter(_IVF_CENT).select(
-        F.col("vec_id").alias("cid"), "embedding", F.col("nrm").alias("cnrm"))
-    v, c = e.alias("v"), cent.alias("c")
-    cosd = F.round(
-        F.expr(_dot_spark("v", "c")) / (F.col("v.nrm") * F.col("c.cnrm")), 6)
-    assign0 = v.crossJoin(F.broadcast(c)).select(
-        F.col("v.vec_id").alias("vec_id"), F.col("c.cid").alias("cid"), cosd.alias("cosd"))
+    # |V|+|C| folds instead of |V|*|C|); repartition("vec_id") spreads the
+    # single-row-group scan AND pre-establishes the partitioning every
+    # downstream per-vector window needs (guide §2.5)
+    e = load(spark, sf_dir, "embeddings").repartition("vec_id") \
+        .withColumn("nrm", F.expr(_NRM_SELF))
+    cent_pdf = load(spark, sf_dir, "embeddings").filter(_IVF_CENT) \
+        .select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    cids_np = cent_pdf.vec_id.to_numpy("int64")
+    c32 = np.array(list(cent_pdf.embedding), dtype=np.float32) \
+        if len(cent_pdf) else np.zeros((0, 0), dtype=np.float32)
+    bc = spark.sparkContext.broadcast((cids_np, c32))
+    qmod, qval = 50, 1  # _IVF_QRY
+
+    def assign_cand(batches):
+        cids, c32_ = bc.value
+        nc = len(cids)
+        if nc == 0:
+            return
+        cm = c32_.astype(np.float64)
+        ndim = cm.shape[1]
+        cn = np.zeros(nc)
+        for d in range(ndim):          # exact fold: 0D + q1*q1 + q2*q2 ...
+            cn += cm[:, d] * cm[:, d]
+        cnrm = np.sqrt(cn)
+        for batch in _coalesce_batches(batches, 2048):
+            vid = batch.column(0).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
+            vm = flat.reshape(len(vid), ndim).astype(np.float64)
+            dots = np.zeros((len(vid), nc))
+            vn = np.zeros(len(vid))
+            for d in range(ndim):      # the same sequential fold, per pair
+                dots += vm[:, d:d + 1] * cm[None, :, d]
+                vn += vm[:, d] * vm[:, d]
+            cosr = dots / (np.sqrt(vn)[:, None] * cnrm[None, :])
+            top1 = cosr.max(axis=1)
+            if nc > _IVF_NPROBE:
+                p5 = np.partition(cosr, nc - _IVF_NPROBE, axis=1)[
+                    :, nc - _IVF_NPROBE]
+            else:
+                p5 = cosr.min(axis=1)
+            isq = (vid % qmod) == qval
+            thr = np.where(isq, p5, top1) - 2e-6
+            mask = cosr >= thr[:, None]
+            ri, ci = np.nonzero(mask)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(vid[ri]), pa.array(cids[ci]),
+                 pa.array(cosr[mask])],
+                names=["vec_id", "cid", "cosr"])
+
+    cand_raw = e.select("vec_id", "embedding").mapInArrow(
+        assign_cand, "vec_id bigint, cid bigint, cosr double")
+    # identical rounding + ranking semantics, now over the pruned subset
+    assign0 = cand_raw.select(
+        "vec_id", "cid", F.round(F.col("cosr"), 6).alias("cosd"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosd"), F.asc("cid"))
     ranked = assign0.withColumn("rn", F.row_number().over(w))
     assign = ranked.filter("rn = 1").select("vec_id", "cid")
@@ -1038,7 +1134,11 @@ _TFIDF_SUBSET = "doc_id % 20 = 3"
         WHERE t.tf >= 3""",
 )
 def q_tfidf(spark, sf_dir):
-    d = load(spark, sf_dir, "documents").filter(_TFIDF_SUBSET)
+    # single-row-group input: spread the doc rows so tokenize+explode runs
+    # on every core; the (doc_id, word) tf aggregate reuses hash(doc_id)
+    # clustering, so no exchange is added for it (guide §2.5)
+    d = load(spark, sf_dir, "documents").filter(_TFIDF_SUBSET) \
+        .repartition("doc_id")
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ", -1)).alias("word")
     ).filter("word <> ''")
