@@ -270,9 +270,13 @@ def q_range_join(spark, sf_dir):
     # events is one parquet row group -> the broadcast nested-loop probe
     # (|events| x 6 range comparisons) would run in a single scan task;
     # spreading the rows first parallelizes the probe and the partial
-    # aggregation (guide §2.5: unsplittable input -> repartition after read)
-    ev = load(spark, sf_dir, "events").repartition("event_id") \
-        .withColumn("cwv", F.expr("value % 6.3"))
+    # aggregation (guide §2.5: unsplittable input -> repartition after
+    # read). The partition count is explicit because a bare
+    # repartition(col) is AQE-coalescible right back to ~1 partition at
+    # this byte size; defaultParallelism keeps it scale-adaptive.
+    ev = load(spark, sf_dir, "events")
+    ev = ev.repartition(ev.sparkSession.sparkContext.defaultParallelism,
+                        "event_id").withColumn("cwv", F.expr("value % 6.3"))
     ranges = spark.createDataFrame(
         [(c.subrange, c.cwv_min, c.cwv_max) for c in C.load_sw_coefficients()
          if c.subrange != "Range_6"],

@@ -95,40 +95,94 @@ def _minhash_sql() -> str:
 """
 
 
+
+def _spread(df, col: str):
+    """repartition(N, col) with N pinned to the cluster's core count.
+
+    A bare repartition(col) is AQE-coalescible (REPARTITION_BY_COL): for
+    the few-MB inputs these compute-bound stages read, AQE's 16 MB
+    advisory size folds the exchange back to 1-2 partitions and the
+    whole point of spreading is lost (measured: the minhash signature
+    pass ran as TWO tasks). An explicit numPartitions pins it;
+    defaultParallelism keeps it scale-adaptive (cores on any cluster).
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, col)
+
 def _minh_wide(spark, sf_dir):
-    # documents ships as ONE parquet row group, so the scan is a single
-    # task — and everything pipelined onto it (the shingle explode, one md5
-    # + 16 permutations per shingle: the expensive part of this operator)
-    # ran single-core (measured 9.5 s at sf1.0 / 4.9M shingles on 32 idle
-    # cores). Spreading the ~5 MB of doc rows by doc_id BEFORE the explode
-    # parallelizes the per-shingle work, and the signature aggregate reuses
-    # the hash(doc_id) partitioning, so the plan still has exactly ONE
-    # hash exchange (guide §2.5: unsplittable input -> repartition right
-    # after the read; partition count follows spark.sql.shuffle.partitions,
-    # so it stays scale-adaptive on a cluster).
-    d = load(spark, sf_dir, "documents").filter(_SUBSET).repartition("doc_id")
-    # NO .distinct() here, deliberately: min() is duplicate-insensitive, so
-    # deduping (doc_id, shingle) first cannot change any mh_i — but it IS the
-    # query's largest shuffle (every shingle row through an exchange + hash
-    # dedup before the aggregate). Dropping it leaves ONE map-side-combining
-    # aggregation as the only shuffle. The oracle keeps its DISTINCT (shared
-    # CTE with the Jaccard twin, where dedup does matter): same result by
-    # the algebra above, attested by the driver hash gate.
-    sh = (
-        d.select("doc_id", F.explode(F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1)))).alias("i"),
-                 "text")
-        .select("doc_id", F.expr("substr(text, i, 5)").alias("sh"))
-    )
-    # one conv() call == the oracle's 8-term hex fold (identical value:
-    # both parse the first 8 md5 hex digits base-16), ~10x less expression
-    # tree per row on the Spark side
-    x = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
-    hashed = sh.select("doc_id", x.alias("x"))
-    aggs = []
-    for i in range(_NPERM):
-        a, b = _perm_ab(i)
-        aggs.append(F.min((F.lit(a) * F.col("x") + F.lit(b)) % _P).alias(f"mh{i}"))
-    return hashed.groupBy("doc_id").agg(*aggs)
+    """One vectorized Arrow pass computes every document's 16 minhashes.
+
+    The round-6 form (explode positions -> substr(text, i, 5) -> md5 ->
+    16 min aggregates) was measured at 9.5 s for 4.9M shingles at sf1.0:
+    the scan is one parquet row group (single task, guide §2.5), and —
+    the bigger surprise — JVM ``substr(text, i, 5)`` is O(i) per call
+    (UTF8String locates CHAR positions by scanning), so shingling a
+    document is O(len^2). This pass produces the IDENTICAL integers:
+
+    - shingle = 5 CHARACTERS starting at each position 0..max(len-5, 0)
+      (Python str slicing is char-based exactly like substr, including
+      the short final/whole-string shingles and the '' shingle of an
+      empty text);
+    - x = first 8 hex digits of md5(utf-8 bytes) parsed base-16 ==
+      int.from_bytes(digest[:4], 'big') — the same value the oracle's
+      8-term hex fold and Spark's conv(substring(md5..)) compute;
+    - mh_i = min over shingles of (a_i * x + b_i) % P in exact int64
+      (a_i <= 33, x < 2^32, so a_i*x + b_i < 2^38: no overflow), the
+      same BIGINT arithmetic as both engines.
+
+    min() is duplicate-insensitive, so no shingle dedup is needed (the
+    oracle keeps its DISTINCT in the shared CTE; same result by that
+    algebra, attested by the driver hash gate). The plan keeps exactly
+    ONE hash exchange: the repartition that spreads the single-row-group
+    scan (the signature itself needs no aggregate shuffle any more).
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from .pipeline import _coalesce_batches
+
+    d = _spread(load(spark, sf_dir, "documents").filter(_SUBSET), "doc_id")
+    ab = [_perm_ab(i) for i in range(_NPERM)]
+    a_np = np.array([a for a, _ in ab], dtype=np.int64)[:, None]
+    b_np = np.array([b for _, b in ab], dtype=np.int64)[:, None]
+    out_names = ["doc_id"] + [f"mh{i}" for i in range(_NPERM)]
+    ddl = "doc_id bigint, " + ", ".join(f"mh{i} bigint" for i in range(_NPERM))
+
+    def sigs(batches):
+        md5 = hashlib.md5
+        for batch in _coalesce_batches(batches, 1024):
+            doc_ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_ids = []
+            out_mh = []
+            for did, s in zip(doc_ids, texts):
+                if s is None:
+                    continue  # explode(sequence(1, null)) dropped the row
+                n = max(len(s) - 4, 1)
+                if s.isascii():
+                    bs = s.encode()
+                    xs = np.frombuffer(
+                        b"".join(md5(bs[i:i + 5]).digest()[:4]
+                                 for i in range(n)),
+                        dtype=">u4").astype(np.int64)
+                else:
+                    xs = np.frombuffer(
+                        b"".join(md5(s[i:i + 5].encode()).digest()[:4]
+                                 for i in range(n)),
+                        dtype=">u4").astype(np.int64)
+                out_ids.append(did)
+                out_mh.append(((a_np * xs[None, :] + b_np) % _P).min(axis=1))
+            if not out_ids:
+                continue
+            mh = np.stack(out_mh)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, type=pa.int64())]
+                + [pa.array(mh[:, i]) for i in range(_NPERM)],
+                names=out_names)
+
+    return d.select("doc_id", "text").mapInArrow(sigs, ddl)
 
 
 @register(
@@ -587,7 +641,7 @@ def q_embed_cosine_topk(spark, sf_dir):
     tests/test_textops.py. Not a bench headline for that reason.
     repartition("vec_id") spreads the single-row-group scan so the |Q| x n
     nested loop and the top-k window run on every core (guide §2.5)."""
-    e = load(spark, sf_dir, "embeddings").repartition("vec_id") \
+    e = _spread(load(spark, sf_dir, "embeddings"), "vec_id") \
         .withColumn("nrm", F.expr(_NRM_SELF))
     a = e.filter("vec_id % 50 = 0").alias("a")
     b = e.alias("b")
@@ -1030,7 +1084,7 @@ def q_ann_ivf(spark, sf_dir):
     # |V|+|C| folds instead of |V|*|C|); repartition("vec_id") spreads the
     # single-row-group scan AND pre-establishes the partitioning every
     # downstream per-vector window needs (guide §2.5)
-    e = load(spark, sf_dir, "embeddings").repartition("vec_id") \
+    e = _spread(load(spark, sf_dir, "embeddings"), "vec_id") \
         .withColumn("nrm", F.expr(_NRM_SELF))
     cent_pdf = load(spark, sf_dir, "embeddings").filter(_IVF_CENT) \
         .select("vec_id", "embedding").toPandas().sort_values("vec_id")
@@ -1137,8 +1191,8 @@ def q_tfidf(spark, sf_dir):
     # single-row-group input: spread the doc rows so tokenize+explode runs
     # on every core; the (doc_id, word) tf aggregate reuses hash(doc_id)
     # clustering, so no exchange is added for it (guide §2.5)
-    d = load(spark, sf_dir, "documents").filter(_TFIDF_SUBSET) \
-        .repartition("doc_id")
+    d = _spread(load(spark, sf_dir, "documents").filter(_TFIDF_SUBSET),
+                "doc_id")
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ", -1)).alias("word")
     ).filter("word <> ''")
