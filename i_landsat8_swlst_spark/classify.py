@@ -519,9 +519,12 @@ def classify_tiles(tiles: DataFrame, band_cols: list[str],
                     [pa.array(cols[f.name], type=f.type) for f in arrow],
                     schema=arrow)
 
+    from .pipeline import spread_tiles
+
     keep = ["image_id", "scene_id", "tile_x", "tile_y", "w", "h", *band_cols]
     keep = [c for c in keep if c in tiles.columns]
-    src = tiles.select(*keep).join(F.broadcast(model), on="scene_id", how="left")
+    src = spread_tiles(tiles.select(*keep)) \
+        .join(F.broadcast(model), on="scene_id", how="left")
     return src.mapInArrow(fn, CLASSIFY_SCHEMA)
 
 

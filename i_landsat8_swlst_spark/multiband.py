@@ -312,9 +312,11 @@ def scene_ranges_df(tiles: DataFrame, src_col: str) -> DataFrame:
             if cols["scene_id"]:
                 yield _batch_from_cols(cols, _RANGE_SCHEMA)
 
+    from .pipeline import spread_tiles
+
     # mapInArrow cannot column-prune: select only what the scan reads so
     # sibling plane columns never serialize through Arrow for a range agg
-    return (tiles.select("scene_id", "w", "h", src_col)
+    return (spread_tiles(tiles.select("scene_id", "w", "h", src_col))
             .mapInArrow(fn, _RANGE_SCHEMA)
             .groupBy("scene_id")
             .agg(F.min("vmin").alias("vmin"), F.max("vmax").alias("vmax")))

@@ -65,16 +65,21 @@ def _pair_box(p: np.ndarray, m: int, dy: int, dx: int) -> np.ndarray:
     positions whose pair partner at offset o=(dx,dy) also falls inside the
     (2m+1)² window. For input (H, W) on the pair grid returns
     (H-2m, W-2m); output[i, j] sums rows [i+max(0,−dy), i+2m−max(0,dy)]
-    × cols [j+max(0,−dx), j+2m−max(0,dx)] (inclusive) of p."""
-    s = np.zeros((p.shape[0] + 1, p.shape[1] + 1), dtype=np.float64)
-    s[1:, 1:] = p.cumsum(0).cumsum(1)
+    × cols [j+max(0,−dx), j+2m−max(0,dx)] (inclusive) of p.
+
+    The summed values are 0/1/2 indicators, so every cumsum cell is an
+    exact integer (far below 2^53 / 2^31): int32 accumulation returns the
+    SAME numbers as the original float64 cumsum, bit-for-bit once cast."""
+    s = np.zeros((p.shape[0] + 1, p.shape[1] + 1), dtype=np.int32)
+    np.cumsum(p, axis=0, dtype=np.int32, out=s[1:, 1:])
+    np.cumsum(s[1:, 1:], axis=1, out=s[1:, 1:])
     y1, y2 = max(0, -dy), 2 * m - max(0, dy)
     x1, x2 = max(0, -dx), 2 * m - max(0, dx)
     h, w = p.shape[0] - 2 * m, p.shape[1] - 2 * m
     return (s[y2 + 1:y2 + 1 + h, x2 + 1:x2 + 1 + w]
             - s[y2 + 1:y2 + 1 + h, x1:x1 + w]
             - s[y1:y1 + h, x2 + 1:x2 + 1 + w]
-            + s[y1:y1 + h, x1:x1 + w])
+            + s[y1:y1 + h, x1:x1 + w]).astype(np.float64)
 
 
 def _quantize(x: np.ndarray, vmin: float, vmax: float, levels: int) -> np.ndarray:
@@ -108,19 +113,32 @@ def glcm_features(pad: np.ndarray, h: int, w: int, r: int, window: int,
     valid = (a >= 0) & (b >= 0)
     # T = total ordered pairs (each in-window pair counted in both matrix
     # directions) per window
-    t = 2.0 * _pair_box(valid.astype(np.float64), m, dy, dx)
+    t = 2.0 * _pair_box(valid.astype(np.uint8), m, dy, dx)
     want = set(features)
     acc = {f: np.zeros((h, w), dtype=np.float64) for f in want}
+    # one-hot level masks built ONCE (the pair loop used to rebuild
+    # levels^2 boolean planes); levels absent from both sides skip their
+    # pairs outright — identical to the old k.any() skip, which
+    # contributed nothing (counts are exact integers, see _pair_box)
+    am = [a == l for l in range(levels)]
+    bm = [b == l for l in range(levels)]
+    has_a = [x.any() for x in am]
+    has_b = [x.any() for x in bm]
     with np.errstate(divide="ignore", invalid="ignore"):
         for la in range(levels):
-            ia = (a == la)
+            ia = am[la]
             for lb in range(la, levels):
                 if la == lb:
-                    pair = (ia & (b == la)).astype(np.float64) * 2.0
+                    if not (has_a[la] and has_b[la]):
+                        continue
+                    pair = (ia & bm[la]).astype(np.uint8) * 2
                     mult = 1.0
                 else:
-                    pair = ((ia & (b == lb)) |
-                            ((a == lb) & (b == la))).astype(np.float64)
+                    if not ((has_a[la] and has_b[lb])
+                            or (has_a[lb] and has_b[la])):
+                        continue
+                    pair = ((ia & bm[lb]) |
+                            (am[lb] & bm[la])).view(np.uint8)
                     mult = 2.0  # (a,b) and (b,a) matrix cells
                 k = _pair_box(pair, m, dy, dx)
                 if not k.any():

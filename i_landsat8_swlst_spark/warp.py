@@ -309,7 +309,9 @@ def warp_tiles(tiles: DataFrame, src_geom: DataFrame, dst: GridSpec,
     if need is None:
         raise ValueError(f"method must be one of {sorted(_METHOD_CORNERS)}, got {method!r}")
 
-    src = _src_with_geom(tiles, src_geom, src_col)
+    from .pipeline import spread_tiles
+
+    src = _src_with_geom(spread_tiles(tiles), src_geom, src_col)
 
     def emit(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
