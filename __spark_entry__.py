@@ -1046,25 +1046,7 @@ def _q_stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   _ATTEST_LAST  := (n_twins - 50) stable, unchanged twins that DID get a
 #                    row this round (they can safely sit out the next one).
 _ATTEST_FIRST = [
-    # new twins in r06 (PII redaction, paragraph dedup) -> attest first
-    "q_pii_scrub", "q_paragraph_dedup",
-    # sat out r05 (newest row is r04) -> re-attest first in r06
-    "q_token_stats", "q_lang_id", "q_quality_score", "q_fingerprint",
-    "q_bpe_tokens", "q_winnow_fingerprint", "q_tfidf", "q_regr_manual",
-    "q_grouped_map", "q_agg_stats", "q_rollup", "q_cube", "q_percentile",
-    "q_semi_join", "q_anti_join", "q_caption_roundtrip", "q_salted_agg",
-    "q_interval_overlap", "q_skyline", "q_grid_density", "q_hash_split",
-    "q_stratified_sample", "q_cluster_canonical", "q_decontaminate",
-    "q_decontaminate_bloom", "q_unpivot", "q_mode_per_group",
-    "q_token_shards", "q_embed_cosine_topk", "q_ann_lsh_buckets",
-    "q_embed_neardup", "q_char_entropy", "q_dedup_clusters",
-    "q_tumbling_window",
-]
-_ATTEST_LAST = [
-    # green in r05, unchanged this round; 86 twins - 50 window = 36 demoted
-    # (the core LST/spatial/dedup headline twins — q_radiance ...
-    # q_minhash_signatures, also green r05 — stay in the window middle;
-    # q_minhash_lsh_pairs, green r05 and unchanged, sits out this round)
+    # sat out r06 (newest row is r05) -> re-attest first in r07
     "q_minhash_lsh_pairs",
     "q_ann_ivf", "q_string_agg", "q_bit_ops", "q_percent_rank_band",
     "q_kappa", "q_epoch_agg", "q_reclass",
@@ -1076,6 +1058,28 @@ _ATTEST_LAST = [
     "q_hamming_join", "q_range_frame", "q_upsert", "q_vector_explode",
     "q_fuzzy_join", "q_ntile_first_last", "q_lag_lead", "q_grouping_sets",
     "q_asof_join", "q_session_window", "q_sessionize",
+    # twins whose Spark builders changed in the r07 optimization round
+    # (Arrow minhash pass, vectorized IVF assignment, spread repartitions)
+    # -> re-attest first even though green in r06
+    "q_minhash_signatures", "q_dedup_clusters", "q_cluster_canonical",
+    "q_tfidf", "q_embed_cosine_topk", "q_embed_neardup", "q_range_join",
+]
+_ATTEST_LAST = [
+    # green in r06, builders unchanged in r07; 86 twins - 50 window = 36
+    # demoted (the core LST headline twins — q_radiance, q_bt, q_lst_sw,
+    # q_cwv_ratio_window, q_broadcast_join, q_agg_stats, q_window_topk —
+    # stay in the window middle so the headline set re-attests every round)
+    "q_pii_scrub", "q_paragraph_dedup", "q_token_stats", "q_lang_id",
+    "q_quality_score", "q_fingerprint", "q_bpe_tokens",
+    "q_winnow_fingerprint", "q_regr_manual", "q_grouped_map", "q_rollup",
+    "q_cube", "q_percentile", "q_semi_join", "q_anti_join",
+    "q_caption_roundtrip", "q_salted_agg", "q_interval_overlap",
+    "q_skyline", "q_grid_density", "q_hash_split", "q_stratified_sample",
+    "q_decontaminate", "q_decontaminate_bloom", "q_unpivot",
+    "q_mode_per_group", "q_token_shards", "q_ann_lsh_buckets",
+    "q_char_entropy", "q_tumbling_window", "q_correlated_subquery",
+    "q_udf_bt", "q_knn_sql", "q_bbox_join", "q_dedup_latest",
+    "q_dedup_exact",
 ]
 
 

@@ -22,6 +22,7 @@ batches; manifests live next to the data (object store in production).
 from __future__ import annotations
 
 import json
+import warnings
 import time
 from pathlib import Path
 
@@ -177,6 +178,7 @@ def run_lst_job(
         pending = all_slices
 
     executed = []
+    unverified = []  # zero-row lazy-fp slices (see _run_slice_groups)
     # One slice = one idempotent Spark write job, so a naive loop would
     # re-run the scan + pair-join of the WHOLE input once per slice
     # (measured 16x wall at 16 slices). Persist the joined-but-undecoded
@@ -205,7 +207,8 @@ def run_lst_job(
     try:
         _run_slice_groups(spark, enriched, pending, fps, done, out, out_dir,
                           executed, window, n_slices, fail_after, opts, celsius,
-                          batch, page_checksum=page_checksum)
+                          batch, page_checksum=page_checksum,
+                          unverified=unverified)
     finally:
         spark.conf.set("spark.sql.parquet.compression.codec", old_codec)
         if do_persist:
@@ -215,6 +218,7 @@ def run_lst_job(
         "slices": len(all_slices),
         "skipped": sorted(valid_done),
         "executed": executed,
+        "unverified": sorted(unverified),
         "slice_batch": batch,
         "out": str(out / "data"),
     }
@@ -222,7 +226,8 @@ def run_lst_job(
 
 def _run_slice_groups(spark, enriched, pending, fps, done, out, out_dir,
                       executed, window, n_slices, fail_after, opts, celsius,
-                      slice_batch, page_checksum=False) -> None:
+                      slice_batch, page_checksum=False,
+                      unverified=None) -> None:
     """Execute pending slices in groups of ``slice_batch`` — ONE dynamic-
     partition-overwrite write job per group.
 
@@ -306,7 +311,17 @@ def _run_slice_groups(spark, enriched, pending, fps, done, out, out_dir,
                     # lazy-fp fresh run: a hash-gap slice genuinely owns no
                     # tiles — nothing durable to record; a DROPPED slice is
                     # indistinguishable here, but its absent/stale manifest
-                    # makes the next resume's validation scan re-execute it
+                    # makes the next resume's validation scan re-execute it.
+                    # Surface it distinctly (ADVICE r6): a one-shot run has
+                    # no later resume to catch a silent drop, so callers /
+                    # benches can gate on `unverified` instead of treating
+                    # the slice as verified-done.
+                    warnings.warn(
+                        f"slice {s}: 0 rows observed on a lazy-fingerprint "
+                        "fresh run — empty slice or silently dropped "
+                        "output; reported in 'unverified' (a resume run "
+                        "would re-validate it)", RuntimeWarning)
+                    unverified.append(s)
                     executed.append(s)
                     continue
                 rec = {

@@ -57,6 +57,20 @@ def parse_scenes(scenes: DataFrame) -> DataFrame:
         "tile_y": F.regexp_extract("image_id", _ID_RE, 4).cast("int"),
         "landcover": F.regexp_extract("caption", r"landcover=(\w+)", 1),
     }
+    # fail fast on a reused column of the wrong type (ADVICE r6): a stale
+    # or mis-typed stored column (band as string, float tile_x) would flow
+    # into downstream pairing/joins silently; the bucketing-preservation
+    # benefit only applies to correctly-typed stored keys
+    want = {"scene_id": ("string",), "band": ("int", "bigint"),
+            "tile_x": ("int", "bigint"), "tile_y": ("int", "bigint"),
+            "landcover": ("string",)}
+    have = dict(scenes.dtypes)
+    for name, ok_types in want.items():
+        if name in have and have[name] not in ok_types:
+            raise TypeError(
+                f"parse_scenes: reused column {name!r} has dtype "
+                f"{have[name]!r}, expected one of {ok_types}; drop or "
+                "re-derive it before calling")
     out = scenes
     for name, col in derive.items():
         if name not in scenes.columns:
@@ -432,10 +446,12 @@ def lst_tiles_pixel_emissivity(enriched: DataFrame, emis_tiles: DataFrame,
     planes co-registered with the band tiles; ``e11_col=None`` reuses the
     one plane for both bands (the single-plane NDVI-threshold output).
     The join is the co-keyed tile equi join (the pair_bands class — the
-    bucketed layout makes it shuffle-free). Semantics: a MISSING
-    emissivity tile or NaN emissivity pixel poisons the LST to NaN
-    (refused, not approximated); BT/CWV are emissivity-independent and
-    stay valid.
+    bucketed layout makes it shuffle-free). Semantics: a NaN emissivity
+    PIXEL poisons that pixel's LST to NaN while its BT/CWV (emissivity-
+    independent) stay valid; a tile with a MISSING emissivity plane (no
+    join match for e10, or a null e11 when ``e11_col`` is set) is refused
+    wholesale — every output plane of that tile, including BT/CWV, is NaN
+    (the tile never reaches the kernel, so nothing is computed for it).
     """
     ecols = [e10_col] + ([e11_col] if e11_col else [])
     joined = enriched.join(
@@ -455,7 +471,9 @@ def lst_tiles_pixel_emissivity(enriched: DataFrame, emis_tiles: DataFrame,
                 key = (int(row.w), int(row.h), row.fmt_b10, row.fmt_b11,
                        tuple(float(getattr(row, k)) for k in META_COLS),
                        qa_bytes is not None,
-                       getattr(row, e10_col) is None)
+                       getattr(row, e10_col) is None
+                       or (e11_col is not None
+                           and getattr(row, e11_col) is None))
                 groups.setdefault(key, []).append(i)
             out: list[dict | None] = [None] * len(rows)
             for (w, h, fmt10, fmt11, meta_vals, has_qa,

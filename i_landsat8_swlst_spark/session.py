@@ -31,14 +31,31 @@ def _sweep_stale_local_dirs() -> None:
     base = os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
     if not os.path.isdir(base):
         return
+    if os.environ.get("SPARK_GRAFT_NO_SWEEP"):
+        return
     try:
+        import time
+
         has_jvm = subprocess.run(
             ["pgrep", "-x", "java"], capture_output=True).returncode == 0
         if has_jvm:
             return
+        # pgrep sees only THIS pid namespace: a sibling container sharing
+        # the /dev/shm mount (or a renamed JVM binary) is invisible, so
+        # additionally require the dir to be quiescent for 10+ minutes —
+        # a live session touches its shuffle tree far more often than that
+        # (ADVICE r6). SPARK_GRAFT_NO_SWEEP=1 opts out entirely.
+        now = time.time()
         for name in os.listdir(base):
-            if name.startswith(("spark-", "blockmgr-")):
-                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+            if not name.startswith(("spark-", "blockmgr-")):
+                continue
+            path = os.path.join(base, name)
+            try:
+                if now - os.path.getmtime(path) < 600:
+                    continue
+            except OSError:
+                continue
+            shutil.rmtree(path, ignore_errors=True)
     except Exception:
         pass
 
@@ -78,8 +95,16 @@ def get_spark(
         # Arrow transfer for all pandas/Arrow UDF paths
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
-        # binary tile columns are large; keep scan splits reasonable
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Scan split size, env-parameterised. Local default 32 MB: the
+        # relational testdata tables are single files whose parquet row
+        # groups are ~32 MB, so 128 MB splits read a 170 MB table with 2
+        # tasks on 32 idle cores (guide §6: splits should track the row-
+        # group granularity of the catalog). Production clusters scanning
+        # large multi-row-group files should raise this back to 128 MB-1 GB
+        # via SPARK_GRAFT_MAX_PARTITION_BYTES for lower scheduling overhead.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES",
+                               str(32 * 1024 * 1024)))
         # broadcast up to 64 MB — scene_meta/coefficients/AOI trees are tiny
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # 8g forces the tile pair-join into sort spills + GC churn (measured
