@@ -130,11 +130,15 @@ def main() -> None:
                             "EQUI join on (band, bucket) — no "
                             "BroadcastNestedLoopJoin/CartesianProduct anywhere "
                             "(gated by tests/test_plans.py)"),
-        ("q_minhash_lsh_pairs", "no distinct before the signature aggregate "
-                                "(min() is duplicate-insensitive); band-key "
-                                "equi self-join for candidates"),
-        ("q_ann_ivf", "the |V| x |C| assignment stage must broadcast the "
-                      "centroid side; candidate/verify stages stay equi"),
+        ("q_minhash_lsh_pairs", "signatures from ONE vectorized Arrow pass "
+                                "(min() is duplicate-insensitive, no "
+                                "distinct); band-key SHUFFLE-HASH self-join "
+                                "so both sides reuse one exchange"),
+        ("q_ann_ivf", "the |V| x |C| assignment runs in one mapInArrow pass "
+                      "against the sc.broadcast centroid matrix (r07); "
+                      "rounding/ranking stay in the JVM over a provably "
+                      "sufficient candidate subset; candidate/verify stages "
+                      "stay equi"),
         ("q_ngram_jaccard", "round 3: df-capped candidates — the shingle df "
                             "agg + kept-join + self-join share the shingle "
                             "hash partitioning; no nested loop"),
