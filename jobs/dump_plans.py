@@ -180,6 +180,10 @@ def main() -> None:
     for name in sorted(sites):
         census.append(f"| {name} | {', '.join(sites[name])} |")
     census.append("")
+    clean = sorted(set(twins) - set(sites))
+    census.append(
+        "Fully equi/broadcast-hash twins (the other "
+        f"{len(clean)}): " + ", ".join(clean) + "\n")
 
     out = ["# PLANS — physical plan audit (generated by jobs/dump_plans.py)\n"]
     for title, note, plan in sections:
