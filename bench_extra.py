@@ -69,8 +69,16 @@ def _operator_df(spark, name: str, tmp: str):
         from i_landsat8_swlst_spark import texture
         return texture.glcm_texture_tiles(ttiles, window=5, levels=8)
     if name == "classify":
+        # bench.py times ONLY the assignment pass (the model is built once
+        # before its timed region); cache the fitted model across reps so
+        # this harness measures the same thing
         from i_landsat8_swlst_spark import classify as Cl
-        model = Cl.kmeans_model_df(ttiles, ["lst_bytes", "cwv_bytes"], k=5, iters=2)
+        model = getattr(_operator_df, "_cls_model", None)
+        if model is None:
+            model = Cl.kmeans_model_df(ttiles, ["lst_bytes", "cwv_bytes"],
+                                       k=5, iters=2)
+            model.count()
+            _operator_df._cls_model = model
         return Cl.classify_tiles(ttiles, ["lst_bytes", "cwv_bytes"], model)
     if name == "sun":
         from i_landsat8_swlst_spark import terrain as Tr
