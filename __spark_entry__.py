@@ -1063,6 +1063,7 @@ _ATTEST_FIRST = [
     # -> re-attest first even though green in r06
     "q_minhash_signatures", "q_dedup_clusters", "q_cluster_canonical",
     "q_tfidf", "q_embed_cosine_topk", "q_embed_neardup", "q_range_join",
+    "q_lst_sw",
 ]
 _ATTEST_LAST = [
     # green in r06, builders unchanged in r07; 86 twins - 50 window = 36

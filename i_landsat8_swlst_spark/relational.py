@@ -196,7 +196,15 @@ def q_lst_sw(spark, sf_dir):
     # evaluating the full coefficient-CASE polynomial once instead of twice
     # is worth 15% of the query (the C10 conversion is display algebra, not
     # physics — double-rounding at 1e-6 is the documented contract here)
+    # the polynomial projection (2 BigDecimal rounds + coefficient gathers
+    # per row) costs ~5x the scan; spread the FILTERED rows (1/5th of the
+    # table, ~35 MB) so it runs on every core instead of the handful of
+    # row-group-bound scan tasks (guide §2.5 / §2.3 project-then-exchange):
+    # measured 1.35 -> 0.75 s at sf1.0. Explicit count: a bare
+    # repartition(col) is AQE-coalescible at this byte size.
     li = load(spark, sf_dir, "lineitem").filter("l_orderkey % 5 = 1")
+    li = li.repartition(li.sparkSession.sparkContext.defaultParallelism,
+                        "l_orderkey")
     idx = f"({_sw_idx_sql()})"
     names = ", ".join(f"'{n}'" for n in C.SUBRANGE_ORDER)
     return li.select(
