@@ -8,6 +8,7 @@ optimization can be measured in isolation (guide §1.4) without touching it.
 Usage:
   python bench_extra.py q_ann_ivf [--reps 3] [--plan plans/r07/q_ann_ivf_before.txt]
   python bench_extra.py sun|texture|classify|idw|warp|raster|enrich [--reps 3]
+  python bench_extra.py viewshed|viewshed_cva|horizon|tovect|contour [--reps 3]
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf1.0 — the driver's
 escalated scale), SPARK_GRAFT_CPUS (default 32).
@@ -125,6 +126,50 @@ def _operator_df(spark, name: str, tmp: str):
                           float(ws.lat1), ntx=wntx, nty=wnty,
                           tile_w=160, tile_h=160)
         return Wp.warp_tiles(wtiles, idw_geom, dst, method="bilinear")
+    if name in ("viewshed", "viewshed_cva", "horizon", "tovect", "contour"):
+        from i_landsat8_swlst_spark import terrain as Tr, vectorize as Vz
+        terr_path = f"{tmp}/terrain_tiles"
+        if not os.path.isdir(terr_path):
+            # deterministic 1024x1024 terrain (64 tiles of 128x128):
+            # uniform base + two gaussian ridges, same recipe as the
+            # test fixtures but at bench scale
+            rng = np.random.default_rng(23)
+            h = w = 1024
+            base = rng.uniform(0.0, 30.0, (h, w))
+            yy, xx = np.mgrid[0:h, 0:w]
+            base += 60.0 * np.exp(-((xx - w * 0.7) ** 2
+                                    + (yy - h * 0.3) ** 2) / 8000.0)
+            base += 45.0 * np.exp(-((xx - w * 0.25) ** 2
+                                    + (yy - h * 0.75) ** 2) / 12000.0)
+            plane = base.astype(np.float32)
+            trows = []
+            for ty in range(8):
+                for tx in range(8):
+                    t = plane[ty * 128:(ty + 1) * 128, tx * 128:(tx + 1) * 128]
+                    trows.append({"scene_id": "T0", "tile_x": tx,
+                                  "tile_y": ty, "w": 128, "h": 128,
+                                  "lst_bytes": np.ascontiguousarray(t)
+                                  .astype("<f4").tobytes()})
+            spark.createDataFrame(pd.DataFrame(trows)) \
+                .write.mode("overwrite").parquet(terr_path)
+        terr = spark.read.parquet(terr_path)
+        if name == "viewshed":
+            obs = pd.DataFrame([{"scene_id": "T0", "ox": 512, "oy": 512}])
+            return Tr.viewshed_tiles(terr, obs, max_dist=96.0,
+                                     n_sectors=256)
+        if name == "viewshed_cva":
+            obs = pd.DataFrame([
+                {"scene_id": "T0", "obs_id": f"o{i}{j}",
+                 "ox": 256 + 256 * i, "oy": 256 + 256 * j}
+                for i in range(3) for j in range(3)])
+            return Tr.viewshed_count_tiles(terr, obs, max_dist=64.0,
+                                           n_sectors=128)
+        if name == "horizon":
+            small = terr.filter("tile_x < 4 AND tile_y < 4")
+            return Tr.horizon_tiles(small, [90.0, 225.0, 315.0])
+        if name == "tovect":
+            return Vz.to_vect(terr, threshold=45.0)
+        return Vz.contour_lines(terr, [20.0, 40.0, 60.0])
     if name == "enrich":
         from i_landsat8_swlst_spark import spatial
         aoi_pdf = synth.aoi_pdf("small")

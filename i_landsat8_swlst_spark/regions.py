@@ -16,10 +16,10 @@ distributed decomposition:
    its across-border 4-neighbors; matching (scene, gx, gy) keys yield
    edges between local-region nodes. Only border pixels — O(perimeter),
    not O(area) — cross this shuffle.
-3. **Label reduction**: iterative min-label propagation over the region
-   graph (the same bounded-round kernel as textops.q_dedup_clusters —
-   the graph has one node per LOCAL region, vastly smaller than the
-   pixel count).
+3. **Label reduction**: min label per connected component of the region
+   graph (one node per LOCAL region, vastly smaller than the pixel
+   count), computed by ONE grouped union-find pass per scene — see
+   `_cc_min_label`.
 4. **Final fold**: one aggregation keyed by (scene, root label) merges
    the partial stats; every statistic emitted is partial-aggregable.
 
@@ -187,32 +187,58 @@ def _extract_pass(tiles: DataFrame, threshold: float, src_col: str,
 
 
 def _cc_min_label(nodes: DataFrame, edges: DataFrame, key: str = "scene_id") -> DataFrame:
-    """Min-label propagation to fixpoint over (key, v) nodes — the
-    textops.q_dedup_clusters kernel with a composite per-scene key.
-    Rounds <= graph diameter; each round is one bounded equi-join +
-    map-side-combining min, localCheckpointed to truncate lineage."""
-    lab = nodes.select(key, "v", F.col("v").alias("label")).localCheckpoint()
-    edges = edges.localCheckpoint()
-    while True:
-        neigh = (
-            edges.join(
-                lab.select(key, F.col("v").alias("u"), F.col("label").alias("ulabel")),
-                on=[key, "u"])
-            .groupBy(key, "v").agg(F.min("ulabel").alias("nmin"))
-        )
-        new = (
-            lab.join(neigh, on=[key, "v"], how="left")
-            .select(key, "v",
-                    F.least("label", F.coalesce("nmin", F.col("label"))).alias("label"))
-            .localCheckpoint()
-        )
-        changed = (
-            new.alias("n").join(lab.alias("o"), on=[key, "v"])
-            .filter(F.col("n.label") != F.col("o.label")).count()
-        )
-        lab = new
-        if changed == 0:
-            return lab
+    """Per-(key) minimum label over connected components: each node row
+    (key, v) gets label = min node id reachable from it through (key, v, u)
+    edges — exactly the fixpoint of min-label propagation, computed in ONE
+    grouped union-find pass instead of O(graph diameter) join rounds.
+
+    The old shape paid ~4 Spark jobs (two equi joins + checkpoint + change
+    count) PER ROUND; a chain of regions across k tiles took k rounds, so
+    wall time was diameter-bound with tiny data per round (measured 15 s of
+    a 21 s to_vect on a 1 Mpx scene). A key's stitch graph is O(local
+    regions + cross-tile adjacencies) small rows — the same per-task bound
+    the ring/sector assemblies already accept — so the whole reduction fits
+    one applyInPandas task per key: one exchange, zero iteration, labels
+    IDENTICAL (min over component is order-free)."""
+    sch = StructType([
+        StructField(key, StringType()),
+        StructField("v", LongType()),
+        StructField("label", LongType()),
+    ])
+    # node rows carry u = -1 (node ids are packed nonnegative int64); a
+    # NULL here would make pandas coerce the long column to float64 and
+    # corrupt ids above 2^53 (packed tile_x >= 2^11)
+    both = (nodes.select(key, "v", F.lit(-1).cast("long").alias("u"))
+            .unionAll(edges.select(key, F.col("v").cast("long"),
+                                   F.col("u").cast("long"))))
+
+    def uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict[int, int] = {}
+
+        def find(a: int) -> int:
+            root = a
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(a, a) != a:          # path compression
+                parent[a], a = root, parent[a]
+            return root
+
+        uv = pdf.u.to_numpy(np.int64)
+        em = uv != -1
+        for a, b in zip(pdf.v.to_numpy(np.int64)[em].tolist(),
+                        uv[em].tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)  # root = component min
+        node_v = pdf.v.to_numpy(np.int64)[~em]
+        return pd.DataFrame({
+            key: pdf[key].to_numpy()[~em],
+            "v": node_v,
+            "label": np.fromiter((find(int(a)) for a in node_v),
+                                 dtype=np.int64, count=len(node_v)),
+        })
+
+    return both.groupBy(key).applyInPandas(lambda _k, pdf: uf(pdf), sch)
 
 
 def extract_regions(tiles: DataFrame, threshold: float,
