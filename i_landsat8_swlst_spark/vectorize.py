@@ -450,10 +450,15 @@ def _contour_pass(padded: DataFrame, levels: Sequence[float],
                   nom_w: int, nom_h: int) -> DataFrame:
     lv = [float(x) for x in levels]
 
+    # (entry, exit) edge ids per non-saddle case, as dense lookup tables
+    _ein = np.full(16, -1, dtype=np.int64)
+    _eout = np.full(16, -1, dtype=np.int64)
+    for _c, _segs in _MS_SEGMENTS.items():
+        _ein[_c], _eout[_c] = _segs[0]
+
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            cols: dict[str, list] = {f.name: [] for f in _SEG_SCHEMA}
-            ap = {k: v.append for k, v in cols.items()}
+            acc: dict[str, list] = {f.name: [] for f in _SEG_SCHEMA}
             for row in _batch_rows(batch):
                 w, h = int(row.w), int(row.h)
                 tx, ty = int(row.tile_x), int(row.tile_y)
@@ -477,42 +482,81 @@ def _contour_pass(padded: DataFrame, levels: Sequence[float],
                                 + (v11 >= L).astype(np.int8) * 4
                                 + (v01 >= L).astype(np.int8) * 8)
                     yy, xx = np.nonzero(finite & (case > 0) & (case < 15))
-                    for y, x in zip(yy, xx):
-                        c = int(case[y, x])
-                        a, b_, cc, d = (v00[y, x], v10[y, x],
-                                        v11[y, x], v01[y, x])
-                        # interpolation along each edge (guarded: only
-                        # edges with a sign change are ever read)
-                        with np.errstate(divide="ignore", invalid="ignore"):
-                            t_top = (L - a) / (b_ - a)
-                            t_right = (L - b_) / (cc - b_)
-                            t_bottom = (L - d) / (cc - d)
-                            t_left = (L - a) / (d - a)
-                        if c in (5, 10):
-                            center_high = (a + b_ + cc + d) / 4.0 >= L
-                            if c == 5:
-                                # TL+BR high: center high connects them, so
-                                # the arcs hug the LOW corners TR/BL (case
-                                # 13/7 shapes); center low isolates TL/BR
-                                segs = ((1, 0), (3, 2)) if center_high \
-                                    else ((3, 0), (1, 2))
-                            else:
-                                # TR+BL high: mirrored decider
-                                segs = ((0, 3), (2, 1)) if center_high \
-                                    else ((0, 1), (2, 3))
-                        else:
-                            segs = _MS_SEGMENTS[c]
-                        for e_in, e_out in segs:
-                            px0, py0 = _edge_point(e_in, t_top, t_right,
-                                                   t_bottom, t_left)
-                            px1, py1 = _edge_point(e_out, t_top, t_right,
-                                                   t_bottom, t_left)
-                            ap["scene_id"](row.scene_id)
-                            ap["level"](L)
-                            ap["x0"](ox + x + px0); ap["y0"](oy + y + py0)
-                            ap["x1"](ox + x + px1); ap["y1"](oy + y + py1)
-            if cols["scene_id"]:
-                yield _batch_from_cols(cols, _SEG_SCHEMA)
+                    if not len(yy):
+                        continue
+                    c = case[yy, xx].astype(np.int64)
+                    a = v00[yy, xx]
+                    b_ = v10[yy, xx]
+                    cc = v11[yy, xx]
+                    d = v01[yy, xx]
+                    # interpolation along each edge — the same four
+                    # expressions the scalar walk evaluated per cell,
+                    # now elementwise (only edges with a sign change are
+                    # ever SELECTED below, exactly as before)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        t_top = (L - a) / (b_ - a)
+                        t_right = (L - b_) / (cc - b_)
+                        t_bottom = (L - d) / (cc - d)
+                        t_left = (L - a) / (d - a)
+                    ones = np.ones(len(c))
+                    zeros = np.zeros(len(c))
+                    px_of = (t_top, ones, t_bottom, zeros)
+                    py_of = (zeros, t_right, ones, t_left)
+                    sad = (c == 5) | (c == 10)
+                    # first/second segment edge pairs: non-saddles from
+                    # the case table (second unused); saddles from the
+                    # center-average decider (same truth table as the
+                    # scalar branch)
+                    with np.errstate(invalid="ignore"):
+                        chigh = (a + b_ + cc + d) / 4.0 >= L
+                    is5 = c == 5
+                    e1i = np.where(sad, np.where(is5,
+                                                 np.where(chigh, 1, 3),
+                                                 np.where(chigh, 0, 0)),
+                                   _ein[c])
+                    e1o = np.where(sad, np.where(is5,
+                                                 np.where(chigh, 0, 0),
+                                                 np.where(chigh, 3, 1)),
+                                   _eout[c])
+                    e2i = np.where(is5, np.where(chigh, 3, 1),
+                                   np.where(chigh, 2, 2))
+                    e2o = np.where(is5, np.where(chigh, 2, 2),
+                                   np.where(chigh, 1, 3))
+                    # segment 1 for every crossing cell, segment 2 for
+                    # saddles only; endpoint coords evaluated with the
+                    # scalar walk's exact (ox + x) + t order
+                    gx = ox + xx
+                    gy = oy + yy
+                    sel2 = np.flatnonzero(sad)
+                    segs_x0 = np.concatenate([
+                        gx + np.choose(e1i, px_of),
+                        (gx + np.choose(e2i, px_of))[sel2]])
+                    segs_y0 = np.concatenate([
+                        gy + np.choose(e1i, py_of),
+                        (gy + np.choose(e2i, py_of))[sel2]])
+                    segs_x1 = np.concatenate([
+                        gx + np.choose(e1o, px_of),
+                        (gx + np.choose(e2o, px_of))[sel2]])
+                    segs_y1 = np.concatenate([
+                        gy + np.choose(e1o, py_of),
+                        (gy + np.choose(e2o, py_of))[sel2]])
+                    n = len(segs_x0)
+                    acc["scene_id"].append(
+                        np.full(n, row.scene_id, dtype=object))
+                    acc["level"].append(np.full(n, L))
+                    acc["x0"].append(segs_x0)
+                    acc["y0"].append(segs_y0)
+                    acc["x1"].append(segs_x1)
+                    acc["y1"].append(segs_y1)
+            if acc["scene_id"]:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.concatenate(acc["scene_id"]), pa.string()),
+                     pa.array(np.concatenate(acc["level"])),
+                     pa.array(np.concatenate(acc["x0"])),
+                     pa.array(np.concatenate(acc["y0"])),
+                     pa.array(np.concatenate(acc["x1"])),
+                     pa.array(np.concatenate(acc["y1"]))],
+                    names=[f.name for f in _SEG_SCHEMA])
 
     return padded.mapInArrow(fn, _SEG_SCHEMA)
 
@@ -531,43 +575,78 @@ def _assemble_lines(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(columns=[f.name for f in CONTOUR_SCHEMA])
     order = np.lexsort((segs[:, 3], segs[:, 2], segs[:, 1], segs[:, 0]))
     segs = segs[order]
-    nxt: dict[tuple[float, float], list[int]] = {}
-    for i, s in enumerate(segs):
-        nxt.setdefault((s[0], s[1]), []).append(i)
-    indeg: dict[tuple[float, float], int] = {}
-    for s in segs:
-        indeg[(s[2], s[3])] = indeg.get((s[2], s[3]), 0) + 1
-    used = np.zeros(len(segs), dtype=bool)
+    n = len(segs)
+    # endpoint ids by EXACT f64 (x, y) equality (the cross-tile stitch
+    # contract): integer ids + a CSR adjacency replace the float-tuple
+    # dicts of the original walk — per-step cost drops ~4x at identical
+    # semantics: outgoing candidates stay ordered by ascending segment
+    # index, and the cursor skips only segments already used (a used
+    # segment never becomes unused, so first-unused is order-stable)
+    pts = np.concatenate([segs[:, 0:2], segs[:, 2:4]])
+    # (x, y) pairs as complex128: np.unique sorts numerically (vs the
+    # pathologically slow void-dtype byte argsort) and compares with
+    # float equality — the same semantics as the original float-tuple
+    # dict keys (-0.0 == 0.0 both ways; NaN cannot appear here)
+    flat = np.ascontiguousarray(pts).view(np.complex128).ravel()
+    _uniq, inv = np.unique(flat, return_inverse=True)
+    sid, eid = inv[:n], inv[n:]
+    npts = len(_uniq)
+    indeg = np.bincount(eid, minlength=npts)
+    counts = np.bincount(sid, minlength=npts)
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    adj = np.argsort(sid, kind="stable")      # ascending seg idx per point
+    # hot walk state as plain Python lists (scalar numpy indexing costs
+    # ~4x a list index at ~1M steps)
+    cursor = offs[:-1].tolist()
+    offs_end = offs[1:].tolist()
+    adj_l = adj.tolist()
+    eid_l = eid.tolist()
+    used = bytearray(n)
+    x0a, y0a, x1a, y1a = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    # a chain step's length contribution is the hop from the previous
+    # vertex, which by the exact-match stitch IS the segment's own start:
+    # per-segment hypots vectorize once; each chain then folds its own
+    # slice sequentially — the identical adds in the identical order
+    seg_len = np.hypot(x1a - x0a, y1a - y0a)
     # open chains first (their starts have no incoming segment), then loops
-    starts = [i for i in range(len(segs))
-              if indeg.get((segs[i, 0], segs[i, 1]), 0) == 0]
-    open_starts = set(starts)
-    starts += [i for i in range(len(segs)) if i not in open_starts]
     lines = []
-    for st in starts:
+    for st in np.concatenate(
+            (np.flatnonzero(indeg[sid] == 0), np.arange(n))).tolist():
         if used[st]:
             continue
-        xs = [segs[st, 0]]; ys = [segs[st, 1]]
+        chain = [st]
         i = st
-        length = 0.0
         while True:
-            used[i] = True
-            x1, y1 = segs[i, 2], segs[i, 3]
-            length += float(np.hypot(x1 - xs[-1], y1 - ys[-1]))
-            xs.append(float(x1)); ys.append(float(y1))
-            cand = [j for j in nxt.get((x1, y1), []) if not used[j]]
-            if not cand:
+            used[i] = 1
+            p = eid_l[i]
+            c = cursor[p]
+            e = offs_end[p]
+            while c < e and used[adj_l[c]]:
+                c += 1
+            cursor[p] = c
+            if c == e:
                 break
-            i = cand[0]
+            i = adj_l[c]
+            chain.append(i)
+        xs = [x0a[st]] + x1a[chain].tolist()
+        ys = [y0a[st]] + y1a[chain].tolist()
+        length = 0.0
+        for v in seg_len[chain].tolist():
+            length += v
         closed = xs[0] == xs[-1] and ys[0] == ys[-1]
         lines.append((xs, ys, closed, length))
     lines.sort(key=lambda t: (t[0][0], t[1][0], t[0][-1], t[1][-1]))
-    rows = [{
-        "scene_id": scene, "level": level, "line_id": i,
-        "closed": closed, "n_vertices": len(xs),
-        "length_px": length, "xs": xs, "ys": ys,
-    } for i, (xs, ys, closed, length) in enumerate(lines)]
-    return pd.DataFrame(rows)
+    m = len(lines)
+    return pd.DataFrame({
+        "scene_id": np.full(m, scene, dtype=object),
+        "level": np.full(m, level),
+        "line_id": np.arange(m, dtype=np.int32),
+        "closed": [t[2] for t in lines],
+        "n_vertices": np.array([len(t[0]) for t in lines], dtype=np.int32),
+        "length_px": np.array([t[3] for t in lines]),
+        "xs": [t[0] for t in lines],
+        "ys": [t[1] for t in lines],
+    })
 
 
 def contour_lines(tiles: DataFrame, levels: Sequence[float],
