@@ -1232,19 +1232,22 @@ def viewshed_count_tiles(tiles: DataFrame, observers,
 _HCELL_SCHEMA = StructType([
     StructField("scene_id", StringType()),
     StructField("azimuth", DoubleType()),
-    StructField("strip", LongType()),
-    StructField("s", DoubleType()),
-    StructField("gx", IntegerType()),
+    StructField("bkt", LongType()),            # floor(strip / 64)
     StructField("gy", IntegerType()),
-    StructField("z", DoubleType()),
+    StructField("gx0", IntegerType()),
+    StructField("z_bytes", BinaryType()),      # f32 LE elevation row run
 ])
 
-_HANG_SCHEMA = StructType([
+_HVAL_SCHEMA = StructType([
     StructField("scene_id", StringType()),
     StructField("azimuth", DoubleType()),
-    StructField("gx", IntegerType()),
-    StructField("gy", IntegerType()),
-    StructField("horizon_deg", DoubleType()),
+    StructField("tile_x", IntegerType()),
+    StructField("tile_y", IntegerType()),
+    # packed per-tile results: bit positions (ly * nom_w + lx, int32 LE)
+    # and f32 horizon degrees — one row per (tile, scan bucket) instead
+    # of one row per cell
+    StructField("idx_bytes", BinaryType()),
+    StructField("val_bytes", BinaryType()),
 ])
 
 HORIZON_SCHEMA = StructType([
@@ -1341,6 +1344,8 @@ def horizon_tiles(tiles: DataFrame, azimuths, src_col: str = "lst_bytes"
 
     def emit(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in _HCELL_SCHEMA}
+            ap = {k: v.append for k, v in cols.items()}
             for row in _batch_rows(batch):
                 w, h = int(row.w), int(row.h)
                 tx0, ty0 = int(row.tile_x) * nom_w, int(row.tile_y) * nom_h
@@ -1349,73 +1354,126 @@ def horizon_tiles(tiles: DataFrame, azimuths, src_col: str = "lst_bytes"
                 vv, uu = np.mgrid[0:h, 0:w]
                 gx = (tx0 + uu).ravel()
                 gy = (ty0 + vv).ravel()
-                z = plane.ravel()
+                z = plane.ravel().astype("<f4")   # exact f32 round-trip
                 keep = np.isfinite(z)
                 if not keep.any():
                     continue
                 gx, gy, z = gx[keep], gy[keep], z[keep]
+                rowid = gy                         # runs never span rows
+                sid = row.scene_id
                 for az in azs:
                     a = math.radians(az)
-                    du, dv = math.sin(a), -math.cos(a)
-                    s = gx * du + gy * dv
-                    p = gx * math.cos(a) + gy * math.sin(a)
-                    yield pa.RecordBatch.from_arrays(
-                        [pa.array(np.full(len(gx), row.scene_id,
-                                          dtype=object), pa.string()),
-                         pa.array(np.full(len(gx), az)),
-                         pa.array(np.floor(p).astype(np.int64)),
-                         pa.array(s),
-                         pa.array(gx.astype(np.int32)),
-                         pa.array(gy.astype(np.int32)),
-                         pa.array(z)],
-                        names=[f.name for f in _HCELL_SCHEMA])
+                    ca, sa = math.cos(a), math.sin(a)
+                    # strip = floor(gx cosA + gy sinA) is monotone in gx
+                    # along a raster row -> equal-BUCKET runs of a row
+                    # are gx-contiguous; one cut pass per azimuth
+                    bkt = np.floor(gx * ca + gy * sa).astype(np.int64) // 64
+                    newrun = np.r_[True, (bkt[1:] != bkt[:-1])
+                                   | (rowid[1:] != rowid[:-1])
+                                   | (gx[1:] != gx[:-1] + 1)]
+                    rstarts = np.flatnonzero(newrun)
+                    rends = np.r_[rstarts[1:], len(gx)]
+                    for i in range(len(rstarts)):
+                        ap["scene_id"](sid)
+                        ap["azimuth"](az)
+                        ap["bkt"](int(bkt[rstarts[i]]))
+                        ap["gy"](int(gy[rstarts[i]]))
+                        ap["gx0"](int(gx[rstarts[i]]))
+                        ap["z_bytes"](z[rstarts[i]:rends[i]].tobytes())
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, _HCELL_SCHEMA)
 
     cells = tiles.select("scene_id", "tile_x", "tile_y", "w", "h", src_col) \
         .mapInArrow(emit, _HCELL_SCHEMA)
 
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+    def scan(key, pdf: pd.DataFrame) -> pd.DataFrame:
         # strip-BUCKET task hosting many strips (see sun_tiles: one group
         # per strip drowned in per-group overhead); per-strip results are
-        # unchanged
-        outs = []
-        for _, g in pdf.groupby("strip", sort=False):
-            ang = _horizon_strip_scan(g.s.to_numpy(np.float64),
-                                      g.z.to_numpy(np.float64))
-            outs.append(pd.DataFrame({
-                "scene_id": g.scene_id, "azimuth": g.azimuth,
-                "gx": g.gx, "gy": g.gy, "horizon_deg": ang}))
-        return pd.concat(outs) if outs else pd.DataFrame(
-            columns=[f.name for f in _HANG_SCHEMA])
+        # unchanged — `_horizon_strip_scan` sorts internally and tie
+        # groups are order-independent
+        az = float(key[1])
+        a = math.radians(az)
+        du, dv = math.sin(a), -math.cos(a)
+        ca, sa = math.cos(a), math.sin(a)
+        zs = [np.frombuffer(b, dtype="<f4") for b in pdf.z_bytes]
+        lens = np.fromiter((len(x) for x in zs), dtype=np.int64,
+                           count=len(zs))
+        z = np.concatenate(zs).astype(np.float64)
+        gx = (np.repeat(pdf.gx0.to_numpy(np.int64), lens)
+              + _runs_arange(lens))
+        gy = np.repeat(pdf.gy.to_numpy(np.int64), lens)
+        s = gx * du + gy * dv
+        strip = np.floor(gx * ca + gy * sa).astype(np.int64)
+        order = np.argsort(strip, kind="stable")
+        st_o = strip[order]
+        bounds = np.r_[np.flatnonzero(np.r_[True, st_o[1:] != st_o[:-1]]),
+                       len(st_o)]
+        ang = np.empty(len(s))
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            sel = order[lo:hi]
+            ang[sel] = _horizon_strip_scan(s[sel], z[sel])
+        # pack per-tile (idx, f32 value) arrays — the f64->f32 cast is
+        # the same one the plane assembly applied per cell before
+        scene = pdf.scene_id.iloc[0]
+        tx = gx // nom_w
+        ty = gy // nom_h
+        bit = ((gy - ty * nom_h) * nom_w + (gx - tx * nom_w)) \
+            .astype(np.int32)
+        val = ang.astype(np.float32)
+        torder = np.lexsort((bit, ty, tx))
+        tx, ty, bit, val = tx[torder], ty[torder], bit[torder], val[torder]
+        tstarts = np.flatnonzero(
+            np.r_[True, (tx[1:] != tx[:-1]) | (ty[1:] != ty[:-1])])
+        tends = np.r_[tstarts[1:], len(tx)]
+        out_tx, out_ty, out_idx, out_val = [], [], [], []
+        for a_, b_ in zip(tstarts, tends):
+            out_tx.append(int(tx[a_]))
+            out_ty.append(int(ty[a_]))
+            out_idx.append(bit[a_:b_].astype("<i4").tobytes())
+            out_val.append(val[a_:b_].astype("<f4").tobytes())
+        return pd.DataFrame({
+            "scene_id": np.full(len(out_tx), scene, dtype=object),
+            "azimuth": np.full(len(out_tx), az),
+            "tile_x": np.array(out_tx, dtype=np.int32),
+            "tile_y": np.array(out_ty, dtype=np.int32),
+            "idx_bytes": out_idx, "val_bytes": out_val})
 
-    angles = cells.groupBy(
-        "scene_id", "azimuth",
-        F.floor(F.col("strip") / 64).alias("strip_bkt")
-    ).applyInPandas(lambda key, pdf: scan(pdf), _HANG_SCHEMA)
+    par = max(tiles.sparkSession.sparkContext.defaultParallelism, 1)
+    vals = (cells.repartition(par, "scene_id", "azimuth", "bkt")
+            .groupBy("scene_id", "azimuth", "bkt")
+            .applyInPandas(scan, _HVAL_SCHEMA))
 
     layout = tiles.select("scene_id", "tile_x", "tile_y", "w", "h")
-    keyed = angles.withColumn(
-        "tile_x", (F.col("gx") / nom_w).cast("int")) \
-        .withColumn("tile_y", (F.col("gy") / nom_h).cast("int"))
+    keyed = vals.groupBy("scene_id", "azimuth", "tile_x", "tile_y").agg(
+        F.collect_list("idx_bytes").alias("idx_l"),
+        F.collect_list("val_bytes").alias("val_l"))
     az_df = tiles.sparkSession.createDataFrame(
         pd.DataFrame({"azimuth": azs}))
     grid = layout.crossJoin(F.broadcast(az_df))
     joined = grid.join(keyed, on=["scene_id", "azimuth", "tile_x", "tile_y"],
                        how="left")
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        row = pdf.iloc[0]
-        w, h = int(row.w), int(row.h)
-        plane = np.full((h, w), np.nan, dtype=np.float32)
-        g = pdf[pdf.gx.notna()]
-        if len(g):
-            lx = g.gx.astype(int) - int(row.tile_x) * nom_w
-            ly = g.gy.astype(int) - int(row.tile_y) * nom_h
-            plane[ly, lx] = g.horizon_deg.astype(np.float32)
-        return pd.DataFrame({
-            "scene_id": [row.scene_id], "azimuth": [float(row.azimuth)],
-            "tile_x": [int(row.tile_x)], "tile_y": [int(row.tile_y)],
-            "w": [w], "h": [h], "horizon_bytes": [plane.tobytes()],
-            "n_valid": [int(np.isfinite(plane).sum())]})
+    def build(batches: Iterator[pa.RecordBatch]) \
+            -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {f.name: [] for f in HORIZON_SCHEMA}
+            ap = {k: v.append for k, v in cols.items()}
+            for row in _batch_rows(batch):
+                w, h = int(row.w), int(row.h)
+                plane = np.full((nom_h, nom_w), np.nan, dtype=np.float32)
+                if row.idx_l is not None and len(row.idx_l):
+                    for ib, vb in zip(row.idx_l, row.val_l):
+                        plane.ravel()[np.frombuffer(ib, dtype="<i4")] = \
+                            np.frombuffer(vb, dtype="<f4")
+                plane = plane[:h, :w]
+                ap["scene_id"](row.scene_id)
+                ap["azimuth"](float(row.azimuth))
+                ap["tile_x"](int(row.tile_x))
+                ap["tile_y"](int(row.tile_y))
+                ap["w"](w); ap["h"](h)
+                ap["horizon_bytes"](np.ascontiguousarray(plane).tobytes())
+                ap["n_valid"](int(np.isfinite(plane).sum()))
+            if cols["scene_id"]:
+                yield _batch_from_cols(cols, HORIZON_SCHEMA)
 
-    return joined.groupBy("scene_id", "azimuth", "tile_x", "tile_y") \
-        .applyInPandas(build, HORIZON_SCHEMA)
+    return joined.mapInArrow(build, HORIZON_SCHEMA)
