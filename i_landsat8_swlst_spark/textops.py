@@ -274,38 +274,58 @@ def _clusters_sql() -> str:
 
 
 def _cc_round(edges, lab):
-    """One min-label-propagation round: each node takes min(own label,
-    neighbors' labels). Exactly the per-round plan q_dedup_clusters loops;
-    factored out so tests/test_plans.py can gate its exchange count (the
-    whole iterative job's cost is rounds x this plan)."""
-    neigh = (
-        edges.join(lab.select(F.col("v").alias("u"), F.col("label").alias("ulabel")), "u")
-        .groupBy("v").agg(F.min("ulabel").alias("nmin"))
+    """One min-label CC round: propagate + POINTER JUMP.
+
+    Propagate: each node takes min over its own and its neighbors' labels
+    (``edges`` carries a (v, v) self-loop per node, built once by the
+    caller, so this is ONE equi join + map-side-combining min — the old
+    form needed a second left join with least/coalesce). Jump: labels are
+    node ids and every node is labeled, so label[label[v]] is defined and
+    <= label[v]; rewriting through it halves the depth of label chains
+    per round, collapsing the round count from O(graph diameter) — the
+    sf0.1 pair graph measured 23 diameter-bound rounds — to O(log d).
+    Every intermediate label stays a member id of v's component and only
+    decreases, so the fixpoint (= component min, constant across each
+    component) is unchanged. Factored out so tests/test_plans.py can gate
+    the per-round exchange count."""
+    p = (
+        edges.join(lab.select(F.col("v").alias("u"),
+                              F.col("label").alias("ulabel")), "u")
+        .groupBy("v").agg(F.min("ulabel").alias("label"))
     )
     return (
-        lab.join(neigh, "v", "left")
-        .select("v", F.least("label", F.coalesce("nmin", F.col("label"))).alias("label"))
+        p.join(p.select(F.col("v").alias("label"),
+                        F.col("label").alias("jlabel")), "label")
+        .select("v", F.col("jlabel").alias("label"))
     )
 
 
 @register("q_dedup_clusters", None)  # SQL attached below (needs pairs SQL registered first)
 def q_dedup_clusters(spark, sf_dir):
     pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
+    sym = (
         pairs.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("u"))
         .unionAll(pairs.select(F.col("doc_b").alias("v"), F.col("doc_a").alias("u")))
-        .localCheckpoint()  # pairs are reused every round: materialize once
     )
-    lab = edges.select("v").distinct().select("v", F.col("v").alias("label"))
+    # self-loops let each round fold own+neighbor min into one join (see
+    # _cc_round); pairs are reused every round: materialize once
+    edges = sym.unionAll(
+        sym.select("v").distinct().select("v", F.col("v").alias("u"))
+    ).localCheckpoint()
+    lab = edges.filter("v = u").select("v", F.col("v").alias("label"))
+    # fixpoint detection by the label-sum invariant: labels only ever
+    # DECREASE elementwise, so the (exact, decimal) sum is unchanged iff
+    # no label changed — one tiny aggregate on the checkpointed frame
+    # replaces the old per-round new-vs-old join + count
+    prev_sum = lab.agg(
+        F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
     while True:
-        new = _cc_round(edges, lab).localCheckpoint()  # truncate lineage growth
-        changed = (
-            new.alias("n").join(lab.alias("o"), "v")
-            .filter(F.col("n.label") != F.col("o.label")).count()
-        )
-        lab = new
-        if changed == 0:
+        lab = _cc_round(edges, lab).localCheckpoint()  # truncate lineage
+        s = lab.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+        if s == prev_sum:
             break
+        prev_sum = s
     w = Window.partitionBy("cluster_id")
     return (
         lab.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
