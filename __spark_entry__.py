@@ -785,8 +785,16 @@ def _q_enrich_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from i_landsat8_swlst_spark import pipeline, spatial, synth
 
     scenes, meta, emis = _tiny_fixture(spark)
+    # materialize the point table once INSIDE this invocation: the
+    # enrichment composition consumes its points side in four subtrees
+    # (PIP candidates, the unmatched anti-join, the kNN loop, the final
+    # fan-out join) and production points come from a materialized
+    # parquet table — without this the query times 4+ recomputes of the
+    # raster kernel pipeline instead of the enrichment (27 s -> ~8 s).
+    # Rows unchanged; nothing persists across invocations.
     pixels = pipeline.lst_pixels(
-        pipeline.build_enriched_with_grid(scenes, meta, emis), window=5)
+        pipeline.build_enriched_with_grid(scenes, meta, emis),
+        window=5).localCheckpoint()
     aoi_df = spark.createDataFrame(synth.aoi_pdf("tiny"))
     st_df = spark.createDataFrame(
         synth.stations_pdf("tiny").drop(columns=["observed_at"]))

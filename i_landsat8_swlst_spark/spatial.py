@@ -993,12 +993,14 @@ def enrich_pixels_cells(points: DataFrame, aoi, stations, k: int = 3,
     pts = with_cells(points, lon_col=lon_col, lat_col=lat_col, s2_level=s2_level)
 
     pip = pip_join_cells(pts, aoi, res=res_pip, lon_col=lon_col, lat_col=lat_col)
-    unmatched = (
-        pts.join(pip.select(*key_cols).distinct(), on=key_cols, how="left_anti")
-        .withColumn("aoi_id", F.lit(None).cast(StringType()))
-        .withColumn("aoi_category", F.lit(None).cast(StringType()))
-    )
-    both = pip.unionByName(unmatched)
+    # one LEFT join replaces the old union(matched pairs, anti-join
+    # unmatched): identical rows/columns (key_cols identify a point, so
+    # unmatched points surface once with NULL aoi fields), but the pip
+    # subtree — which itself recomputes the points side — is evaluated
+    # ONCE instead of twice (the anti-join re-derived pip for its key set)
+    both = pts.join(
+        pip.select(*key_cols, "aoi_id", "aoi_category"),
+        on=key_cols, how="left")
 
     knn_fn = knn_join_cells_exact if exact else knn_join_cells
     knn = knn_fn(points, stations, k=k, res=res_knn, key_cols=key_cols,
