@@ -1419,18 +1419,53 @@ def _decon_frames(spark, sf_dir):
     docs = (load(spark, sf_dir, "documents").filter(_SUBSET)
             .select("doc_id", "lang", "text", bkt.alias("bkt")))
     k = _DECON_K
-    sh = (
-        docs.select(
-            "doc_id",
-            F.explode(F.sequence(
-                F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))))
-            .alias("i"), "text")
-        .select("doc_id", F.expr(f"substr(text, i, {k})").alias("sh"))
-        .distinct()
-    )
+    # one Arrow pass replaces explode + substr + global DISTINCT: JVM
+    # substr locates CHARACTER positions by scanning the UTF8String, so
+    # per-position shingling is O(len^2) per document (the same shape the
+    # r7 minhash pass removed). Python str slices have identical char
+    # semantics — txt[i-1:i-1+k] == substr(text, i, k) including the
+    # short tail and the '' shingle of an empty doc, and a NULL text
+    # emits no rows on both sides — and the per-doc SET equals the old
+    # global (doc_id, sh) DISTINCT, so the exchange it paid is gone too.
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    id_field = docs.schema["doc_id"]
+    sh_schema = StructType([id_field, StructField("sh", StringType())])
+
+    def shingles(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            ids_out: list = []
+            sh_out: list = []
+            for did, txt in zip(ids, texts):
+                if txt is None:
+                    continue
+                hi = len(txt) - (k - 1)
+                if hi < 1:
+                    hi = 1
+                seen = {txt[i:i + k] for i in range(hi)}
+                ids_out.extend([did] * len(seen))
+                sh_out.extend(seen)
+            if ids_out:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(ids_out,
+                              pa.int64()
+                              if id_field.dataType.simpleString() == "bigint"
+                              else None),
+                     pa.array(sh_out, pa.string())],
+                    names=["doc_id", "sh"])
+
+    sh = docs.select("doc_id", "text").mapInArrow(shingles, sh_schema)
     df = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     kept = sh.join(df.filter(F.col("df") <= _DF_CAP), "sh").select("doc_id", "sh")
-    return docs, kept
+    # both decontamination variants consume `kept` in 2-3 subtrees (df-cap
+    # probe sides, test-set build, the exact verify join); the old global
+    # DISTINCT exchange happened to be a reuse point, the Arrow pass is
+    # not — materialize once per invocation instead of re-shingling
+    return docs, kept.localCheckpoint()
 
 
 def _decon_report(docs, contam):
