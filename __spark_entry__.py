@@ -1632,8 +1632,11 @@ def _q_histo_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from i_landsat8_swlst_spark import multiband, pipeline
 
     scenes, meta, emis = _tiny_fixture(spark)
+    # the tile fixture feeds three subtrees (ref lookup, LUT derivation,
+    # apply join): materialize once per invocation — production input is
+    # a stored tile table (see q_enrich_cells)
     tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
-                               window=5)
+                               window=5).localCheckpoint()
     ref = tiles.select("scene_id").orderBy("scene_id").first()["scene_id"]
     out, _ = multiband.histo_match_tiles(tiles, ref, "lst_bytes", bins=1024)
     return (out.groupBy("scene_id")
@@ -1870,8 +1873,10 @@ def _q_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     scenes, meta, emis = _tiny_fixture(spark)
     tiles = pipeline.lst_tiles(pipeline.build_enriched(scenes, meta, emis),
                                window=5)
-    # flood the coolest spot of one scene up to its 20th LST percentile
-    one = tiles.filter(F.col("scene_id") == "LC08_00000")
+    # flood the coolest spot of one scene up to its 20th LST percentile;
+    # the scene's tiles feed four subtrees (level stats, seed argmin, the
+    # fill's pass + regroup) — materialize once per invocation
+    one = tiles.filter(F.col("scene_id") == "LC08_00000").localCheckpoint()
     stats = one.agg(
         F.min("lst_min").alias("lo"),
         F.percentile_approx("lst_mean", 0.2).alias("level")).first()
