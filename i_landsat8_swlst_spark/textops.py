@@ -371,6 +371,47 @@ def _ngram_jaccard_sql(docs_sql: str = _SHINGLES_SQL, df_cap: int = _DF_CAP) -> 
        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.08"""
 
 
+def _shingle_sets(docs, k: int):
+    """(doc_id, sh) distinct k-char shingles per document, as ONE Arrow
+    pass: python str slices have the same CHARACTER semantics as JVM
+    ``substr(text, i, k)`` — including the short tail when len < k, the
+    '' shingle of an empty doc, and no rows for NULL text — and the
+    per-doc set equals the old explode+substr+DISTINCT (which paid
+    O(len^2) substr scans per doc plus a global exchange)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    id_field = docs.schema["doc_id"]
+    sh_schema = StructType([id_field, StructField("sh", StringType())])
+
+    def shingles(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            ids_out: list = []
+            sh_out: list = []
+            for did, txt in zip(ids, texts):
+                if txt is None:
+                    continue
+                hi = len(txt) - (k - 1)
+                if hi < 1:
+                    hi = 1
+                seen = {txt[i:i + k] for i in range(hi)}
+                ids_out.extend([did] * len(seen))
+                sh_out.extend(seen)
+            if ids_out:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(ids_out,
+                              pa.int64()
+                              if id_field.dataType.simpleString() == "bigint"
+                              else None),
+                     pa.array(sh_out, pa.string())],
+                    names=["doc_id", "sh"])
+
+    return docs.select("doc_id", "text").mapInArrow(shingles, sh_schema)
+
+
 def ngram_jaccard_pairs(docs, df_cap: int = _DF_CAP, threshold: float = 0.08):
     """Near-dup pairs by exact Jaccard over df-capped 5-gram shingle sets.
 
@@ -378,15 +419,12 @@ def ngram_jaccard_pairs(docs, df_cap: int = _DF_CAP, threshold: float = 0.08):
     (df agg + kept join + self-join share the partitioning), then one on
     the pair key; no key can fan out past df_cap^2 candidate rows.
     """
-    sh = (
-        docs.select("doc_id",
-                    F.explode(F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1)))).alias("i"),
-                    "text")
-        .select("doc_id", F.expr("substr(text, i, 5)").alias("sh"))
-        .distinct()
-    )
+    sh = _shingle_sets(docs, 5)
     df = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    kept = sh.join(df.filter(F.col("df") <= df_cap), "sh").select("doc_id", "sh")
+    # kept feeds three subtrees (sizes + both sides of the self-join);
+    # materialize once per invocation (see _decon_frames)
+    kept = sh.join(df.filter(F.col("df") <= df_cap), "sh") \
+        .select("doc_id", "sh").localCheckpoint()
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = kept.alias("a")
     b = kept.alias("b")
@@ -545,26 +583,62 @@ def q_fingerprint(spark, sf_dir):
        FROM folded""",
 )
 def q_char_entropy(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
-    chars = (
-        # length > 0 guard: Spark's sequence(1, 0) yields the DESCENDING
-        # [1, 0] (two rows) while DuckDB's range(0, 0) yields none — empty
-        # docs must be excluded identically on both engines.
-        d.filter(F.length("text") > 0)
-        .select("doc_id",
-                F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
-                "text")
-        .select("doc_id", F.expr("substr(text, i, 1)").alias("ch"))
-    )
-    cnt = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
-    folded = cnt.groupBy("doc_id").agg(
-        F.sum("c").alias("n_chars"),
-        F.count(F.lit(1)).alias("alphabet"),
-        F.expr("""aggregate(
-            transform(sort_array(collect_list(struct(ch, c))),
-                      p -> CAST(p.c AS DOUBLE) * ln(CAST(p.c AS DOUBLE))),
-            0D, (acc, v) -> acc + v)""").alias("s"),
-    )
+    # ONE Arrow pass replaces the per-char explode (O(len^2) JVM substr +
+    # a (doc, ch) exchange): python iterates code points exactly as
+    # substr(text, i, 1), counts are exact integers, and the partial sum
+    # folds SEQUENTIALLY over the ch-sorted count list — python sorted()
+    # orders strings by code point == the engines' binary UTF-8 ORDER BY,
+    # and python's libm ln/multiply/add are the identical IEEE doubles of
+    # the documented cross-engine fold. Empty docs emit no row (the old
+    # length > 0 guard); the entropy expression and its HALF_UP round
+    # stay in the JVM, unchanged.
+    from collections import Counter
+    from math import log as _ln
+
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    id_field = d.schema["doc_id"]
+    out_schema = StructType([
+        id_field,
+        StructField("n_chars", LongType(), False),
+        StructField("alphabet", LongType(), False),
+        StructField("s", DoubleType(), False),
+    ])
+
+    def fold(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out: dict[str, list] = {n: [] for n in
+                                    ("doc_id", "n_chars", "alphabet", "s")}
+            for did, txt in zip(ids, texts):
+                if not txt:
+                    continue
+                cnt = Counter(txt)
+                s = 0.0
+                for ch in sorted(cnt):
+                    c = float(cnt[ch])
+                    s += c * _ln(c)
+                out["doc_id"].append(did)
+                out["n_chars"].append(len(txt))
+                out["alphabet"].append(len(cnt))
+                out["s"].append(s)
+            if out["doc_id"]:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(out["doc_id"],
+                              pa.int64()
+                              if id_field.dataType.simpleString() == "bigint"
+                              else None),
+                     pa.array(out["n_chars"], pa.int64()),
+                     pa.array(out["alphabet"], pa.int64()),
+                     pa.array(out["s"], pa.float64())],
+                    names=[f.name for f in out_schema.fields])
+
+    folded = d.select("doc_id", "text").mapInArrow(fold, out_schema)
     ent = (F.log(F.col("n_chars").cast("double")) - F.col("s") / F.col("n_chars")) / F.log(F.lit(2.0))
     return folded.select("doc_id", "n_chars", "alphabet",
                          F.round(ent, 6).alias("entropy_bits"))
@@ -841,34 +915,80 @@ def _winnow_grams_sql() -> str:
        GROUP BY doc_id""",
 )
 def q_winnow_fingerprint(spark, sf_dir):
+    # ONE Arrow pass per document replaces explode + O(len^2) JVM substr
+    # + md5-per-gram + the doc-partitioned window shuffle. Exactness:
+    # python str slices == substr char semantics (the _shingle_sets /
+    # minhash argument); the 8-hex-digit md5 fold == the first 4 digest
+    # bytes big-endian (the committed minhash identity); window minima,
+    # distinct counts and min/max are integer algebra — no fp anywhere.
+    # A doc with fewer than w full windows emits no row, exactly as the
+    # old i + w - 1 <= n_pos - 1 filter + groupBy produced no group.
+    from hashlib import md5 as _md5
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
     d = load(spark, sf_dir, "documents").filter(_WINNOW_SUBSET).filter(
         F.length("text") >= _WINNOW_K)
-    grams = (
-        d.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.length("text") - _WINNOW_K)).alias("i"),
-            "text",
-        )
-        .select("doc_id", "i", F.expr(f"substr(text, i + 1, {_WINNOW_K})").alias("sh"))
-    )
-    hashed = grams.select("doc_id", "i", F.expr(_hex_to_int_sql()).alias("h"))
-    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, _WINNOW_W - 1)
-    wpos = Window.partitionBy("doc_id")
-    wmins = hashed.select(
-        "doc_id", "i",
-        F.min("h").over(w).alias("fp"),
-        F.count(F.lit(1)).over(wpos).alias("n_pos"),
-    )
-    return (
-        wmins.filter(F.col("i") + (_WINNOW_W - 1) <= F.col("n_pos") - 1)
-        .groupBy("doc_id")
-        .agg(
-            F.first("n_pos").alias("n_kgrams"),
-            F.countDistinct("fp").alias("n_fingerprints"),
-            F.min("fp").alias("min_fp"),
-            F.max("fp").alias("max_fp"),
-        )
-    )
+    id_field = d.schema["doc_id"]
+    out_schema = StructType([
+        id_field,
+        StructField("n_kgrams", LongType(), False),
+        StructField("n_fingerprints", LongType(), False),
+        StructField("min_fp", LongType(), False),
+        StructField("max_fp", LongType(), False),
+    ])
+    k, wdw = _WINNOW_K, _WINNOW_W
+
+    def fp(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        win = np.lib.stride_tricks.sliding_window_view
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out: dict[str, list] = {n: [] for n in
+                                    ("doc_id", "n_kgrams", "n_fingerprints",
+                                     "min_fp", "max_fp")}
+            for did, txt in zip(ids, texts):
+                if txt is None:
+                    continue
+                n_pos = len(txt) - k + 1
+                if n_pos < wdw:
+                    continue
+                data = txt.encode("utf-8")
+                if len(data) == len(txt):      # ASCII: byte slice == char
+                    h = np.fromiter(
+                        (int.from_bytes(
+                            _md5(data[i:i + k]).digest()[:4], "big")
+                         for i in range(n_pos)),
+                        dtype=np.int64, count=n_pos)
+                else:
+                    h = np.fromiter(
+                        (int.from_bytes(
+                            _md5(txt[i:i + k].encode("utf-8")).digest()[:4],
+                            "big")
+                         for i in range(n_pos)),
+                        dtype=np.int64, count=n_pos)
+                mins = win(h, wdw).min(axis=1)
+                out["doc_id"].append(did)
+                out["n_kgrams"].append(n_pos)
+                out["n_fingerprints"].append(len(np.unique(mins)))
+                out["min_fp"].append(int(mins.min()))
+                out["max_fp"].append(int(mins.max()))
+            if out["doc_id"]:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(out["doc_id"],
+                              pa.int64()
+                              if id_field.dataType.simpleString() == "bigint"
+                              else None),
+                     pa.array(out["n_kgrams"], pa.int64()),
+                     pa.array(out["n_fingerprints"], pa.int64()),
+                     pa.array(out["min_fp"], pa.int64()),
+                     pa.array(out["max_fp"], pa.int64())],
+                    names=[f.name for f in out_schema.fields])
+
+    return d.select("doc_id", "text").mapInArrow(fp, out_schema)
 
 
 # --------------------------------------------------------------------------
@@ -1418,47 +1538,9 @@ def _decon_frames(spark, sf_dir):
     )
     docs = (load(spark, sf_dir, "documents").filter(_SUBSET)
             .select("doc_id", "lang", "text", bkt.alias("bkt")))
-    k = _DECON_K
-    # one Arrow pass replaces explode + substr + global DISTINCT: JVM
-    # substr locates CHARACTER positions by scanning the UTF8String, so
-    # per-position shingling is O(len^2) per document (the same shape the
-    # r7 minhash pass removed). Python str slices have identical char
-    # semantics — txt[i-1:i-1+k] == substr(text, i, k) including the
-    # short tail and the '' shingle of an empty doc, and a NULL text
-    # emits no rows on both sides — and the per-doc SET equals the old
-    # global (doc_id, sh) DISTINCT, so the exchange it paid is gone too.
-    from pyspark.sql.types import StringType, StructField, StructType
-
-    id_field = docs.schema["doc_id"]
-    sh_schema = StructType([id_field, StructField("sh", StringType())])
-
-    def shingles(batches):
-        import pyarrow as pa
-
-        for batch in batches:
-            ids = batch.column(0).to_pylist()
-            texts = batch.column(1).to_pylist()
-            ids_out: list = []
-            sh_out: list = []
-            for did, txt in zip(ids, texts):
-                if txt is None:
-                    continue
-                hi = len(txt) - (k - 1)
-                if hi < 1:
-                    hi = 1
-                seen = {txt[i:i + k] for i in range(hi)}
-                ids_out.extend([did] * len(seen))
-                sh_out.extend(seen)
-            if ids_out:
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(ids_out,
-                              pa.int64()
-                              if id_field.dataType.simpleString() == "bigint"
-                              else None),
-                     pa.array(sh_out, pa.string())],
-                    names=["doc_id", "sh"])
-
-    sh = docs.select("doc_id", "text").mapInArrow(shingles, sh_schema)
+    # Arrow shingle pass (see _shingle_sets): kills the O(len^2) JVM
+    # substr scans and the global DISTINCT exchange of the old form
+    sh = _shingle_sets(docs, _DECON_K)
     df = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     kept = sh.join(df.filter(F.col("df") <= _DF_CAP), "sh").select("doc_id", "sh")
     # both decontamination variants consume `kept` in 2-3 subtrees (df-cap
