@@ -1072,21 +1072,29 @@ _ATTEST_FIRST = [
     "q_minhash_signatures", "q_dedup_clusters", "q_cluster_canonical",
     "q_tfidf", "q_embed_cosine_topk", "q_embed_neardup", "q_range_join",
     "q_lst_sw",
+    # changed in the second r07 session (Arrow shingle/entropy passes,
+    # CC pointer jumping, decontamination materialization)
+    "q_winnow_fingerprint", "q_decontaminate", "q_decontaminate_bloom",
+    "q_char_entropy",
 ]
 _ATTEST_LAST = [
     # green in r06, builders unchanged in r07; 86 twins - 50 window = 36
-    # demoted (the core LST headline twins — q_radiance, q_bt, q_lst_sw,
-    # q_cwv_ratio_window, q_broadcast_join, q_agg_stats, q_window_topk —
-    # stay in the window middle so the headline set re-attests every round)
+    # demoted. The second r07 session changed 4 more builders (promoted
+    # into _ATTEST_FIRST above), so 4 UNCHANGED r06-green headline twins
+    # (q_cwv_ratio_window, q_broadcast_join, q_agg_stats, q_window_topk)
+    # sit out this round — their newest green row stays <= 1 round old;
+    # q_radiance / q_bt / q_lst_sw remain in the window.
+    "q_cwv_ratio_window", "q_broadcast_join", "q_agg_stats",
+    "q_window_topk",
     "q_pii_scrub", "q_paragraph_dedup", "q_token_stats", "q_lang_id",
     "q_quality_score", "q_fingerprint", "q_bpe_tokens",
-    "q_winnow_fingerprint", "q_regr_manual", "q_grouped_map", "q_rollup",
+    "q_regr_manual", "q_grouped_map", "q_rollup",
     "q_cube", "q_percentile", "q_semi_join", "q_anti_join",
     "q_caption_roundtrip", "q_salted_agg", "q_interval_overlap",
     "q_skyline", "q_grid_density", "q_hash_split", "q_stratified_sample",
-    "q_decontaminate", "q_decontaminate_bloom", "q_unpivot",
+    "q_unpivot",
     "q_mode_per_group", "q_token_shards", "q_ann_lsh_buckets",
-    "q_char_entropy", "q_tumbling_window", "q_correlated_subquery",
+    "q_tumbling_window", "q_correlated_subquery",
     "q_udf_bt", "q_knn_sql", "q_bbox_join", "q_dedup_latest",
     "q_dedup_exact",
 ]
