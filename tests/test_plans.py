@@ -310,9 +310,13 @@ def test_decontaminate_bloom_prefilter_is_map_side(spark):
     assert "HashJoin" in plan or "SortMergeJoin" in plan
     # Catalyst pushes the deterministic probe through the sh-keyed joins
     # (it may appear in several branches); at least one instance must sit
-    # DIRECTLY over a FileScan — i.e. rows drop before any Exchange ships
-    # them. Children print below their parent, so scanning downward from an
-    # ArrowEvalPython line, a FileScan must appear before any Exchange.
+    # DIRECTLY over a SCAN — i.e. rows drop before any Exchange ships
+    # them. Since the r7 optimization the probed side is the per-invocation
+    # localCheckpoint of the df-capped shingle table, so the scan node is
+    # the checkpointed-RDD scan ("Scan ExistingRDD"); a FileScan also
+    # qualifies (the pre-checkpoint shape). Children print below their
+    # parent, so scanning downward from an ArrowEvalPython line, a scan
+    # must appear before any Exchange.
     lines = plan.splitlines()
     starts = [i for i, ln in enumerate(lines) if "ArrowEvalPython" in ln]
     assert starts, "Bloom probe missing from the physical plan"
@@ -321,7 +325,7 @@ def test_decontaminate_bloom_prefilter_is_map_side(spark):
         for ln in lines[i + 1:]:
             if "Exchange" in ln:
                 return False
-            if "FileScan" in ln:
+            if "FileScan" in ln or "Scan ExistingRDD" in ln:
                 return True
         return False
 
