@@ -193,3 +193,141 @@ def test_spread_tiles_gating(spark, tmp_path):
     mem = spark.createDataFrame(pdf)
     plan3 = spread_tiles(mem)._jdf.queryExecution().optimizedPlan().toString()
     assert "Repartition" not in plan3     # in-memory state untouched
+
+
+# ---------------------------------------------------------------------------
+# second r07 session: vectorized exact-R3 march == the serial spec walk
+# ---------------------------------------------------------------------------
+
+
+def test_march_targets_matches_serial_spec():
+    """_march_targets must reproduce _ray_visible EXACTLY (same IEEE
+    comparisons) — randomized maps with NaN holes, fractional observer,
+    targets on axes/diagonals, near and far."""
+    import math
+
+    import numpy as np
+
+    from i_landsat8_swlst_spark.terrain import _march_targets, _ray_visible
+
+    rng = np.random.default_rng(99)
+    for trial in range(8):
+        n = 25
+        yy, xx = np.mgrid[0:n, 0:n]
+        z = rng.uniform(0, 40, (n, n))
+        z[rng.random((n, n)) < 0.1] = np.nan   # NaN holes never block
+        kgx = xx.ravel().astype(np.int64)
+        kgy = yy.ravel().astype(np.int64)
+        kz = z.ravel()
+        fin = np.isfinite(kz)
+        kgx, kgy, kz = kgx[fin], kgy[fin], kz[fin]
+        # fractional observer on odd trials (gridline-crossing edge cases)
+        ox = 12.0 if trial % 2 == 0 else 11.5
+        oy = 12.0 if trial % 2 == 0 else 12.25
+        eye = 35.0 + trial
+        zmap = {(int(a), int(b)): float(c)
+                for a, b, c in zip(kgx, kgy, kz)}
+        tgx, tgy, tgz = kgx, kgy, kz           # every finite cell a target
+        vis = _march_targets(ox, oy, eye, tgx, tgy, tgz, kgx, kgy, kz)
+        want = np.array([
+            _ray_visible(ox, oy, eye, int(a), int(b), float(c), zmap)
+            for a, b, c in zip(tgx, tgy, tgz)])
+        assert np.array_equal(vis, want), \
+            f"trial {trial}: {int((vis != want).sum())} mismatches"
+
+
+# ---------------------------------------------------------------------------
+# second r07 session: grouped union-find CC == brute min-label, per key
+# ---------------------------------------------------------------------------
+
+
+def test_cc_min_label_union_find_matches_brute(spark):
+    import numpy as np
+
+    from i_landsat8_swlst_spark.regions import _cc_min_label
+
+    rng = np.random.default_rng(7)
+    rows_n, rows_e, want = [], [], {}
+    for key in ("A", "B"):
+        ids = [int(x) for x in
+               rng.choice(np.arange(1, 10 ** 15), size=30, replace=False)]
+        rows_n += [(key, v) for v in ids]
+        # chain 0..9, triangle 10..12, isolated 13..29
+        edges = [(ids[i], ids[i + 1]) for i in range(9)]
+        edges += [(ids[10], ids[11]), (ids[11], ids[12]), (ids[12], ids[10])]
+        for v, u in edges:
+            rows_e += [(key, v, u), (key, u, v)]
+        comp = {v: {v} for v in ids}
+        for v, u in edges:
+            m = comp[v] | comp[u]
+            for x in m:
+                comp[x] = m
+        for v in ids:
+            want[(key, v)] = min(comp[v])
+    nodes = spark.createDataFrame(rows_n, ["scene_id", "v"])
+    edges_df = spark.createDataFrame(rows_e, ["scene_id", "v", "u"])
+    got = {(r["scene_id"], r["v"]): r["label"]
+           for r in _cc_min_label(nodes, edges_df).collect()}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# second r07 session: pointer-jumping CC round preserves the fixpoint
+# ---------------------------------------------------------------------------
+
+
+def test_cc_round_pointer_jump_converges_to_component_min(spark):
+    from pyspark.sql import functions as F
+
+    from i_landsat8_swlst_spark.textops import _cc_round
+
+    # path graph 1-2-3-...-12 (diameter 11) + an isolated self-loop node
+    pairs = [(i, i + 1) for i in range(1, 12)]
+    sym = [(v, u) for v, u in pairs] + [(u, v) for v, u in pairs]
+    nodes = sorted({x for p in pairs for x in p} | {99})
+    edges = spark.createDataFrame(
+        sym + [(v, v) for v in nodes], ["v", "u"]).localCheckpoint()
+    lab = edges.filter("v = u").select("v", F.col("v").alias("label"))
+    rounds = 0
+    prev = lab.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+    while True:
+        lab = _cc_round(edges, lab).localCheckpoint()
+        rounds += 1
+        s = lab.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+        if s == prev:
+            break
+        prev = s
+        assert rounds < 12, "pointer jumping failed to accelerate"
+    got = {r["v"]: r["label"] for r in lab.collect()}
+    assert got == {**{v: 1 for v in nodes if v != 99}, 99: 99}
+    # O(log d) check: diameter 11 must converge well under 11 rounds
+    assert rounds <= 7, f"took {rounds} rounds"
+
+
+# ---------------------------------------------------------------------------
+# second r07 session: Arrow shingle sets == explode + substr + DISTINCT
+# ---------------------------------------------------------------------------
+
+
+def test_shingle_sets_matches_substr_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from i_landsat8_swlst_spark.textops import _shingle_sets
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "hi"), (3, ""), (4, "aaaaaaa"),
+         (5, "naïve café ☕ unicode"), (6, None)],
+        ["doc_id", "text"]).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text")
+    k = 5
+    want = (docs.select(
+        "doc_id",
+        F.explode(F.sequence(
+            F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))))
+        .alias("i"), "text")
+        .select("doc_id", F.expr(f"substr(text, i, {k})").alias("sh"))
+        .distinct())
+    got = _shingle_sets(docs, k)
+    a = {(r["doc_id"], r["sh"]) for r in want.collect()}
+    b = {(r["doc_id"], r["sh"]) for r in got.collect()}
+    assert a == b
