@@ -374,10 +374,14 @@ def _ngram_jaccard_sql(docs_sql: str = _SHINGLES_SQL, df_cap: int = _DF_CAP) -> 
 def _shingle_sets(docs, k: int):
     """(doc_id, sh) distinct k-char shingles per document, as ONE Arrow
     pass: python str slices have the same CHARACTER semantics as JVM
-    ``substr(text, i, k)`` — including the short tail when len < k, the
-    '' shingle of an empty doc, and no rows for NULL text — and the
-    per-doc set equals the old explode+substr+DISTINCT (which paid
-    O(len^2) substr scans per doc plus a global exchange)."""
+    ``substr(text, i, k)`` — including the short tail when len < k and
+    the '' shingle of an empty doc — so the per-doc set equals the old
+    explode+substr+DISTINCT (which paid O(len^2) substr scans per doc
+    plus a global exchange). One sanctioned delta: a NULL text emitted a
+    (doc_id, NULL) row in the SQL form (greatest() skips NULLs); this
+    pass emits nothing — equivalent for every consumer, since they all
+    equi-join or group on ``sh`` and SQL NULL never equi-matches
+    (pinned by test_shingle_sets_matches_substr_semantics)."""
     from pyspark.sql.types import StringType, StructField, StructType
 
     id_field = docs.schema["doc_id"]

@@ -249,8 +249,10 @@ def test_cc_min_label_union_find_matches_brute(spark):
     rng = np.random.default_rng(7)
     rows_n, rows_e, want = [], [], {}
     for key in ("A", "B"):
-        ids = [int(x) for x in
-               rng.choice(np.arange(1, 10 ** 15), size=30, replace=False)]
+        ids_set: set[int] = set()
+        while len(ids_set) < 30:           # incl. ids far above 2^53 to
+            ids_set.add(int(rng.integers(1, 10 ** 18)))  # pin the -1
+        ids = sorted(ids_set)              # sentinel (no float64 path)
         rows_n += [(key, v) for v in ids]
         # chain 0..9, triangle 10..12, isolated 13..29
         edges = [(ids[i], ids[i + 1]) for i in range(9)]
@@ -330,4 +332,10 @@ def test_shingle_sets_matches_substr_semantics(spark):
     got = _shingle_sets(docs, k)
     a = {(r["doc_id"], r["sh"]) for r in want.collect()}
     b = {(r["doc_id"], r["sh"]) for r in got.collect()}
-    assert a == b
+    # the ONE sanctioned delta: the SQL form emits (doc_id, NULL) for a
+    # NULL text (greatest() skips NULLs -> i=1 -> substr(NULL,..) = NULL),
+    # a row NO consumer can ever see — every consumer equi-joins or
+    # groups on sh, and SQL NULL never equi-matches. The Arrow pass drops
+    # it at the source; everything non-NULL must match exactly.
+    assert {p for p in a if p[1] is not None} == b
+    assert all(p[1] is not None for p in b)
